@@ -1,0 +1,182 @@
+"""Constraint → Column-expression compiler.
+
+The reference evaluates each validator as a separate full pass over the
+document store with row-at-a-time Python (reference reader.py:137-142
+``Reader.apply`` driving validators.py). Here every ROW-LEVEL constraint
+compiles to a ``(predicate Column, reason Column)`` pair, and the whole
+suite fuses into ONE vectorized projection (see violations.py) — a
+single table scan regardless of how many constraints are registered.
+Everything stays inside whole-stage codegen: no Python UDFs anywhere in
+this module.
+
+ANSI-mode notes (Spark 4 defaults ANSI on): we use ``try_cast`` for
+castability probes and ``try_element_at`` for map lookups so malformed
+data produces violations, never job-killing exceptions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ocsf_validator_spark.spec import (
+    Constraint,
+    Deprecated,
+    InEnum,
+    MaxLen,
+    NotNull,
+    Range,
+    Regex,
+    TypeCast,
+)
+
+RowLeg = tuple[Column, Column]  # (violation predicate, reason)
+
+
+def _scoped(pred: Column, c: Constraint) -> Column:
+    """Apply the constraint's applicability filter (the Matcher analogue,
+    reference matchers.py:10-130): the constraint only fires where the
+    ``where`` predicate holds."""
+    if c.where:
+        return F.expr(c.where) & pred
+    return pred
+
+
+def _quoted(col: Column) -> Column:
+    return F.concat(F.lit("'"), col.cast("string"), F.lit("'"))
+
+
+def compile_not_null(c: NotNull) -> RowLeg:
+    col = F.col(c.column)
+    pred = _scoped(col.isNull(), c)
+    reason = F.lit(f"{c.column} is required but null")
+    return pred, reason
+
+
+def compile_in_enum(c: InEnum) -> RowLeg:
+    col = F.col(c.column)
+    allowed = list(c.allowed)
+    pred = _scoped(col.isNotNull() & ~col.isin(allowed), c)
+    reason = F.concat(
+        F.lit(f"{c.column} value "), _quoted(col), F.lit(" not in enum")
+    )
+    return pred, reason
+
+
+def compile_deprecated(c: Deprecated) -> RowLeg:
+    col = F.col(c.column)
+    values = sorted(c.deprecated)
+    pred = _scoped(col.isin(values), c)
+    # value -> "since {since}: {message}" broadcast as a literal map
+    # (the dictionary.json analogue, reference validators.py:193)
+    pairs: list[Column] = []
+    for v in values:
+        since, msg = c.deprecated[v]
+        pairs += [F.lit(v), F.lit(f"since {since}: {msg}")]
+    detail = F.try_element_at(F.create_map(*pairs), col)
+    reason = F.concat(
+        F.lit(f"{c.column} value "), _quoted(col), F.lit(" deprecated "), detail
+    )
+    return pred, reason
+
+
+def compile_type_cast(c: TypeCast) -> RowLeg:
+    col = F.col(c.column)
+    pred = _scoped(col.isNotNull() & col.try_cast(c.to_type).isNull(), c)
+    reason = F.concat(
+        F.lit(f"{c.column} value "),
+        _quoted(col),
+        F.lit(f" not castable to {c.to_type}"),
+    )
+    return pred, reason
+
+
+def compile_regex(c: Regex) -> RowLeg:
+    col = F.col(c.column)
+    pred = _scoped(col.isNotNull() & ~col.rlike(c.pattern), c)
+    reason = F.lit(f"{c.column} does not match pattern {c.pattern}")
+    return pred, reason
+
+
+def compile_max_len(c: MaxLen) -> RowLeg:
+    col = F.col(c.column)
+    pred = _scoped(col.isNotNull() & (F.length(col) > F.lit(c.max_len)), c)
+    reason = F.concat(
+        F.lit(f"len({c.column})="),
+        F.length(col).cast("string"),
+        F.lit(f" exceeds max_len {c.max_len}"),
+    )
+    return pred, reason
+
+
+def compile_range(c: Range) -> RowLeg:
+    col = F.col(c.column)
+    conds = []
+    if c.lo is not None:
+        conds.append(col < F.lit(c.lo))
+    if c.hi is not None:
+        conds.append(col > F.lit(c.hi))
+    if not conds:
+        raise ValueError(f"Range constraint {c.constraint_id} has no bounds")
+    pred = conds[0]
+    for p in conds[1:]:
+        pred = pred | p
+    pred = _scoped(col.isNotNull() & pred, c)
+    reason = F.concat(
+        F.lit(f"{c.column} value "),
+        _quoted(col),
+        F.lit(f" outside range [{c.lo}, {c.hi}]"),
+    )
+    return pred, reason
+
+
+_COMPILERS: dict[type, Callable] = {
+    NotNull: compile_not_null,
+    InEnum: compile_in_enum,
+    Deprecated: compile_deprecated,
+    TypeCast: compile_type_cast,
+    Regex: compile_regex,
+    MaxLen: compile_max_len,
+    Range: compile_range,
+}
+
+
+def compile_row_constraint(c: Constraint) -> RowLeg:
+    try:
+        fn = _COMPILERS[type(c)]
+    except KeyError:
+        raise TypeError(f"{type(c).__name__} is not a row-level constraint")
+    return fn(c)
+
+
+def violation_entry(c: Constraint) -> Column:
+    """One struct-or-null entry for the fused single-pass projection:
+    NULL when the row satisfies the constraint, a violation struct
+    otherwise. violations.py collects these into array_compact+explode."""
+    pred, reason = compile_row_constraint(c)
+    return F.when(
+        pred,
+        F.struct(
+            F.lit(c.constraint_id).alias("constraint_id"),
+            reason.alias("reason"),
+            F.lit(c.severity.name).alias("severity"),
+        ),
+    )
+
+
+def glob_to_like(glob: str) -> str:
+    """Glob → SQL LIKE translation (reference GlobMatcher,
+    matchers.py:56-62 uses pathlib glob semantics)."""
+    out = []
+    for ch in glob:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)

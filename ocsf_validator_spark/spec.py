@@ -1,0 +1,325 @@
+"""Declarative constraint vocabulary.
+
+This is the engine's analogue of the reference's TypedDict schema system
+(reference types.py:23-199) plus its validator registry (reference
+runner.py:281-353): each constraint class below names ONE check the
+reference performs, re-expressed as a declarative spec over table
+columns. Specs are tiny driver-side dataclasses; compilation to Column
+expressions lives in compile.py.
+
+Severity mirrors the reference's ``Severity`` / ``ValidatorOptions``
+(reference runner.py:31-161): every constraint carries a severity, and
+the runner's pass/fail threshold is configurable (ERROR by default,
+WARNING under --strict).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import IntEnum
+from typing import Any, Mapping, Sequence
+
+
+class Severity(IntEnum):
+    """Mirror of reference runner.py:31-55 (IGNORE/INFO/WARN/ERROR/FATAL)."""
+
+    IGNORE = 0
+    INFO = 1
+    WARNING = 2
+    ERROR = 3
+    FATAL = 4
+
+    @classmethod
+    def parse(cls, v: "Severity | int | str") -> "Severity":
+        if isinstance(v, Severity):
+            return v
+        if isinstance(v, int):
+            return cls(v)
+        return cls[v.upper()]
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """Base: every constraint has a stable id, a severity, and an
+    optional applicability predicate (SQL expression string) scoping it
+    to a row subset — the analogue of the reference's path Matchers
+    (reference matchers.py:10-130) routing validators to doc subsets.
+    """
+
+    column: str
+    severity: Severity = Severity.ERROR
+    where: str | None = None  # SQL predicate: constraint applies only where true
+    id_override: str | None = None
+
+    KIND = "abstract"
+
+    @property
+    def constraint_id(self) -> str:
+        return self.id_override or f"{self.KIND}.{self.column}"
+
+    def version(self) -> str:
+        """Stable content hash so the checkpoint manifest can detect a
+        changed constraint set (north rule: 'constraint versions')."""
+        import hashlib
+
+        return hashlib.sha256(repr(self).encode()).hexdigest()[:12]
+
+
+# ---------------------------------------------------------------------------
+# Row-level constraints — compile to a single vectorized projection
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class NotNull(Constraint):
+    """Required key (reference validate_required_keys, validators.py:59-103)."""
+
+    KIND = "required"
+
+
+@dataclass(frozen=True)
+class InEnum(Constraint):
+    """Referential integrity against a broadcast enum dictionary
+    (reference validate_undefined_attrs, validators.py:201-233, and
+    validate_event_categories, validators.py:608-629).
+
+    ``values``: the allowed values (the dictionary.json analogue).
+    ``extra_allowed``: always-legal values, like the implicit "other"
+    category (reference validators.py:624).  NULLs never violate (use
+    NotNull for that).
+    """
+
+    values: tuple[str, ...] = ()
+    extra_allowed: tuple[str, ...] = ()
+    KIND = "ref"
+
+    @property
+    def allowed(self) -> tuple[str, ...]:
+        return tuple(self.values) + tuple(self.extra_allowed)
+
+
+@dataclass(frozen=True)
+class Deprecated(Constraint):
+    """Usage of @deprecated values (reference types.py:27-29,80:
+    OcsfDeprecationInfo{message, since}). Fires a WARNING violation per
+    row using a deprecated value."""
+
+    deprecated: Mapping[str, tuple[str, str]] = field(default_factory=dict)
+    # value -> (since, message)
+    severity: Severity = Severity.WARNING
+    KIND = "deprecated"
+
+
+@dataclass(frozen=True)
+class TypeCast(Constraint):
+    """Castability check (reference validate_attr_types,
+    validators.py:317-374: attr type must resolve to a known scalar or
+    object type). Here: value must try_cast cleanly to ``to_type``."""
+
+    to_type: str = "bigint"
+    KIND = "typecheck"
+
+
+@dataclass(frozen=True)
+class Regex(Constraint):
+    """Metaschema 'pattern' conformance (reference validate_metaschemas,
+    validators.py:265-314; OcsfAttr.regex, types.py:73)."""
+
+    pattern: str = ".*"
+    KIND = "regex"
+
+
+@dataclass(frozen=True)
+class MaxLen(Constraint):
+    """OcsfAttr.max_len (reference types.py:68)."""
+
+    max_len: int = 1 << 20
+    KIND = "max_len"
+
+
+@dataclass(frozen=True)
+class Range(Constraint):
+    """OcsfAttr.range (reference types.py:72) — inclusive numeric range."""
+
+    lo: float | None = None
+    hi: float | None = None
+    KIND = "range"
+
+
+# ---------------------------------------------------------------------------
+# Group-level constraints — compile to aggregations / windows
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Unique(Constraint):
+    """Key uniqueness (reference validate_intra_type_collisions,
+    validators.py:236-262: group by (type, name), >1 file per name is an
+    error emitted for the 2nd+ occurrence keeping the first-seen file).
+
+    ``column`` is a comma-free display name; ``keys`` are the grouping
+    columns. ``first_seen_order`` breaks ties to define the kept row,
+    mirroring the reference's first-seen-wins iteration order.
+    """
+
+    keys: tuple[str, ...] = ()
+    first_seen_order: tuple[str, ...] = ()
+    KIND = "unique"
+
+
+@dataclass(frozen=True)
+class TurnOrdering(Constraint):
+    """North-star ordering check: within each conversation, turn_idx
+    must be dense (no duplicates, no gaps) under
+    Window.partitionBy(conv_id).orderBy(turn_idx)."""
+
+    partition_by: str = "conv_id"
+    order_by: str = "turn_idx"
+    KIND = "order"
+
+
+@dataclass(frozen=True)
+class Monotonic(Constraint):
+    """Per-group monotonicity (ts must not decrease within a conversation
+    under stable turn ordering)."""
+
+    partition_by: str = "conv_id"
+    order_by: str = "turn_idx"
+    strict: bool = False
+    KIND = "monotonic"
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level constraints — produce findings without row keys
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AllowedColumns(Constraint):
+    """No unknown keys (reference validate_no_unknown_keys,
+    validators.py:106-158): every column present must be declared.
+    Schema-level — checked on the driver against df.columns."""
+
+    allowed: tuple[str, ...] = ()
+    required: tuple[str, ...] = ()
+    KIND = "schema"
+
+    @property
+    def constraint_id(self) -> str:
+        return self.id_override or "schema.columns"
+
+
+@dataclass(frozen=True)
+class EnumCoverage(Constraint):
+    """Unused dictionary attribute (reference validate_unused_attrs,
+    validators.py:169-198): enum values never observed in the data are
+    reported (default WARNING, like the reference's warning severity for
+    unused attrs)."""
+
+    values: tuple[str, ...] = ()
+    severity: Severity = Severity.WARNING
+    KIND = "coverage"
+
+
+ROW_LEVEL = (NotNull, InEnum, Deprecated, TypeCast, Regex, MaxLen, Range)
+GROUP_LEVEL = (Unique, TurnOrdering, Monotonic)
+DATASET_LEVEL = (AllowedColumns, EnumCoverage)
+
+
+@dataclass
+class ConstraintSet:
+    """An ordered, named collection of constraints over one table.
+
+    Supports the reference's dependency-graph semantics (SURVEY.md §2.7)
+    at the suite level: ``extends`` (single inheritance, reference
+    ExtendsParser processor.py:223-252), ``profiles`` (multi-target
+    mixins, reference ProfilesParser processor.py:255-282) and
+    dictionary defaults (reference AttributesParser processor.py:285-331)
+    — resolved driver-side by inherit.resolve().
+    """
+
+    name: str
+    constraints: list[Constraint] = field(default_factory=list)
+    extends: str | None = None
+    profiles: tuple[str, ...] = ()
+    # column -> default constraint kwargs pulled in when a suite references
+    # the column without fully specifying the check (dictionary enrichment)
+    meta: dict[str, Any] = field(default_factory=dict)
+
+    def add(self, *cs: Constraint) -> "ConstraintSet":
+        self.constraints.extend(cs)
+        return self
+
+    def by_id(self) -> dict[str, Constraint]:
+        out: dict[str, Constraint] = {}
+        for c in self.constraints:
+            if c.constraint_id in out:
+                raise ValueError(f"duplicate constraint id: {c.constraint_id}")
+            out[c.constraint_id] = c
+        return out
+
+    def version(self) -> str:
+        import hashlib
+
+        h = hashlib.sha256()
+        for c in self.constraints:
+            h.update(c.version().encode())
+        return h.hexdigest()[:16]
+
+    def row_level(self) -> list[Constraint]:
+        return [c for c in self.constraints if isinstance(c, ROW_LEVEL)]
+
+    def group_level(self) -> list[Constraint]:
+        return [c for c in self.constraints if isinstance(c, GROUP_LEVEL)]
+
+    def dataset_level(self) -> list[Constraint]:
+        return [c for c in self.constraints if isinstance(c, DATASET_LEVEL)]
+
+
+def transcript_suite(
+    role_values: Sequence[str] = ("system", "user", "assistant", "tool"),
+    deprecated_roles: Mapping[str, tuple[str, str]] | None = None,
+    tool_values: Sequence[str] = ("search", "browser", "python", "bash", "none"),
+    max_text_len: int = 65536,
+) -> ConstraintSet:
+    """The default suite for the north-star transcripts table — the
+    engine's equivalent of the reference's full runner pass
+    (reference runner.py:281-353, one entry per validator)."""
+    deprecated_roles = deprecated_roles or {
+        "function": ("0.9", "use role='tool' instead")
+    }
+    return ConstraintSet(
+        name="transcripts",
+        constraints=[
+            AllowedColumns(
+                column="*",
+                allowed=("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+                required=("conv_id", "turn_idx", "role", "text", "ts"),
+                severity=Severity.FATAL,
+            ),
+            NotNull(column="conv_id", severity=Severity.FATAL),
+            NotNull(column="turn_idx", severity=Severity.FATAL),
+            NotNull(column="role"),
+            NotNull(column="text"),
+            NotNull(column="ts"),
+            NotNull(
+                column="tool",
+                where="role = 'tool'",
+                id_override="required.tool_when_tool_role",
+            ),
+            InEnum(column="role", values=tuple(role_values) + tuple(deprecated_roles)),
+            InEnum(column="tool", values=tuple(tool_values)),
+            Deprecated(column="role", deprecated=dict(deprecated_roles)),
+            MaxLen(column="text", max_len=max_text_len),
+            Range(column="turn_idx", lo=0),
+            Unique(
+                column="conv_turn",
+                keys=("conv_id", "turn_idx"),
+                first_seen_order=("ts", "role", "text"),
+            ),
+            TurnOrdering(column="turn_idx"),
+            Monotonic(column="ts"),
+            EnumCoverage(column="role", values=tuple(role_values)),
+            EnumCoverage(column="tool", values=tuple(tool_values)),
+        ],
+    )

@@ -1,0 +1,141 @@
+"""Single-pass bucketed column statistics.
+
+The reference makes ≥10 full passes over the store, one per validator
+(reference runner.py:281-353 each calling reader.apply). The headline
+redesign (SURVEY.md §4) is ONE fused aggregation job that computes every
+per-column statistic in a single scan:
+
+    df.withColumn(bucket, pmod(xxhash64(conv_id), NB))
+      .groupBy(bucket).agg(<all stats at once>)
+
+The bucket is the verdict/checkpoint partition key (north star's
+"conv_id-hash-bucket"). Because groupBy does map-side partial
+aggregation, the shuffle carries NB rows per input partition regardless
+of data volume — at 10^12 turns the shuffle stays tiny.
+
+Per-conversation checks use a TWO-LEVEL salted aggregation
+(groupBy(conv_id, salt) partial → groupBy(conv_id) final) so a single
+pathological conversation with 10^8 turns cannot strand one reducer.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 64
+
+
+def bucket_col(conv_col: str = "conv_id", num_buckets: int = DEFAULT_BUCKETS):
+    return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(num_buckets)).cast("int")
+
+
+def column_stats(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    conv_col: str = "conv_id",
+    num_buckets: int = DEFAULT_BUCKETS,
+    length_cols: Sequence[str] = ("text",),
+    ts_cols: Sequence[str] = ("ts",),
+) -> DataFrame:
+    """One row per bucket, all per-column stats as columns:
+    row count, per-column null count, approx distinct (HLL), min/max,
+    and avg/min/max length for string columns. Everything is a partial-
+    aggregatable expression → single shuffle of NB tiny rows."""
+    columns = list(columns or df.columns)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.approx_count_distinct(c).alias(f"{c}__approx_distinct"))
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    for c in length_cols:
+        if c in columns:
+            aggs.append(F.avg(F.length(c)).alias(f"{c}__len_avg"))
+            aggs.append(F.min(F.length(c)).alias(f"{c}__len_min"))
+            aggs.append(F.max(F.length(c)).alias(f"{c}__len_max"))
+    return (
+        df.withColumn("bucket", bucket_col(conv_col, num_buckets))
+        .groupBy("bucket")
+        .agg(*aggs)
+    )
+
+
+def overall_stats(df: DataFrame, **kw) -> DataFrame:
+    """Same stats, one global row (bucket = -1)."""
+    out = column_stats(df.withColumn("__one", F.lit(1)), conv_col="__one", num_buckets=1, **{k: v for k, v in kw.items() if k != "conv_col"})
+    return out.withColumn("bucket", F.lit(-1))
+
+
+def length_histogram(
+    df: DataFrame, column: str = "text", bin_width: int = 16
+) -> DataFrame:
+    """Fixed-width length histogram: (bin int, bin_lo int, cnt long).
+    Fixed bins (not percentile-based) so histograms from different
+    samples/snapshots are directly comparable for PSI."""
+    return (
+        df.filter(F.col(column).isNotNull())
+        .select(F.floor(F.length(column) / F.lit(bin_width)).cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("bin", (F.col("bin") * bin_width).alias("bin_lo"), "cnt")
+    )
+
+
+def value_histogram(df: DataFrame, expr: str, bin_expr: str) -> DataFrame:
+    """Generic histogram over an arbitrary SQL expression; ``bin_expr``
+    maps the value to an integer bin (e.g. day number for timestamps)."""
+    return (
+        df.select(F.expr(expr).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .select(F.expr(bin_expr.format(v="_v")).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def conversation_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Per-conversation summary via two-level SALTED aggregation — the
+    scalable (no-window) formulation of the ordering checks: a
+    conversation is dense-ordered iff
+        n_turns == n_distinct_turns == max_idx - min_idx + 1 and min_idx == 0.
+
+    Level 1 groups by (conv_id, salt) so a skewed conversation's rows
+    spread over ``salt_buckets`` reducers; level 2 merges the partials
+    per conversation. distinct-turn counting is made salt-safe by
+    deriving the salt FROM turn_idx (identical turn_idx values land in
+    the same salt bucket, so partial distinct counts add exactly)."""
+    salt = F.pmod(F.xxhash64(F.col(idx_col)), F.lit(salt_buckets))
+    partial = (
+        df.select(conv_col, idx_col)
+        .withColumn("_salt", salt)
+        .groupBy(conv_col, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct(F.col(idx_col)).alias("_nd"),
+            F.min(idx_col).alias("_min"),
+            F.max(idx_col).alias("_max"),
+        )
+    )
+    return (
+        partial.groupBy(conv_col)
+        .agg(
+            F.sum("_n").alias("n_turns"),
+            F.sum("_nd").alias("n_distinct_turns"),
+            F.min("_min").alias("min_idx"),
+            F.max("_max").alias("max_idx"),
+        )
+        .withColumn(
+            "dense_ordered",
+            (F.col("min_idx") == 0)
+            & (F.col("n_turns") == F.col("n_distinct_turns"))
+            & (F.col("max_idx") - F.col("min_idx") + 1 == F.col("n_turns")),
+        )
+    )

@@ -1,0 +1,117 @@
+"""Per-partition pass/fail verdicts — the engine's analogue of the
+reference runner's per-label PASSED/FAILED summary and exit code
+(reference runner.py:207-241, 359-385).
+
+Verdict shape (FIXTURES.md §3):
+
+    verdicts(bucket int, constraint_id string, severity string,
+             violation_count long, pass boolean)
+
+A (bucket, constraint) passes when it has no violation at or above the
+threshold severity (ERROR by default; WARNING under --strict — mirror of
+reference runner.py:135-139). Constraints with zero violations still get
+a pass row for every bucket observed in the data, so the verdict table
+is a complete per-partition scorecard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocsf_validator_spark.spec import ConstraintSet, Severity
+from ocsf_validator_spark.stats import DEFAULT_BUCKETS, bucket_col
+
+SEV_RANK = "CASE severity WHEN 'FATAL' THEN 4 WHEN 'ERROR' THEN 3 WHEN 'WARNING' THEN 2 WHEN 'INFO' THEN 1 ELSE 0 END"
+
+
+def verdicts(
+    df: DataFrame,
+    violations: DataFrame,
+    suite: ConstraintSet,
+    conv_col: str = "conv_id",
+    num_buckets: int = DEFAULT_BUCKETS,
+    threshold: Severity = Severity.ERROR,
+) -> DataFrame:
+    """Build the complete per-(bucket, constraint) scorecard.
+
+    Dataset-level findings (NULL conv_id) land in bucket -1 and fail
+    EVERY bucket's verdict only for FATAL schema findings — mirroring the
+    reference where a FATAL aborts the whole run (runner.py:233-234)."""
+    spark = df.sparkSession
+    buckets = (
+        df.select(bucket_col(conv_col, num_buckets).alias("bucket")).distinct()
+    )
+    cons = spark.createDataFrame(
+        [(c.constraint_id, c.severity.name) for c in suite.constraints],
+        "constraint_id string, constraint_severity string",
+    )
+    grid = buckets.crossJoin(F.broadcast(cons))
+
+    vcounts = (
+        violations.withColumn(
+            "bucket",
+            F.when(
+                F.col(conv_col).isNotNull(), bucket_col(conv_col, num_buckets)
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy("bucket", "constraint_id")
+        .agg(
+            F.count(F.lit(1)).alias("violation_count"),
+            F.max(F.expr(SEV_RANK)).alias("_max_sev"),
+        )
+    )
+    out = (
+        grid.join(vcounts, ["bucket", "constraint_id"], "left_outer")
+        .select(
+            "bucket",
+            "constraint_id",
+            F.col("constraint_severity").alias("severity"),
+            F.coalesce(F.col("violation_count"), F.lit(0)).alias("violation_count"),
+            (
+                F.coalesce(F.col("_max_sev"), F.lit(0)) < F.lit(int(threshold))
+            ).alias("pass"),
+        )
+    )
+    # dataset-level findings (bucket -1) kept as their own verdict rows
+    ds = vcounts.filter(F.col("bucket") == -1).select(
+        "bucket",
+        "constraint_id",
+        F.expr(
+            "CASE _max_sev WHEN 4 THEN 'FATAL' WHEN 3 THEN 'ERROR' WHEN 2 THEN 'WARNING' WHEN 1 THEN 'INFO' ELSE 'IGNORE' END"
+        ).alias("severity"),
+        "violation_count",
+        (F.col("_max_sev") < F.lit(int(threshold))).alias("pass"),
+    )
+    return out.unionByName(ds)
+
+
+def summarize(verdict_df: DataFrame) -> DataFrame:
+    """Per-constraint rollup across buckets → the console report rows
+    (reference runner.py:359-385's per-label PASSED/FAILED lines)."""
+    return (
+        verdict_df.groupBy("constraint_id", "severity")
+        .agg(
+            F.sum("violation_count").alias("violation_count"),
+            F.min(F.col("pass").cast("int")).cast("boolean").alias("pass"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((~F.col("pass")).cast("long")).alias("n_failed_buckets"),
+        )
+        .orderBy("constraint_id")
+    )
+
+
+def exit_code(verdict_df: DataFrame) -> int:
+    """0 = all pass; 1 = any constraint failed; 2 = any FATAL violated
+    (mirror of reference runner exit semantics, runner.py:233-234,
+    377-385)."""
+    row = verdict_df.agg(
+        F.max(
+            F.when(
+                (F.col("severity") == "FATAL") & (F.col("violation_count") > 0), 2
+            )
+            .when(~F.col("pass"), 1)
+            .otherwise(0)
+        ).alias("code")
+    ).collect()[0]
+    return int(row.code or 0)

@@ -1,0 +1,101 @@
+"""Violation-engine unit tests — mirrors reference tests/test_validators.py
+scenario-for-scenario (see FIXTURES.md §4 for the mapping)."""
+
+from __future__ import annotations
+
+from ocsf_validator_spark.spec import transcript_suite
+from ocsf_validator_spark.violations import (
+    all_violations,
+    dataset_findings,
+    group_violations,
+    row_violations,
+)
+
+SUITE = transcript_suite()
+
+
+def _by_id(viol_rows):
+    out = {}
+    for r in viol_rows:
+        out.setdefault(r.constraint_id, []).append(r)
+    return out
+
+
+def test_row_violations(transcripts):
+    rows = row_violations(transcripts, SUITE).collect()
+    got = _by_id(rows)
+
+    # scenario 1: missing required key (reference test_validators.py:25-42)
+    assert [(r.conv_id, r.turn_idx) for r in got["required.role"]] == [("c001", 3)]
+    assert "required but null" in got["required.role"][0].reason
+
+    # scenario 3: undefined attribute / referential (test_validators.py:93-117)
+    assert [(r.conv_id, r.turn_idx) for r in got["ref.role"]] == [("c002", 1)]
+    assert "'supervisor'" in got["ref.role"][0].reason
+    assert [(r.conv_id, r.turn_idx) for r in got["ref.tool"]] == [("c003", 1)]
+
+    # scenario 9: max_len conformance (test_validators.py:353-417 analogue)
+    assert [(r.conv_id, r.turn_idx) for r in got["max_len.text"]] == [("c005", 0)]
+    assert "exceeds max_len 65536" in got["max_len.text"][0].reason
+
+    # scenario 10: deprecated value usage (reference types.py:27-29,80)
+    dep = got["deprecated.role"]
+    assert [(r.conv_id, r.turn_idx) for r in dep] == [("c006", 0)]
+    assert "since 0.9" in dep[0].reason
+    assert dep[0].severity == "WARNING"
+
+    # conditional requirement: tool must be set when role='tool'
+    assert [(r.conv_id, r.turn_idx) for r in got["required.tool_when_tool_role"]] == [
+        ("c009", 0)
+    ]
+
+
+def test_group_violations(transcripts):
+    rows = group_violations(transcripts, SUITE).collect()
+    got = _by_id(rows)
+
+    # scenario 5: uniqueness — fires on 2nd+ occurrence, keeps first-seen
+    # (reference validators.py:255-260)
+    uniq = got["unique.conv_turn"]
+    assert [(r.conv_id, r.turn_idx) for r in uniq] == [("c004", 1)]
+    assert "occurrence 2" in uniq[0].reason and "dup A" in uniq[0].reason
+
+    # scenario 12: turn_idx gap under stable ordering
+    order = got["order.turn_idx"]
+    assert ("c007", 3) in [(r.conv_id, r.turn_idx) for r in order]
+    gap = [r for r in order if r.conv_id == "c007"][0]
+    assert "expected 2 got 3" in gap.reason
+    # the duplicate key also shows up as a duplicate turn_idx
+    assert ("c004", 1) in [(r.conv_id, r.turn_idx) for r in order]
+
+    # monotonic ts violation at the row that goes backwards
+    mono = got["monotonic.ts"]
+    assert [(r.conv_id, r.turn_idx) for r in mono] == [("c008", 1)]
+
+
+def test_dataset_findings(transcripts):
+    rows = dataset_findings(transcripts, SUITE).collect()
+    got = _by_id(rows)
+    # scenario 4: enum value never observed (reference validators.py:169-198)
+    cov_tool = [r.reason for r in got.get("coverage.tool", [])]
+    assert any("'none' never observed" in r for r in cov_tool)
+    assert any("'python'" in r for r in cov_tool)  # python also unused in fixture
+    # all transcript columns known/present → no schema.columns finding
+    assert "schema.columns" not in got
+
+
+def test_schema_audit_unknown_column(transcripts):
+    from pyspark.sql import functions as F
+
+    bad = transcripts.withColumn("extra", F.lit(1))
+    rows = dataset_findings(bad, SUITE).collect()
+    got = _by_id(rows)
+    assert any("unknown column extra" in r.reason for r in got["schema.columns"])
+    assert got["schema.columns"][0].severity == "FATAL"
+
+
+def test_all_violations_severities(transcripts):
+    rows = all_violations(transcripts, SUITE).collect()
+    sevs = {r.severity for r in rows}
+    assert sevs <= {"FATAL", "ERROR", "WARNING", "INFO"}
+    assert len(rows) >= 10
