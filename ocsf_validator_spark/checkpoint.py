@@ -1,0 +1,163 @@
+"""Checkpoint manifest + resume (north rule: "resumable from checkpoint
+with per-partition lineage + metrics").
+
+Unit of work = one conv-hash bucket (the same bucket key as the stats
+and verdict passes). After a run completes a set of buckets, one
+manifest part-file is written ATOMICALLY (temp file + rename) holding a
+JSON line per bucket:
+
+    {run_id, bucket, status, suite_version, snapshot_id, partition_spec,
+     n_rows, n_violations, wall_sec, finished_at}
+
+Resume = read all manifest lines, keep buckets whose (suite_version,
+snapshot_id) match the current run — a changed constraint set or a new
+table snapshot invalidates the checkpoint, mirroring how the reference
+re-runs everything when inputs change — and anti-filter the input to
+pending buckets only.
+
+On a real cluster the manifest directory lives on the shared store
+(e.g. alongside the Iceberg table, keyed by its snapshot_id); the
+rename-based commit is the same protocol Spark's own file committers
+use. Local-FS rename is atomic; object stores would use a
+put-if-absent or an Iceberg append instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+from dataclasses import asdict, dataclass
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocsf_validator_spark.stats import bucket_col
+
+
+@dataclass
+class ManifestEntry:
+    run_id: str
+    bucket: int
+    status: str  # "complete" | "failed"
+    suite_version: str
+    snapshot_id: str
+    partition_spec: str
+    n_rows: int
+    n_violations: int
+    wall_sec: float
+    finished_at: float
+
+
+def write_entries(manifest_dir: str, entries: Iterable[ManifestEntry]) -> str:
+    """Atomically append a manifest part-file (temp + rename)."""
+    os.makedirs(manifest_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        for e in entries:
+            f.write(json.dumps(asdict(e)) + "\n")
+    final = os.path.join(manifest_dir, f"manifest-{uuid.uuid4().hex}.jsonl")
+    os.rename(tmp, final)
+    return final
+
+
+def read_entries(manifest_dir: str) -> list[ManifestEntry]:
+    out: list[ManifestEntry] = []
+    if not os.path.isdir(manifest_dir):
+        return out
+    for name in sorted(os.listdir(manifest_dir)):
+        if not name.endswith(".jsonl"):
+            continue
+        with open(os.path.join(manifest_dir, name)) as f:
+            for line in f:
+                if line.strip():
+                    out.append(ManifestEntry(**json.loads(line)))
+    return out
+
+
+def completed_buckets(
+    manifest_dir: str, suite_version: str, snapshot_id: str
+) -> set[int]:
+    """Buckets already validated for THIS constraint set and THIS table
+    snapshot (lineage match — stale lineage never short-circuits work)."""
+    return {
+        e.bucket
+        for e in read_entries(manifest_dir)
+        if e.status == "complete"
+        and e.suite_version == suite_version
+        and e.snapshot_id == snapshot_id
+    }
+
+
+def filter_pending(
+    df: DataFrame,
+    done: set[int],
+    conv_col: str = "conv_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Drop rows in already-completed buckets. The completed set is at
+    most ``num_buckets`` ints → an isin literal filter, pushed into the
+    scan (no join, no shuffle)."""
+    if not done:
+        return df
+    return df.filter(~bucket_col(conv_col, num_buckets).isin(*sorted(done)))
+
+
+def snapshot_of_path(path: str) -> str:
+    """Cheap snapshot id for parquet-dir inputs: name + max mtime + file
+    count. Iceberg tables would pass their real snapshot_id instead."""
+    if not os.path.exists(path):
+        return f"path:{path}"
+    mt, n = 0.0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            n += 1
+            mt = max(mt, os.path.getmtime(os.path.join(root, f)))
+    if os.path.isfile(path):
+        mt, n = os.path.getmtime(path), 1
+    return f"path:{os.path.abspath(path)}:files={n}:mtime={int(mt)}"
+
+
+def record_run(
+    manifest_dir: str,
+    verdict_df: DataFrame,
+    suite_version: str,
+    snapshot_id: str,
+    partition_spec: str,
+    bucket_rows: DataFrame,
+    wall_sec: float,
+) -> list[ManifestEntry]:
+    """Write one manifest entry per bucket that this run processed.
+    ``bucket_rows`` is the stats output (one row per bucket with n_rows);
+    violation counts come from the verdict table."""
+    run_id = uuid.uuid4().hex[:12]
+    vcounts = {
+        int(r.bucket): int(r.v)
+        for r in verdict_df.groupBy("bucket")
+        .agg(F.sum("violation_count").alias("v"))
+        .collect()
+        if r.bucket is not None and r.bucket >= 0
+    }
+    now = time.time()
+    entries = [
+        ManifestEntry(
+            run_id=run_id,
+            bucket=int(r.bucket),
+            status="complete",
+            suite_version=suite_version,
+            snapshot_id=snapshot_id,
+            partition_spec=partition_spec,
+            n_rows=int(r.n_rows),
+            n_violations=vcounts.get(int(r.bucket), 0),
+            wall_sec=wall_sec,
+            finished_at=now,
+        )
+        for r in bucket_rows.select("bucket", "n_rows").collect()
+        if r.bucket is not None and r.bucket >= 0
+    ]
+    if entries:
+        write_entries(manifest_dir, entries)
+    return entries

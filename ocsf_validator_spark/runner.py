@@ -1,0 +1,216 @@
+"""Validation runner + CLI — mirror of the reference's ValidationRunner
+(reference runner.py:207-385): orchestrates the passes, prints a
+per-constraint PASSED/FAILED report, returns the reference's exit-code
+contract (0 ok, 1 failed, 2 fatal), and adds the north-rule extras:
+checkpoint/resume and per-partition lineage.
+
+Pipeline phases (the Spark lifecycle from SURVEY.md §3):
+
+  0. schema audit (driver)           — FATAL schema problems abort before
+                                       any heavy job, like the reference's
+                                       FATAL early-exit (runner.py:233-234)
+  1. resume filter (optional)        — drop buckets already completed for
+                                       this (suite_version, snapshot_id)
+  2. stats pass                      — ONE fused groupBy(bucket) agg
+  3. violation pass                  — fused row projection ∪ group legs
+  4. verdict pass                    — per-(bucket, constraint) scorecard
+  5. sinks                           — violations/verdicts parquet, manifest
+
+Usage:
+    spark-submit --py-files ocsf_validator_spark.zip \
+        -m ocsf_validator_spark.runner --input /path/transcripts \
+        --checkpoint /path/manifest --violations-out /path/violations
+    python -m ocsf_validator_spark.runner --synth 1000000 --strict
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocsf_validator_spark import checkpoint as ckpt
+from ocsf_validator_spark.spec import ConstraintSet, Severity, transcript_suite
+from ocsf_validator_spark.stats import DEFAULT_BUCKETS, column_stats
+from ocsf_validator_spark.verdict import exit_code, summarize, verdicts
+from ocsf_validator_spark.violations import all_violations, dataset_findings
+
+
+@dataclass
+class RunResult:
+    exit_code: int
+    n_rows: int
+    n_violations: int
+    wall_sec: float
+    summary_rows: list = field(default_factory=list)
+    manifest_entries: list = field(default_factory=list)
+    skipped_buckets: int = 0
+
+    @property
+    def throughput(self) -> float:
+        return self.n_rows / self.wall_sec if self.wall_sec else float("nan")
+
+
+def run_validation(
+    spark: SparkSession,
+    df: DataFrame,
+    suite: ConstraintSet | None = None,
+    conv_col: str = "conv_id",
+    num_buckets: int = DEFAULT_BUCKETS,
+    strict: bool = False,
+    checkpoint_dir: str | None = None,
+    snapshot_id: str = "unknown",
+    violations_out: str | None = None,
+    verdicts_out: str | None = None,
+    quiet: bool = False,
+) -> RunResult:
+    suite = suite or transcript_suite()
+    threshold = Severity.WARNING if strict else Severity.ERROR
+    t0 = time.time()
+
+    def say(msg: str) -> None:
+        if not quiet:
+            print(msg)
+
+    # Phase 0 — schema audit on the driver; FATAL aborts everything
+    # (reference runner.py:233-234 exits 2 on fatal before later tests).
+    audit = dataset_findings(df.limit(0), suite).collect()
+    fatal = [r for r in audit if r.severity == "FATAL"]
+    if fatal:
+        for r in fatal:
+            say(f"[FATAL] {r.constraint_id}: {r.reason}")
+        return RunResult(2, 0, len(fatal), time.time() - t0, summary_rows=fatal)
+
+    # Phase 1 — resume
+    skipped = 0
+    if checkpoint_dir:
+        done = ckpt.completed_buckets(checkpoint_dir, suite.version(), snapshot_id)
+        if done:
+            df = ckpt.filter_pending(df, done, conv_col, num_buckets)
+            skipped = len(done)
+            say(f"resume: skipping {skipped} completed buckets")
+
+    # Phase 2 — single-pass stats (also materializes observed buckets)
+    stats = column_stats(df, conv_col=conv_col, num_buckets=num_buckets).cache()
+    n_rows = sum(r.n_rows for r in stats.select("bucket", "n_rows").collect())
+    if n_rows == 0 and skipped > 0:
+        # everything already validated for this (suite, snapshot) —
+        # don't emit coverage findings against an empty remainder
+        say("nothing pending; all buckets previously completed")
+        stats.unpersist()
+        return RunResult(0, 0, 0, time.time() - t0, skipped_buckets=skipped)
+
+    # Phase 3 + 4 — violations and verdicts
+    viol = all_violations(df, suite).cache()
+    vd = verdicts(
+        df, viol, suite, conv_col=conv_col, num_buckets=num_buckets,
+        threshold=threshold,
+    ).cache()
+
+    if violations_out:
+        viol.write.mode("append").parquet(violations_out)
+    if verdicts_out:
+        vd.write.mode("append").parquet(verdicts_out)
+
+    summary = summarize(vd).collect()
+    n_violations = int(sum(r.violation_count for r in summary))
+    code = exit_code(vd)
+    wall = time.time() - t0
+
+    # Phase 5 — manifest (per-bucket lineage + metrics)
+    entries = []
+    if checkpoint_dir and n_rows > 0:
+        entries = ckpt.record_run(
+            checkpoint_dir,
+            vd,
+            suite.version(),
+            snapshot_id,
+            partition_spec=f"pmod(xxhash64({conv_col}), {num_buckets})",
+            bucket_rows=stats,
+            wall_sec=wall,
+        )
+
+    for r in summary:
+        status = "PASSED" if r["pass"] else "FAILED"
+        say(
+            f"[{status}] {r.constraint_id:<32} severity={r.severity:<8} "
+            f"violations={r.violation_count:<8} failed_buckets={r.n_failed_buckets}"
+        )
+    say(
+        f"validated {n_rows} turns in {wall:.1f}s "
+        f"({n_rows / wall if wall else 0:,.0f} turns/sec); exit={code}"
+    )
+    stats.unpersist()
+    viol.unpersist()
+    vd.unpersist()
+    return RunResult(code, n_rows, n_violations, wall, summary, entries, skipped)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="PySpark transcript validator")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet path of transcripts table")
+    src.add_argument("--synth", type=int, help="synthesize N turns instead")
+    p.add_argument("--suite-json", help="suite registry JSON (uses inherit.resolve)")
+    p.add_argument("--suite-name", default="transcripts")
+    p.add_argument("--strict", action="store_true", help="WARNING also fails (reference strict mode)")
+    p.add_argument("--buckets", type=int, default=DEFAULT_BUCKETS)
+    p.add_argument("--checkpoint", help="manifest directory for resume")
+    p.add_argument("--violations-out")
+    p.add_argument("--verdicts-out")
+    p.add_argument("--cores", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from ocsf_validator_spark.session import get_spark
+
+    spark = get_spark("ocsf-validator-runner", cores=args.cores)
+    if args.input:
+        try:
+            # FAILFAST analogue: an unreadable table is FATAL, like a
+            # JSON parse failure in the reference (README.md:46 "[FATAL]")
+            df = spark.read.parquet(args.input)
+        except Exception as e:
+            print(f"[FATAL] cannot read input {args.input}: {e}")
+            return 2
+        snapshot = ckpt.snapshot_of_path(args.input)
+    else:
+        from ocsf_validator_spark.synth import synth_transcripts
+
+        df = synth_transcripts(spark, n_turns=args.synth)
+        snapshot = f"synth:{args.synth}:seed=42"
+
+    suite = None
+    if args.suite_json:
+        from ocsf_validator_spark.inherit import SuiteResolutionError, resolve
+
+        try:
+            with open(args.suite_json) as f:
+                registry = json.load(f)
+            suite = resolve(registry, args.suite_name)
+        except (OSError, json.JSONDecodeError, SuiteResolutionError) as e:
+            # compile-phase failure is FATAL (reference exits 2 when the
+            # schema/dependency graph cannot be resolved)
+            print(f"[FATAL] suite compilation failed: {e}")
+            return 2
+
+    res = run_validation(
+        spark,
+        df,
+        suite=suite,
+        num_buckets=args.buckets,
+        strict=args.strict,
+        checkpoint_dir=args.checkpoint,
+        snapshot_id=snapshot,
+        violations_out=args.violations_out,
+        verdicts_out=args.verdicts_out,
+    )
+    return res.exit_code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

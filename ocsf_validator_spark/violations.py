@@ -48,7 +48,10 @@ DEFAULT_KEYS = ("conv_id", "turn_idx")
 def _violation_schema(df: DataFrame, keys: Sequence[str]) -> T.StructType:
     fields = [T.StructField("constraint_id", T.StringType(), False)]
     for k in keys:
-        fields.append(T.StructField(k, df.schema[k].dataType, True))
+        # key column may itself be missing (that IS the fatal finding the
+        # schema audit reports) — fall back to string
+        dt = df.schema[k].dataType if k in df.columns else T.StringType()
+        fields.append(T.StructField(k, dt, True))
     fields.append(T.StructField("reason", T.StringType(), True))
     fields.append(T.StructField("severity", T.StringType(), False))
     return T.StructType(fields)
@@ -72,7 +75,7 @@ def row_violations(
     crashing another validator); the schema audit in dataset_findings
     reports missing REQUIRED columns as FATAL."""
     cs = [c for c in suite.row_level() if _present(df, [c.column])]
-    if not cs:
+    if not cs or not _present(df, keys):
         return _empty(df, keys)
     entries = F.array_compact(F.array(*[violation_entry(c) for c in cs]))
     return (
@@ -206,6 +209,8 @@ def group_violations(
     df: DataFrame, suite: ConstraintSet, keys: Sequence[str] = DEFAULT_KEYS
 ) -> DataFrame:
     out = _empty(df, keys)
+    if not _present(df, keys):
+        return out
     for c in suite.group_level():
         if isinstance(c, Unique) and _present(df, c.keys):
             out = out.unionByName(unique_violations(df, c, keys))

@@ -1,0 +1,85 @@
+"""KS/PSI drift tests — FIXTURES.md scenario 13: a sample with ts
+shifted +30d and text lengths doubled must trip both checks; the clean
+sample must not."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ocsf_validator_spark.drift import (
+    drift_findings,
+    histogram,
+    ks_by_bucket,
+    ks_distance,
+    psi,
+)
+from ocsf_validator_spark.synth import (
+    synth_drifted,
+    synth_reference_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    ref = synth_reference_sample(spark, n=4000, seed=7).cache()
+    same = synth_reference_sample(spark, n=4000, seed=11).cache()
+    drifted = synth_drifted(spark, n=4000, seed=13).cache()
+    yield ref, same, drifted
+    for d in (ref, same, drifted):
+        d.unpersist()
+
+
+def test_psi_no_drift(samples):
+    ref, same, _ = samples
+    v = psi(same, ref, "length(text)", "floor(_v / 16)")
+    assert v < 0.05
+
+
+def test_psi_detects_length_doubling(samples):
+    ref, _, drifted = samples
+    v = psi(drifted, ref, "length(text)", "floor(_v / 16)")
+    assert v > 0.2
+
+
+def test_psi_detects_ts_shift(samples):
+    ref, _, drifted = samples
+    v = psi(drifted, ref, "unix_timestamp(ts)", "floor(_v / 86400)")
+    assert v > 0.2
+
+
+def test_ks_distance_exact(spark):
+    # hand-checkable: a={1,2,3,4}, b={3,4,5,6} → D = 0.5 at v=2
+    a = spark.createDataFrame([(float(x),) for x in (1, 2, 3, 4)], "v double")
+    b = spark.createDataFrame([(float(x),) for x in (3, 4, 5, 6)], "v double")
+    d = ks_distance(a, b, "v")
+    assert abs(d - 0.5) < 1e-9
+
+
+def test_ks_distance_identical_is_zero(spark):
+    a = spark.createDataFrame([(float(x),) for x in range(50)], "v double")
+    assert ks_distance(a, a, "v") < 1e-9
+
+
+def test_ks_by_bucket_arrow(samples):
+    ref, same, drifted = samples
+    ref_sample = [r.v for r in ref.selectExpr("length(text) as v").collect()]
+    clean = ks_by_bucket(same, ref_sample, "length(text)", num_buckets=4).collect()
+    assert all(not r.drifted for r in clean)
+    bad = ks_by_bucket(drifted, ref_sample, "length(text)", num_buckets=4).collect()
+    assert all(r.drifted for r in bad)
+    assert all(r.ks > r.threshold for r in bad)
+
+
+def test_drift_findings(samples):
+    ref, _, drifted = samples
+    findings = drift_findings(drifted, ref)
+    assert all(f[2] for f in findings)  # all drifted
+    assert any("drift.psi.text_len" == f[0] for f in findings)
+
+
+def test_histogram_counts(samples):
+    ref, _, _ = samples
+    h = histogram(ref, "length(text)", "floor(_v / 16)")
+    assert sum(r.cnt for r in h.collect()) == ref.count()
