@@ -1,38 +1,790 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps every operator family from SURVEY.md §2 (and the pipeline ops:
+dedup / similarity / text analysis / multimodal) onto the driver's
+parquet testdata, each with a DuckDB oracle. The flagship query runs the
+full constraint suite of the ocsf_validator_spark engine over a
+transcripts-shaped view of the `events` table (conv_id=user_id,
+turn_idx=per-user row number, role=event_type, text=props).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocsf_validator_spark import drift
+from ocsf_validator_spark.pipeline import dedup, multimodal, similarity, textstats
+from ocsf_validator_spark.spec import (
+    AllowedColumns,
+    ConstraintSet,
+    Deprecated,
+    EnumCoverage,
+    InEnum,
+    MaxLen,
+    Monotonic,
+    NotNull,
+    Range,
+    Severity,
+    TurnOrdering,
+    Unique,
+)
+from ocsf_validator_spark.stats import (
+    column_stats,
+    conversation_stats,
+    length_histogram,
+    md5_bucket_col,
+)
+from ocsf_validator_spark.verdict import verdicts
+from ocsf_validator_spark.violations import all_violations
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared: transcripts-shaped view of the events table
+# ---------------------------------------------------------------------------
+
+EVENT_ROLES = ("click", "view", "purchase", "signup")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+
+
+# the same view in ANSI SQL for the DuckDB oracle
+_T_CTE = """t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         event_type AS role, props AS text, CAST(NULL AS VARCHAR) AS tool, ts
+  FROM events
+)"""
+
+
+def _events_suite() -> ConstraintSet:
+    """Suite exercising every constraint class over the derived
+    transcripts: 'error' is outside the role enum, 'signup' is
+    deprecated, props longer than 9 chars violate max_len, 'refund' is a
+    never-observed enum value (coverage WARN)."""
+    return ConstraintSet(
+        name="events_transcripts",
+        constraints=[
+            AllowedColumns(
+                column="*",
+                allowed=("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+                required=("conv_id", "turn_idx", "role", "text", "ts"),
+                severity=Severity.FATAL,
+            ),
+            NotNull(column="conv_id"),
+            NotNull(column="turn_idx"),
+            NotNull(column="role"),
+            NotNull(column="text"),
+            NotNull(column="ts"),
+            InEnum(column="role", values=EVENT_ROLES),
+            Deprecated(
+                column="role",
+                deprecated={"signup": ("1.0", "use registration instead")},
+            ),
+            MaxLen(column="text", max_len=9),
+            Range(column="turn_idx", lo=0),
+            Unique(
+                column="conv_turn",
+                keys=("conv_id", "turn_idx"),
+                first_seen_order=("ts", "role", "text"),
+            ),
+            TurnOrdering(column="turn_idx"),
+            Monotonic(column="ts"),
+            EnumCoverage(column="role", values=EVENT_ROLES + ("refund",)),
+        ],
+    )
+
+
+# portable md5 bucket in SQL (mirror of stats.md5_bucket_col)
+def _sql_bucket(col: str, nb: int) -> str:
+    return f"CAST((('0x' || substr(md5({col}), 1, 8))::BIGINT % {nb}) AS INTEGER)"
+
+
+_SQL_MD5I = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_suite_violations(spark: SparkSession, sf: str) -> DataFrame:
+    return all_violations(_transcripts(spark, sf), _events_suite())
+
+
+def q_suite_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    t = _transcripts(spark, sf)
+    suite = _events_suite()
+    v = all_violations(t, suite)
+    return verdicts(
+        t, v, suite, num_buckets=8, bucket_expr=md5_bucket_col("conv_id", 8)
+    )
+
+
+def q_conversation_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return conversation_stats(_transcripts(spark, sf))
+
+
+def q_column_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    s = column_stats(
+        d,
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+        conv_col="lang",
+        num_buckets=1,
+        length_cols=("text",),
+        exact_distinct=True,
+    )
+    keep = [c for c in s.columns if c != "text__len_avg"]
+    return s.select(*keep, F.round("text__len_avg", 6).alias("text__len_avg"))
+
+
+def q_ref_orphan_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
+    ).select("o_orderkey", "o_custkey")
+
+
+def q_coverage_unused_customers(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_undefined_enum_events(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return ev.filter(
+        F.col("event_type").isNotNull() & ~F.col("event_type").isin(*EVENT_ROLES)
+    ).select("event_id", "event_type")
+
+
+def q_unique_collisions_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def q_typecheck_props(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return ev.select(
+        "event_id",
+        k.try_cast("int").alias("k_int"),
+        (k.isNotNull() & k.try_cast("int").isNull()).alias("cast_failed"),
+    )
+
+
+def q_monotonic_value_events(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = ev.select(
+        "event_id", "user_id", "value", F.lag("value").over(w).alias("prev_value")
+    )
+    return staged.filter(
+        F.col("prev_value").isNotNull() & (F.col("value") < F.col("prev_value"))
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    staged = ev.withColumn(
+        "_new", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    )
+    sess = staged.withColumn(
+        "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_length_histogram_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return length_histogram(_t(spark, sf, "documents"), "text", 64)
+
+
+def q_psi_value_drift(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 0)
+    ref = ev.filter(F.col("event_id") % 2 == 1)
+    val = drift.psi(cur, ref, "value", "floor(_v / 10)")
+    return spark.createDataFrame([(round(val, 4),)], "psi double")
+
+
+def q_ks_click_view(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    val = drift.ks_distance(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+    )
+    return spark.createDataFrame([(round(val, 6),)], "ks double")
+
+
+def q_ks_by_bucket_textlen(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow/pandas-UDF KS path (no SQL oracle — rows-only check)."""
+    d = _t(spark, sf, "documents")
+    ref = [float(r[0]) for r in d.select(F.length("text")).limit(200).collect()]
+    return drift.ks_by_bucket(
+        d, ref, "length(text)", conv_col="source", num_buckets=8
+    ).orderBy("bucket")
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_duplicates(_t(spark, sf, "documents"))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    sig = dedup.minhash_signatures(_t(spark, sf, "documents"), n_hashes=8, k=5)
+    return dedup.lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
+
+
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_signatures(
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 100),
+        n_hashes=4,
+        k=5,
+    )
+
+
+def q_simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", dedup.simhash_col("text", 16).alias("simhash"))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.jaccard_pairs(
+        _t(spark, sf, "documents"), ("lang", "source"), k=5, threshold=0.5
+    ).select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), probe, k=10
+    )
+    return top.select("vec_id", F.round("cos_sim", 5).alias("cos_sim"))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = similarity.embedding_near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.95
+    )
+    return pairs.select("a_id", "b_id", F.round("cos_sim", 5).alias("cos_sim"))
+
+
+def q_lsh_bucket_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN via random-hyperplane LSH bucket (approximate path; rows-only
+    check — bucket membership is engine-specific plumbing)."""
+    emb = _t(spark, sf, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = similarity.lsh_bucket_topk(emb.filter(F.col("vec_id") != 0), probe, k=10)
+    return top.select("vec_id", F.round("cos_sim", 5).alias("cos_sim"))
+
+
+def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.text_profile(_t(spark, sf, "documents"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.attach_payload(_t(spark, sf, "documents"))
+    return multimodal.payload_metadata(media)
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """mapInPandas decode stub (rows-only check — feature vector is the
+    engine's deterministic fake)."""
+    media = multimodal.attach_payload(_t(spark, sf, "documents"))
+    feats = multimodal.decode_features(media, dim=8)
+    return feats.select(
+        "id",
+        "n_bytes",
+        "sha256",
+        F.round(F.expr("aggregate(feature, 0D, (s, v) -> s + v)"), 6).alias(
+            "feature_sum"
+        ),
+    )
+
+
+def q_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("_rev"))
+    joined = per_order.join(
+        o, per_order.l_orderkey == o.o_orderkey
+    ).select(
+        "o_orderkey", "o_custkey", F.col("_rev").alias("revenue")
+    )
+    return (
+        joined.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full constraint-suite violations on sf0.001."""
+    return q_suite_violations(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "suite_violations": q_suite_violations,
+        "suite_verdicts": q_suite_verdicts,
+        "conversation_stats": q_conversation_stats,
+        "column_stats_documents": q_column_stats_documents,
+        "ref_orphan_orders": q_ref_orphan_orders,
+        "coverage_unused_customers": q_coverage_unused_customers,
+        "undefined_enum_events": q_undefined_enum_events,
+        "unique_collisions_lineitem": q_unique_collisions_lineitem,
+        "typecheck_props": q_typecheck_props,
+        "monotonic_value_events": q_monotonic_value_events,
+        "sessionize_events": q_sessionize_events,
+        "length_histogram_documents": q_length_histogram_documents,
+        "psi_value_drift": q_psi_value_drift,
+        "ks_click_view": q_ks_click_view,
+        "ks_by_bucket_textlen": q_ks_by_bucket_textlen,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_documents": q_simhash_documents,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lsh_bucket_topk": q_lsh_bucket_topk,
+        "text_profile": q_text_profile,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "q1_pricing": q_q1_pricing,
+        "top_revenue_orders": q_top_revenue_orders,
+        "revenue_by_nation": q_revenue_by_nation,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+_SUITE_VIOLATION_LEGS = f"""
+SELECT 'ref.role' AS constraint_id, conv_id, turn_idx,
+       'role value ''' || role || ''' not in enum' AS reason,
+       'ERROR' AS severity
+FROM t WHERE role IS NOT NULL AND role NOT IN ('click','view','purchase','signup')
+UNION ALL
+SELECT 'deprecated.role', conv_id, turn_idx,
+       'role value ''' || role || ''' deprecated since 1.0: use registration instead',
+       'WARNING'
+FROM t WHERE role = 'signup'
+UNION ALL
+SELECT 'max_len.text', conv_id, turn_idx,
+       'len(text)=' || length(text) || ' exceeds max_len 9', 'ERROR'
+FROM t WHERE text IS NOT NULL AND length(text) > 9
+UNION ALL
+SELECT 'coverage.role', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+       'enum value ''refund'' never observed in role', 'WARNING'
+"""
+
+_VERDICT_CONSTRAINTS = """(VALUES
+  ('schema.columns','FATAL'), ('required.conv_id','ERROR'),
+  ('required.turn_idx','ERROR'), ('required.role','ERROR'),
+  ('required.text','ERROR'), ('required.ts','ERROR'),
+  ('ref.role','ERROR'), ('deprecated.role','WARNING'),
+  ('max_len.text','ERROR'), ('range.turn_idx','ERROR'),
+  ('unique.conv_turn','ERROR'), ('order.turn_idx','ERROR'),
+  ('monotonic.ts','ERROR'), ('coverage.role','WARNING'))"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["suite_violations"] = f"WITH {_T_CTE} {_SUITE_VIOLATION_LEGS}"
+
+    sqls["suite_verdicts"] = f"""
+WITH {_T_CTE},
+v AS (
+  SELECT conv_id, 'ref.role' AS constraint_id, 3 AS sev FROM t
+    WHERE role IS NOT NULL AND role NOT IN ('click','view','purchase','signup')
+  UNION ALL SELECT conv_id, 'deprecated.role', 2 FROM t WHERE role = 'signup'
+  UNION ALL SELECT conv_id, 'max_len.text', 3 FROM t
+    WHERE text IS NOT NULL AND length(text) > 9
+  UNION ALL SELECT CAST(NULL AS VARCHAR), 'coverage.role', 2
+),
+bk AS (SELECT DISTINCT {_sql_bucket('conv_id', 8)} AS bucket FROM t),
+c(constraint_id, severity) AS ({_VERDICT_CONSTRAINTS}),
+vc AS (
+  SELECT CASE WHEN conv_id IS NULL THEN -1
+              ELSE {_sql_bucket('conv_id', 8)} END AS bucket,
+         constraint_id, COUNT(*) AS violation_count, MAX(sev) AS mx
+  FROM v GROUP BY 1, 2
+)
+SELECT bk.bucket, c.constraint_id, c.severity,
+       COALESCE(vc.violation_count, 0) AS violation_count,
+       COALESCE(vc.mx, 0) < 3 AS pass
+FROM bk CROSS JOIN c
+LEFT JOIN vc ON vc.bucket = bk.bucket AND vc.constraint_id = c.constraint_id
+UNION ALL
+SELECT bucket, constraint_id,
+       CASE mx WHEN 4 THEN 'FATAL' WHEN 3 THEN 'ERROR' WHEN 2 THEN 'WARNING'
+               WHEN 1 THEN 'INFO' ELSE 'IGNORE' END,
+       violation_count, mx < 3
+FROM vc WHERE bucket = -1
+"""
+
+    sqls["conversation_stats"] = f"""
+WITH {_T_CTE}
+SELECT conv_id, COUNT(*) AS n_turns, COUNT(DISTINCT turn_idx) AS n_distinct_turns,
+       MIN(turn_idx) AS min_idx, MAX(turn_idx) AS max_idx,
+       (MIN(turn_idx) = 0 AND COUNT(*) = COUNT(DISTINCT turn_idx)
+        AND MAX(turn_idx) - MIN(turn_idx) + 1 = COUNT(*)) AS dense_ordered
+FROM t GROUP BY conv_id
+"""
+
+    sqls["column_stats_documents"] = """
+SELECT CAST(0 AS INTEGER) AS bucket, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id__nulls,
+  COUNT(DISTINCT doc_id) AS doc_id__distinct,
+  MIN(doc_id) AS doc_id__min, MAX(doc_id) AS doc_id__max,
+  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text__nulls,
+  COUNT(DISTINCT text) AS text__distinct,
+  MIN(text) AS text__min, MAX(text) AS text__max,
+  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang__nulls,
+  COUNT(DISTINCT lang) AS lang__distinct,
+  MIN(lang) AS lang__min, MAX(lang) AS lang__max,
+  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source__nulls,
+  COUNT(DISTINCT source) AS source__distinct,
+  MIN(source) AS source__min, MAX(source) AS source__max,
+  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars__nulls,
+  COUNT(DISTINCT n_chars) AS n_chars__distinct,
+  MIN(n_chars) AS n_chars__min, MAX(n_chars) AS n_chars__max,
+  CAST(MIN(LENGTH(text)) AS INTEGER) AS text__len_min,
+  CAST(MAX(LENGTH(text)) AS INTEGER) AS text__len_max,
+  ROUND(AVG(LENGTH(text)), 6) AS text__len_avg
+FROM documents
+"""
+
+    sqls["ref_orphan_orders"] = """
+SELECT o_orderkey, o_custkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+    sqls["coverage_unused_customers"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+    sqls["undefined_enum_events"] = """
+SELECT event_id, event_type FROM events
+WHERE event_type IS NOT NULL
+  AND event_type NOT IN ('click','view','purchase','signup')
+"""
+
+    sqls["unique_collisions_lineitem"] = """
+SELECT l_orderkey, l_linenumber, COUNT(*) AS n FROM lineitem
+GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+"""
+
+    sqls["typecheck_props"] = """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       (json_extract_string(props, '$.k') IS NOT NULL
+        AND TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL) AS cast_failed
+FROM events
+"""
+
+    sqls["monotonic_value_events"] = """
+WITH s AS (
+  SELECT event_id, user_id, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events)
+SELECT event_id, user_id, value, prev_value FROM s
+WHERE prev_value IS NOT NULL AND value < prev_value
+"""
+
+    sqls["sessionize_events"] = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS _new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id,
+         SUM(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM s)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+    sqls["length_histogram_documents"] = """
+SELECT CAST(FLOOR(LENGTH(text) / 64) AS INTEGER) AS bin,
+       CAST(FLOOR(LENGTH(text) / 64) AS INTEGER) * 64 AS bin_lo,
+       COUNT(*) AS cnt
+FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+"""
+
+    sqls["psi_value_drift"] = """
+WITH c AS (SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bin, COUNT(*) AS cnt
+           FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+r AS (SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bin, COUNT(*) AS cnt
+      FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
+j AS (SELECT COALESCE(c.cnt, 0) AS cc, COALESCE(r.cnt, 0) AS rc
+      FROM c FULL OUTER JOIN r USING (bin)),
+tot AS (SELECT CAST(SUM(cc) AS DOUBLE) AS ct, CAST(SUM(rc) AS DOUBLE) AS rt FROM j)
+SELECT ROUND(SUM((cc / ct - rc / rt)
+        * (LN(GREATEST(cc / ct, 1e-6)) - LN(GREATEST(rc / rt, 1e-6)))), 4) AS psi
+FROM j, tot
+"""
+
+    sqls["ks_click_view"] = """
+WITH u AS (
+  SELECT value AS v, 1 AS ia, 0 AS ib FROM events
+    WHERE event_type = 'click' AND value IS NOT NULL
+  UNION ALL
+  SELECT value, 0, 1 FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+cum AS (SELECT SUM(ia) OVER w AS ca, SUM(ib) OVER w AS cb FROM u
+        WINDOW w AS (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+n AS (SELECT CAST(SUM(ia) AS DOUBLE) AS na, CAST(SUM(ib) AS DOUBLE) AS nb FROM u)
+SELECT ROUND(MAX(ABS(ca / na - cb / nb)), 6) AS ks FROM cum, n
+"""
+
+    sqls["dedup_exact"] = """
+SELECT d.doc_id, m.keep_id
+FROM documents d
+JOIN (SELECT text, MIN(doc_id) AS keep_id FROM documents
+      GROUP BY text HAVING COUNT(*) > 1) m USING (text)
+WHERE d.doc_id <> m.keep_id
+"""
+
+    # shared shingle CTE: distinct word 5-gram shingles per doc
+    shingles = """sh AS (
+  SELECT DISTINCT doc_id, lang, source, u.s AS sh
+  FROM documents,
+       UNNEST(list_transform(
+         range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+         j -> array_to_string(list_slice(string_split(text, ' '), j, j + 4), ' ')
+       )) AS u(s)
+)"""
+    minhash_m = lambda i: (
+        f"MIN(('0x' || substr(md5(sh || '#' || {i}), 1, 8))::BIGINT) AS m{i}"
+    )
+
+    sqls["minhash_signatures"] = f"""
+WITH {shingles}
+SELECT doc_id, {minhash_m(0)}, {minhash_m(1)}, {minhash_m(2)}, {minhash_m(3)}
+FROM sh WHERE doc_id < 100 GROUP BY doc_id
+"""
+
+    sqls["minhash_lsh_pairs"] = f"""
+WITH {shingles},
+sig AS (
+  SELECT doc_id, {minhash_m(0)}, {minhash_m(1)}, {minhash_m(2)}, {minhash_m(3)},
+         {minhash_m(4)}, {minhash_m(5)}, {minhash_m(6)}, {minhash_m(7)}
+  FROM sh GROUP BY doc_id)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sig a JOIN sig b
+  ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+UNION
+SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+  ON a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id
+UNION
+SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+  ON a.m4 = b.m4 AND a.m5 = b.m5 AND a.doc_id < b.doc_id
+UNION
+SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+  ON a.m6 = b.m6 AND a.m7 = b.m7 AND a.doc_id < b.doc_id
+"""
+
+    sqls["simhash_documents"] = """
+SELECT doc_id,
+  CAST(list_sum(list_transform(range(0, 16), b ->
+    CASE WHEN list_sum(list_transform(string_split(text, ' '), tk ->
+           CASE WHEN ((('0x' || substr(md5(tk), 1, 8))::BIGINT >> b) & 1) = 1
+                THEN 1 ELSE -1 END)) > 0
+         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+FROM documents
+"""
+
+    sqls["jaccard_pairs"] = f"""
+WITH {shingles},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id, ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE c / (sa.sz + sb.sz - c) >= 0.5
+"""
+
+    sqls["ann_topk_cosine"] = """
+WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(embedding::DOUBLE[], pe), 5) AS cos_sim
+FROM embeddings, p WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], pe) DESC, vec_id
+LIMIT 10
+"""
+
+    sqls["embedding_near_dup"] = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+"""
+
+    stop = lambda ws: " OR ".join(f"tk = '{w}'" for w in ws)
+    sqls["text_profile"] = f"""
+WITH f AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text, '[a-z]+')) AS n_regex_tokens,
+    len(string_split(text, ' ')) AS n_tokens,
+    LENGTH(REPLACE(text, ' ', '')) AS nonspace,
+    len(list_filter(string_split(text, ' '), tk -> {stop(textstats.STOPWORDS['en'])})) AS s_en,
+    len(list_filter(string_split(text, ' '), tk -> {stop(textstats.STOPWORDS['de'])})) AS s_de,
+    len(list_filter(string_split(text, ' '), tk -> {stop(textstats.STOPWORDS['es'])})) AS s_es,
+    len(list_filter(string_split(text, ' '), tk -> {stop(textstats.STOPWORDS['fr'])})) AS s_fr
+  FROM documents)
+SELECT doc_id,
+  CAST(n_regex_tokens AS BIGINT) AS n_regex_tokens,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  ROUND(nonspace / n_tokens, 6) AS avg_token_len,
+  ROUND(s_en / n_tokens, 6) AS stopword_ratio,
+  ROUND(LEAST(1.0, n_tokens / 100.0) * (1.0 - s_en / n_tokens), 6) AS quality,
+  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+       WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+       WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+       WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred,
+  list_min(list_transform(range(1, greatest(LENGTH(text) - 15, 1) + 1, 8),
+    i -> ('0x' || substr(md5(substr(text, i, 16)), 1, 8))::BIGINT)) AS fp_min,
+  list_max(list_transform(range(1, greatest(LENGTH(text) - 15, 1) + 1, 8),
+    i -> ('0x' || substr(md5(substr(text, i, 16)), 1, 8))::BIGINT)) AS fp_max
+FROM f
+"""
+
+    sqls["multimodal_meta"] = """
+SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+    sqls["q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+    sqls["top_revenue_orders"] = """
+WITH per_order AS (
+  SELECT l_orderkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+  FROM lineitem GROUP BY l_orderkey)
+SELECT o_orderkey, o_custkey, ROUND(CAST(rev AS DOUBLE), 2) AS revenue
+FROM per_order JOIN orders ON l_orderkey = o_orderkey
+ORDER BY rev DESC, o_orderkey LIMIT 10
+"""
+
+    sqls["revenue_by_nation"] = """
+SELECT n_name,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    # ks_by_bucket_textlen, lsh_bucket_topk, multimodal_features:
+    # engine-specific plumbing (pandas-UDF KS, LSH bucket id, fake
+    # decoder) — intentionally no oracle → rows-only check.
+    return sqls

@@ -1,0 +1,109 @@
+"""Benchmark runner — prints ONE JSON line.
+
+  {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_SYNTH_TURNS    synthetic transcript rows for the validation
+                       throughput probe (default 2_000_000)
+  BENCH_SCALING=1      also run the two-parallelism scaling probe
+                       (local[8] vs local[32] semantics via two runs at
+                       different spark.default/shuffle parallelism —
+                       see tools/bench_scaling.py for the full version
+                       with separate JVMs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> int:
+    """Execute the full plan without driver-side materialization cost."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    synth_turns = int(os.environ.get("BENCH_SYNTH_TURNS", "2000000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ocsf-validator-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+    bench_set = [
+        "suite_violations",
+        "suite_verdicts",
+        "conversation_stats",
+        "sessionize_events",
+        "q1_pricing",
+        "revenue_by_nation",
+        "top_revenue_orders",
+        "minhash_lsh_pairs",
+        "text_profile",
+        "ann_topk_cosine",
+        "psi_value_drift",
+    ]
+
+    # warmup: JIT + parquet footer caches
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in bench_set:
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # validation-throughput probe on synthetic transcripts (the north
+    # rule's primary metric: validated turns/sec)
+    from ocsf_validator_spark.runner import run_validation
+    from ocsf_validator_spark.synth import synth_transcripts
+
+    df = synth_transcripts(spark, n_turns=synth_turns).cache()
+    df.count()  # materialize outside the timed window
+    t0 = time.time()
+    res = run_validation(spark, df, quiet=True)
+    validate_sec = time.time() - t0
+    timings["validate_synth"] = round(validate_sec, 3)
+    turns_per_sec = synth_turns / validate_sec
+    df.unpersist()
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "validated_turns_per_sec": round(turns_per_sec, 1),
+        "synth_turns": synth_turns,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

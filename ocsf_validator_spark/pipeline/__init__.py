@@ -1,0 +1,8 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's validation checks (SURVEY.md §2), a 100 TB
+pipeline needs dedup / similarity / text-analysis / multimodal plumbing.
+Everything here is built from JVM-side column expressions (codegen'd,
+shuffle-conscious); Arrow-vectorized pandas UDFs appear only where column
+algebra genuinely cannot express the op (multimodal decode).
+"""

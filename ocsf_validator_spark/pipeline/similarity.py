@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- ``cosine_topk`` — brute-force exact top-k against a probe vector:
+  one scan, one projection (fold-based dot product stays JVM-side in
+  whole-stage codegen), then a global top-k (orderBy+limit compiles to
+  TakeOrderedAndProject — per-partition heaps + driver merge, NO full
+  sort/shuffle).
+- ``lsh_bucket_topk`` — the scale path: random-hyperplane LSH buckets
+  (sign-bit fingerprint from deterministic seeded projections); the
+  probe only scans its own bucket. Bucket assignment is a pure
+  projection; at 100 TB the bucket column becomes a partition key so
+  probes prune to one partition.
+- ``embedding_near_dup_pairs`` — blocked pairwise cosine (near-dup
+  detection for training-data dedup).
+
+All arithmetic is double-precision fold (`aggregate`/`zip_with`) so
+results are engine-portable for oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dbl(col: str) -> str:
+    return f"transform({col}, x -> cast(x as double))"
+
+
+def dot_expr(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+
+
+def norm_expr(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0D, (s, v) -> s + v * v))"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return f"({dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)}))"
+
+
+def cosine_col(a_col: str, b_col: str) -> Column:
+    """Cosine similarity between two array columns, computed in double."""
+    return F.expr(cosine_expr(_dbl(a_col), _dbl(b_col)))
+
+
+def cosine_topk(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal probe vector.
+    (id, cos_sim) ordered desc, ties broken by id for determinism."""
+    lit_vec = F.array(*[F.lit(float(v)) for v in probe])
+    scored = df.withColumn("_probe", lit_vec).select(
+        F.col(id_col),
+        F.expr(cosine_expr(_dbl(vec_col), "_probe")).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplane_bucket_col(
+    vec_col: str = "embedding", dim: int = 64, n_planes: int = 8, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH bucket id in [0, 2^n_planes): sign bits of
+    dot products with ``n_planes`` deterministic pseudo-random planes.
+    Plane components derive from md5(seed, plane, dim-index) → uniform
+    in [-0.5, 0.5): fully reproducible, no RNG state, portable SQL."""
+    terms = []
+    for p in range(n_planes):
+        comp = (
+            f"transform(sequence(0, {dim - 1}), i -> "
+            f"cast(conv(substring(md5(concat('{seed}', '_', '{p}', '_', i)), 1, 8), 16, 10) as double)"
+            f" / 4294967296.0 - 0.5)"
+        )
+        dot = dot_expr(_dbl(vec_col), comp)
+        terms.append(f"if({dot} > 0, {1 << p}, 0)")
+    return F.expr(" + ".join(terms)).cast("int")
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only rows sharing the probe's LSH bucket.
+    At scale the bucket is a partition key → partition pruning makes a
+    probe touch 1/2^n_planes of the data."""
+    bucketed = df.withColumn(
+        "_bucket", hyperplane_bucket_col(vec_col, dim, n_planes, seed)
+    )
+    probe_df = df.sparkSession.createDataFrame(
+        [(probe,)], f"{vec_col} array<double>"
+    ).withColumn("_bucket", hyperplane_bucket_col(vec_col, dim, n_planes, seed))
+    probe_bucket = probe_df.collect()[0]["_bucket"]
+    return cosine_topk(
+        bucketed.filter(F.col("_bucket") == probe_bucket),
+        probe,
+        k,
+        vec_col,
+        id_col,
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(a_id, b_id, cos_sim) pairs above ``threshold`` within blocking
+    groups — embedding-cosine near-duplicate detection. The block join
+    bounds candidates; at scale use ``hyperplane_bucket_col`` as the
+    block to avoid quadratic blowup inside big groups."""
+    a = df.select(
+        F.col(block_col), F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va")
+    )
+    b = df.select(
+        F.col(block_col), F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(b, block_col)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.expr(cosine_expr(_dbl("_va"), _dbl("_vb"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

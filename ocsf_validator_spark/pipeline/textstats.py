@@ -1,0 +1,96 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID, document fingerprinting.
+
+Everything is a single pure-column projection (whole-stage codegen, no
+shuffle, no UDF) — at 100 TB these run at scan speed and the only cost
+is the parquet read of the ``text`` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "et", "est", "les"),
+}
+_LANG_ORDER = ("en", "de", "es", "fr")  # deterministic tie-break priority
+
+
+def _tokens(text_col: str) -> str:
+    return f"split({text_col}, ' ')"
+
+
+def _stop_hits(text_col: str, words: tuple[str, ...]) -> str:
+    cond = " or ".join(f"t = '{w}'" for w in words)
+    return f"size(filter({_tokens(text_col)}, t -> {cond}))"
+
+
+def token_count_col(text_col: str = "text", pattern: str = "[a-z]+") -> Column:
+    """Regex token count (the BPE-ish pre-tokenizer count)."""
+    return F.regexp_count(F.col(text_col), F.lit(pattern)).cast("bigint")
+
+
+def quality_cols(text_col: str = "text") -> list[Column]:
+    """Quality-scoring features: token count, avg token length, stopword
+    ratio, and a composite quality score in [0, 1]."""
+    tok = _tokens(text_col)
+    n_tokens = F.expr(f"size({tok})").cast("bigint")
+    nonspace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    avg_token_len = nonspace / n_tokens
+    stop_ratio = F.expr(_stop_hits(text_col, STOPWORDS["en"])) / n_tokens
+    quality = F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (
+        F.lit(1.0) - stop_ratio
+    )
+    return [
+        n_tokens.alias("n_tokens"),
+        F.round(avg_token_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    ]
+
+
+def lang_id_col(text_col: str = "text") -> Column:
+    """Stopword-vote language ID: argmax of per-language stopword hits,
+    ties broken by _LANG_ORDER, zero hits → 'und'. Deterministic pure
+    column expression."""
+    scores = {l: F.expr(_stop_hits(text_col, STOPWORDS[l])) for l in _LANG_ORDER}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # build reversed so earlier languages win ties
+    for l in reversed(_LANG_ORDER):
+        out = F.when((scores[l] == best) & (best > 0), F.lit(l)).otherwise(out)
+    return out
+
+
+def fingerprint_cols(
+    text_col: str = "text", k: int = 16, stride: int = 8
+) -> list[Column]:
+    """Winnowing-style document fingerprint: md5-int hashes of character
+    k-grams sampled every ``stride``; min/max hash are the fingerprint
+    (min-hash of char shingles ≈ MOSS winnowing with window = doc)."""
+    grams = (
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1), {stride}),"
+        f" i -> cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 8), 16, 10) as bigint))"
+    )
+    return [
+        F.expr(f"array_min({grams})").alias("fp_min"),
+        F.expr(f"array_max({grams})").alias("fp_max"),
+    ]
+
+
+def text_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One projection with every text-analysis feature."""
+    return df.select(
+        F.col(id_col),
+        token_count_col(text_col).alias("n_regex_tokens"),
+        *quality_cols(text_col),
+        lang_id_col(text_col).alias("lang_pred"),
+        *fingerprint_cols(text_col),
+    )

@@ -32,6 +32,18 @@ def bucket_col(conv_col: str = "conv_id", num_buckets: int = DEFAULT_BUCKETS):
     return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(num_buckets)).cast("int")
 
 
+def md5_bucket_col(conv_col: str = "conv_id", num_buckets: int = DEFAULT_BUCKETS):
+    """Portable bucket function: pmod(int(md5[:8]), NB). Slower than
+    xxhash64 but reproducible in any engine (DuckDB, Trino, ...) — used
+    when verdicts must be cross-checked against an external oracle."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(conv_col).cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(num_buckets),
+    ).cast("int")
+
+
 def column_stats(
     df: DataFrame,
     columns: Sequence[str] | None = None,
@@ -39,16 +51,24 @@ def column_stats(
     num_buckets: int = DEFAULT_BUCKETS,
     length_cols: Sequence[str] = ("text",),
     ts_cols: Sequence[str] = ("ts",),
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """One row per bucket, all per-column stats as columns:
     row count, per-column null count, approx distinct (HLL), min/max,
     and avg/min/max length for string columns. Everything is a partial-
-    aggregatable expression → single shuffle of NB tiny rows."""
+    aggregatable expression → single shuffle of NB tiny rows.
+
+    ``exact_distinct`` swaps HLL for exact count_distinct (columns named
+    ``{c}__distinct``) — used when cross-checking against an external
+    oracle; the HLL default is the at-scale path."""
     columns = list(columns or df.columns)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in columns:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
-        aggs.append(F.approx_count_distinct(c).alias(f"{c}__approx_distinct"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        else:
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__approx_distinct"))
         aggs.append(F.min(c).alias(f"{c}__min"))
         aggs.append(F.max(c).alias(f"{c}__max"))
     for c in length_cols:

@@ -32,16 +32,20 @@ def verdicts(
     conv_col: str = "conv_id",
     num_buckets: int = DEFAULT_BUCKETS,
     threshold: Severity = Severity.ERROR,
+    bucket_expr=None,
 ) -> DataFrame:
     """Build the complete per-(bucket, constraint) scorecard.
 
     Dataset-level findings (NULL conv_id) land in bucket -1 and fail
     EVERY bucket's verdict only for FATAL schema findings — mirroring the
-    reference where a FATAL aborts the whole run (runner.py:233-234)."""
+    reference where a FATAL aborts the whole run (runner.py:233-234).
+
+    ``bucket_expr`` overrides the default xxhash64 bucket (e.g.
+    stats.md5_bucket_col for oracle-reproducible bucketing)."""
     spark = df.sparkSession
-    buckets = (
-        df.select(bucket_col(conv_col, num_buckets).alias("bucket")).distinct()
-    )
+    if bucket_expr is None:
+        bucket_expr = bucket_col(conv_col, num_buckets)
+    buckets = df.select(bucket_expr.alias("bucket")).distinct()
     cons = spark.createDataFrame(
         [(c.constraint_id, c.severity.name) for c in suite.constraints],
         "constraint_id string, constraint_severity string",
@@ -51,9 +55,7 @@ def verdicts(
     vcounts = (
         violations.withColumn(
             "bucket",
-            F.when(
-                F.col(conv_col).isNotNull(), bucket_col(conv_col, num_buckets)
-            ).otherwise(F.lit(-1)),
+            F.when(F.col(conv_col).isNotNull(), bucket_expr).otherwise(F.lit(-1)),
         )
         .groupBy("bucket", "constraint_id")
         .agg(
