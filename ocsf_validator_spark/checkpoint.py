@@ -123,24 +123,24 @@ def snapshot_of_path(path: str) -> str:
 
 def record_run(
     manifest_dir: str,
-    verdict_df: DataFrame,
+    verdict_rows,
     suite_version: str,
     snapshot_id: str,
     partition_spec: str,
-    bucket_rows: DataFrame,
+    bucket_rows,
     wall_sec: float,
 ) -> list[ManifestEntry]:
     """Write one manifest entry per bucket that this run processed.
-    ``bucket_rows`` is the stats output (one row per bucket with n_rows);
-    violation counts come from the verdict table."""
+    Both inputs are ALREADY-COLLECTED rows (the runner holds the tiny
+    verdict table and per-bucket stats in hand), so recording the
+    manifest costs zero Spark jobs."""
     run_id = uuid.uuid4().hex[:12]
-    vcounts = {
-        int(r.bucket): int(r.v)
-        for r in verdict_df.groupBy("bucket")
-        .agg(F.sum("violation_count").alias("v"))
-        .collect()
-        if r.bucket is not None and r.bucket >= 0
-    }
+    vcounts: dict[int, int] = {}
+    for r in verdict_rows:
+        if r.bucket is not None and r.bucket >= 0:
+            vcounts[int(r.bucket)] = vcounts.get(int(r.bucket), 0) + int(
+                r.violation_count
+            )
     now = time.time()
     entries = [
         ManifestEntry(
@@ -155,7 +155,7 @@ def record_run(
             wall_sec=wall_sec,
             finished_at=now,
         )
-        for r in bucket_rows.select("bucket", "n_rows").collect()
+        for r in bucket_rows
         if r.bucket is not None and r.bucket >= 0
     ]
     if entries:

@@ -35,9 +35,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocsf_validator_spark import checkpoint as ckpt
-from ocsf_validator_spark.spec import ConstraintSet, Severity, transcript_suite
+from ocsf_validator_spark.spec import (
+    ConstraintSet,
+    EnumCoverage,
+    Severity,
+    transcript_suite,
+)
 from ocsf_validator_spark.stats import DEFAULT_BUCKETS, column_stats
-from ocsf_validator_spark.verdict import exit_code, summarize, verdicts
+from ocsf_validator_spark.verdict import (
+    exit_code_rows,
+    summarize_rows,
+    verdicts,
+)
 from ocsf_validator_spark.violations import all_violations, dataset_findings
 
 
@@ -79,7 +88,11 @@ def run_validation(
 
     # Phase 0 — schema audit on the driver; FATAL aborts everything
     # (reference runner.py:233-234 exits 2 on fatal before later tests).
-    audit = dataset_findings(df.limit(0), suite).collect()
+    # include_coverage=False: the audit is a pure driver-side column-set
+    # diff, no data scan.
+    audit = dataset_findings(
+        df.limit(0), suite, include_coverage=False
+    ).collect()
     fatal = [r for r in audit if r.severity == "FATAL"]
     if fatal:
         for r in fatal:
@@ -95,59 +108,92 @@ def run_validation(
             skipped = len(done)
             say(f"resume: skipping {skipped} completed buckets")
 
-    # Phase 2 — single-pass stats (also materializes observed buckets)
-    stats = column_stats(df, conv_col=conv_col, num_buckets=num_buckets).cache()
-    n_rows = sum(r.n_rows for r in stats.select("bucket", "n_rows").collect())
+    # Phase 2 — single-pass stats, collected once: yields n_rows, the
+    # observed-bucket list (so the verdict pass never rescans the input),
+    # AND the enum-coverage observations (bounded collect_set probes
+    # riding the same scan — coverage costs zero extra jobs).
+    cov_cs = [
+        c
+        for c in suite.dataset_level()
+        if isinstance(c, EnumCoverage) and c.column in df.columns
+    ]
+    cov_aggs = {
+        f"_cov{i}": F.collect_set(
+            F.when(F.col(c.column).isin(*c.values), F.col(c.column))
+        )
+        for i, c in enumerate(cov_cs)
+    }
+    bucket_stats = (
+        column_stats(
+            df, conv_col=conv_col, num_buckets=num_buckets, extra_aggs=cov_aggs
+        )
+        .select("bucket", "n_rows", *cov_aggs)
+        .collect()
+    )
+    n_rows = sum(r.n_rows for r in bucket_stats)
+    observed = [int(r.bucket) for r in bucket_stats]
+    observed_enums = {
+        c.column: {v for r in bucket_stats for v in (r[f"_cov{i}"] or [])}
+        for i, c in enumerate(cov_cs)
+    }
     if n_rows == 0 and skipped > 0:
         # everything already validated for this (suite, snapshot) —
         # don't emit coverage findings against an empty remainder
         say("nothing pending; all buckets previously completed")
-        stats.unpersist()
         return RunResult(0, 0, 0, time.time() - t0, skipped_buckets=skipped)
 
-    # Phase 3 + 4 — violations and verdicts
-    viol = all_violations(df, suite).cache()
-    vd = verdicts(
-        df, viol, suite, conv_col=conv_col, num_buckets=num_buckets,
-        threshold=threshold,
-    ).cache()
-
+    # Phase 3 — violations: two fused scans (row projection + conv
+    # window) plus the bounded coverage agg. Cached only when the rows
+    # are consumed twice (parquet sink + verdict counts).
+    viol = all_violations(df, suite, observed_enums=observed_enums)
     if violations_out:
+        viol = viol.cache()
         viol.write.mode("append").parquet(violations_out)
-    if verdicts_out:
-        vd.write.mode("append").parquet(verdicts_out)
 
-    summary = summarize(vd).collect()
-    n_violations = int(sum(r.violation_count for r in summary))
-    code = exit_code(vd)
+    # Phase 4 — verdicts: one groupBy over the (small) violations set
+    # joined to the observed-bucket grid; collected ONCE. Report, exit
+    # code, and manifest metrics all derive driver-side from these rows.
+    vd_rows = verdicts(
+        df, viol, suite, conv_col=conv_col, num_buckets=num_buckets,
+        threshold=threshold, observed_buckets=observed,
+    ).collect()
+    if violations_out:
+        viol.unpersist()
+    if verdicts_out:
+        spark.createDataFrame(
+            vd_rows,
+            "bucket int, constraint_id string, severity string, "
+            "violation_count long, pass boolean",
+        ).write.mode("append").parquet(verdicts_out)
+
+    summary = summarize_rows(vd_rows)
+    n_violations = int(sum(s["violation_count"] for s in summary))
+    code = exit_code_rows(vd_rows)
     wall = time.time() - t0
 
-    # Phase 5 — manifest (per-bucket lineage + metrics)
+    # Phase 5 — manifest (per-bucket lineage + metrics; zero extra jobs)
     entries = []
     if checkpoint_dir and n_rows > 0:
         entries = ckpt.record_run(
             checkpoint_dir,
-            vd,
+            vd_rows,
             suite.version(),
             snapshot_id,
             partition_spec=f"pmod(xxhash64({conv_col}), {num_buckets})",
-            bucket_rows=stats,
+            bucket_rows=bucket_stats,
             wall_sec=wall,
         )
 
-    for r in summary:
-        status = "PASSED" if r["pass"] else "FAILED"
+    for s in summary:
+        status = "PASSED" if s["pass"] else "FAILED"
         say(
-            f"[{status}] {r.constraint_id:<32} severity={r.severity:<8} "
-            f"violations={r.violation_count:<8} failed_buckets={r.n_failed_buckets}"
+            f"[{status}] {s['constraint_id']:<32} severity={s['severity']:<8} "
+            f"violations={s['violation_count']:<8} failed_buckets={s['n_failed_buckets']}"
         )
     say(
         f"validated {n_rows} turns in {wall:.1f}s "
         f"({n_rows / wall if wall else 0:,.0f} turns/sec); exit={code}"
     )
-    stats.unpersist()
-    viol.unpersist()
-    vd.unpersist()
     return RunResult(code, n_rows, n_violations, wall, summary, entries, skipped)
 
 

@@ -52,6 +52,7 @@ def column_stats(
     length_cols: Sequence[str] = ("text",),
     ts_cols: Sequence[str] = ("ts",),
     exact_distinct: bool = False,
+    extra_aggs: dict | None = None,
 ) -> DataFrame:
     """One row per bucket, all per-column stats as columns:
     row count, per-column null count, approx distinct (HLL), min/max,
@@ -60,9 +61,15 @@ def column_stats(
 
     ``exact_distinct`` swaps HLL for exact count_distinct (columns named
     ``{c}__distinct``) — used when cross-checking against an external
-    oracle; the HLL default is the at-scale path."""
+    oracle; the HLL default is the at-scale path.
+
+    ``extra_aggs`` ({alias: Column}) lets callers piggyback additional
+    partial-aggregatable expressions on this same scan (the runner rides
+    its enum-coverage probes here so coverage costs zero extra scans)."""
     columns = list(columns or df.columns)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for alias, expr in (extra_aggs or {}).items():
+        aggs.append(expr.alias(alias))
     for c in columns:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
         if exact_distinct:

@@ -33,6 +33,7 @@ def verdicts(
     num_buckets: int = DEFAULT_BUCKETS,
     threshold: Severity = Severity.ERROR,
     bucket_expr=None,
+    observed_buckets: list[int] | None = None,
 ) -> DataFrame:
     """Build the complete per-(bucket, constraint) scorecard.
 
@@ -41,11 +42,18 @@ def verdicts(
     reference where a FATAL aborts the whole run (runner.py:233-234).
 
     ``bucket_expr`` overrides the default xxhash64 bucket (e.g.
-    stats.md5_bucket_col for oracle-reproducible bucketing)."""
+    stats.md5_bucket_col for oracle-reproducible bucketing).
+    ``observed_buckets`` (usually already in hand from the stats pass)
+    skips the full-table distinct scan the default path needs."""
     spark = df.sparkSession
     if bucket_expr is None:
         bucket_expr = bucket_col(conv_col, num_buckets)
-    buckets = df.select(bucket_expr.alias("bucket")).distinct()
+    if observed_buckets is not None:
+        buckets = spark.createDataFrame(
+            [(int(b),) for b in observed_buckets], "bucket int"
+        )
+    else:
+        buckets = df.select(bucket_expr.alias("bucket")).distinct()
     cons = spark.createDataFrame(
         [(c.constraint_id, c.severity.name) for c in suite.constraints],
         "constraint_id string, constraint_severity string",
@@ -117,3 +125,45 @@ def exit_code(verdict_df: DataFrame) -> int:
         ).alias("code")
     ).collect()[0]
     return int(row.code or 0)
+
+
+# ---------------------------------------------------------------------------
+# Driver-side equivalents over the COLLECTED verdict rows. The verdict
+# table is tiny (buckets x constraints); the runner collects it once and
+# derives the report and exit code without two more Spark jobs.
+# ---------------------------------------------------------------------------
+
+
+def summarize_rows(verdict_rows) -> list[dict]:
+    """summarize() over already-collected verdict rows (no Spark job)."""
+    agg: dict[tuple, dict] = {}
+    for r in verdict_rows:
+        k = (r.constraint_id, r.severity)
+        s = agg.setdefault(
+            k,
+            {
+                "constraint_id": r.constraint_id,
+                "severity": r.severity,
+                "violation_count": 0,
+                "pass": True,
+                "n_buckets": 0,
+                "n_failed_buckets": 0,
+            },
+        )
+        s["violation_count"] += int(r.violation_count)
+        s["n_buckets"] += 1
+        if not r["pass"]:
+            s["pass"] = False
+            s["n_failed_buckets"] += 1
+    return sorted(agg.values(), key=lambda s: s["constraint_id"])
+
+
+def exit_code_rows(verdict_rows) -> int:
+    """exit_code() over already-collected verdict rows (no Spark job)."""
+    code = 0
+    for r in verdict_rows:
+        if r.severity == "FATAL" and int(r.violation_count) > 0:
+            return 2
+        if not r["pass"]:
+            code = 1
+    return code

@@ -14,11 +14,14 @@ Three evaluation strategies by constraint class:
    explode emits only violating (row, constraint) pairs, so output is
    proportional to violations, not rows × constraints.
 
-2. GROUP-LEVEL (uniqueness / ordering / monotonicity) — aggregations and
-   windows keyed by the conversation. Uniqueness pre-filters duplicate
-   keys with a partially-aggregated groupBy and semi-join before the
-   first-seen window, so the sort only touches offending keys (at
-   10^12 turns a full-table window would dominate the job).
+2. GROUP-LEVEL (uniqueness / ordering / monotonicity) — when every
+   group constraint shares the conversation window (the transcript
+   suite's shape), ALL of them evaluate in ONE fused pass: a single
+   shuffle by conv_id + one sort by (turn_idx, tie-break), every check
+   expressed as lag/fill-forward columns over that one Window, then the
+   same array_compact+explode emission as the row leg. One shuffle for
+   the whole group family instead of one per constraint (the per-
+   constraint fallbacks below remain for heterogeneous suites).
 
 3. DATASET-LEVEL (schema audit, enum coverage) — driver schema diff and
    tiny anti-joins; emitted with NULL row keys.
@@ -205,12 +208,189 @@ def monotonic_violations(
     )
 
 
+def _fusable(suite: ConstraintSet, df: DataFrame, keys: Sequence[str]):
+    """Group constraints that all live on the same conversation window
+    (partition = keys[0], order = keys[1]; Unique over exactly those two
+    keys). Returns (constraints, tie_break_cols) or None."""
+    part, idx = keys[0], keys[1]
+    cs, ties = [], []
+    for c in suite.group_level():
+        if isinstance(c, Unique):
+            if tuple(c.keys) != (part, idx) or not _present(df, c.keys):
+                return None
+            ties = list(c.first_seen_order)
+            if not _present(df, ties):
+                return None
+        elif isinstance(c, (TurnOrdering, Monotonic)):
+            if c.partition_by != part or c.order_by != idx:
+                return None
+            need = [c.column] if isinstance(c, Monotonic) else []
+            if not _present(df, [part, idx, *need]):
+                return None
+        else:
+            return None
+        cs.append(c)
+    return (cs, ties) if cs else None
+
+
+def fused_group_violations(
+    df: DataFrame,
+    cs: list,
+    ties: list[str],
+    keys: Sequence[str] = DEFAULT_KEYS,
+    row_cs: Sequence = (),
+) -> DataFrame:
+    """All conversation-window constraints in ONE shuffle + ONE sort —
+    and, when ``row_cs`` is passed, the entire row-level family rides the
+    same scan: their violation structs join the group structs in the one
+    array_compact+explode, so the WHOLE suite (minus dataset findings)
+    is a single read of the input.
+
+    Window = partitionBy(conv).orderBy(idx, *tie_break nulls-last); the
+    tie-break is the Unique constraint's first_seen_order, so occurrence
+    ranks and the kept first-seen peer are identical to the standalone
+    unique_violations (reference first-seen-wins, validators.py:255-260).
+    Duplicate-group bookkeeping uses fill-forward (last(..., ignorenulls)
+    over unboundedPreceding) instead of a second (conv, idx)-partitioned
+    window, so no extra exchange is introduced.
+
+    Scale note: partitionBy(conv_id) puts each conversation in one task;
+    a pathological conversation (synth's 5%-skew conv) makes one task
+    ~2x average at 32 slots — acceptable; beyond that the pass/fail
+    signal can fall back to the salted no-window formulation in
+    stats.conversation_stats."""
+    part, idx = keys[0], keys[1]
+    w = Window.partitionBy(part).orderBy(
+        F.col(idx).asc(), *[F.col(t).asc_nulls_last() for t in ties]
+    )
+    prev_idx = F.lag(F.col(idx)).over(w)
+    cols: dict = {"_prev_idx": prev_idx, "_rn": F.row_number().over(w)}
+    is_start = F.col("_prev_idx").isNull() | (F.col(idx) != F.col("_prev_idx"))
+    fill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mono_cols = [c.column for c in cs if isinstance(c, Monotonic)]
+    for m in mono_cols:
+        cols[f"_prev_{m}"] = F.lag(F.col(m)).over(w)
+    # row_cs may reference any input column (incl. `where` scopes), so
+    # carry the full row through the shuffle; for the transcript shape
+    # that is 6 narrow columns.
+    carry = (
+        list(df.columns)
+        if row_cs
+        else [
+            *keys,
+            *(t for t in ties if t not in keys),
+            *(m for m in mono_cols if m not in keys and m not in ties),
+        ]
+    )
+    staged = df.select(*carry, *[v.alias(k) for k, v in cols.items()])
+    first_seen_str = F.concat_ws("|", *[F.col(t).cast("string") for t in ties])
+    staged = staged.select(
+        "*",
+        F.last(F.when(is_start, F.col("_rn")), ignorenulls=True).over(
+            Window.partitionBy(part)
+            .orderBy(F.col("_rn"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_start_rn"),
+        F.last(F.when(is_start, first_seen_str), ignorenulls=True).over(
+            Window.partitionBy(part)
+            .orderBy(F.col("_rn"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_first"),
+    )
+    occ = F.col("_rn") - F.col("_start_rn") + 1
+    entry_t = "struct<constraint_id:string,reason:string,severity:string>"
+    legs = [violation_entry(c).cast(entry_t) for c in row_cs]
+    key_repr = F.concat_ws(",", *[F.col(k).cast("string") for k in keys])
+    for c in cs:
+        if isinstance(c, Unique):
+            legs.append(
+                F.when(
+                    occ > 1,
+                    F.struct(
+                        F.lit(c.constraint_id).alias("constraint_id"),
+                        F.concat(
+                            F.lit("duplicate key ("),
+                            key_repr,
+                            F.lit(") occurrence "),
+                            occ.cast("string"),
+                            F.lit("; first seen "),
+                            F.col("_first"),
+                        ).alias("reason"),
+                        F.lit(c.severity.name).alias("severity"),
+                    ),
+                ).cast(entry_t)
+            )
+        elif isinstance(c, TurnOrdering):
+            expected = F.coalesce(F.col("_prev_idx") + F.lit(1), F.lit(0))
+            is_dup = F.col("_prev_idx").isNotNull() & (
+                F.col(idx) == F.col("_prev_idx")
+            )
+            is_gap = F.col(idx) > expected
+            legs.append(
+                F.when(
+                    is_dup | is_gap,
+                    F.struct(
+                        F.lit(c.constraint_id).alias("constraint_id"),
+                        F.when(
+                            is_dup,
+                            F.concat(
+                                F.lit(f"duplicate {idx} "),
+                                F.col(idx).cast("string"),
+                            ),
+                        )
+                        .otherwise(
+                            F.concat(
+                                F.lit(f"{idx} gap: expected "),
+                                expected.cast("string"),
+                                F.lit(" got "),
+                                F.col(idx).cast("string"),
+                            )
+                        )
+                        .alias("reason"),
+                        F.lit(c.severity.name).alias("severity"),
+                    ),
+                ).cast(entry_t)
+            )
+        elif isinstance(c, Monotonic):
+            prev_m = F.col(f"_prev_{c.column}")
+            bad = (
+                (F.col(c.column) <= prev_m)
+                if c.strict
+                else (F.col(c.column) < prev_m)
+            )
+            legs.append(
+                F.when(
+                    prev_m.isNotNull() & bad,
+                    F.struct(
+                        F.lit(c.constraint_id).alias("constraint_id"),
+                        F.concat(
+                            F.lit(f"{c.column} not monotonic: "),
+                            F.col(c.column).cast("string"),
+                            F.lit(" after "),
+                            prev_m.cast("string"),
+                        ).alias("reason"),
+                        F.lit(c.severity.name).alias("severity"),
+                    ),
+                ).cast(entry_t)
+            )
+    entries = F.array_compact(F.array(*legs))
+    return staged.select(*keys, F.explode(entries).alias("_v")).select(
+        F.col("_v.constraint_id").alias("constraint_id"),
+        *keys,
+        F.col("_v.reason").alias("reason"),
+        F.col("_v.severity").alias("severity"),
+    )
+
+
 def group_violations(
     df: DataFrame, suite: ConstraintSet, keys: Sequence[str] = DEFAULT_KEYS
 ) -> DataFrame:
     out = _empty(df, keys)
     if not _present(df, keys):
         return out
+    fused = _fusable(suite, df, keys)
+    if fused:
+        return out.unionByName(fused_group_violations(df, *fused, keys))
     for c in suite.group_level():
         if isinstance(c, Unique) and _present(df, c.keys):
             out = out.unionByName(unique_violations(df, c, keys))
@@ -224,13 +404,26 @@ def group_violations(
 
 
 def dataset_findings(
-    df: DataFrame, suite: ConstraintSet, keys: Sequence[str] = DEFAULT_KEYS
+    df: DataFrame,
+    suite: ConstraintSet,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    include_coverage: bool = True,
+    observed_enums: dict | None = None,
 ) -> DataFrame:
     """Schema audit (unknown/missing columns — reference
     validators.py:106-158's table-level survival) and enum coverage
     (reference validate_unused_attrs, validators.py:169-198). Emitted
     with NULL row keys, like the reference errors that carry a file but
-    no attribute trail."""
+    no attribute trail.
+
+    ALL EnumCoverage constraints share ONE aggregation job: per column,
+    ``collect_set(when(col.isin(enum), col))`` — the when() bounds the
+    set by the enum size, so the map-side partials stay tiny no matter
+    the column's true cardinality. ``include_coverage=False`` skips the
+    data scan entirely (used by the runner's driver-only schema audit);
+    ``observed_enums`` ({column: set-of-observed-values}) supplies the
+    observations precomputed on another scan (the runner piggybacks them
+    on the stats pass, so coverage costs zero extra scans)."""
     spark = df.sparkSession
     schema = _violation_schema(df, keys)
     rows: list[tuple] = []
@@ -251,39 +444,58 @@ def dataset_findings(
                         c.severity.name,
                     )
                 )
-    findings = spark.createDataFrame(rows, schema)
-    # Enum coverage needs the data: anti-join enum values against the
-    # observed distinct set (tiny after partial-agg distinct).
-    for c in suite.dataset_level():
-        if isinstance(c, EnumCoverage):
-            if c.column not in df.columns:
-                continue
-            vals = spark.createDataFrame(
-                [(v,) for v in c.values], T.StructType([T.StructField("_val", T.StringType())])
-            )
-            observed = df.select(F.col(c.column).alias("_val")).distinct()
-            missing = vals.join(observed, "_val", "left_anti")
-            leg = missing.select(
-                F.lit(c.constraint_id).alias("constraint_id"),
-                *[F.lit(None).cast(schema[k].dataType).alias(k) for k in keys],
-                F.concat(
-                    F.lit(f"enum value '"),
-                    F.col("_val"),
-                    F.lit(f"' never observed in {c.column}"),
-                ).alias("reason"),
-                F.lit(c.severity.name).alias("severity"),
-            )
-            findings = findings.unionByName(leg)
-    return findings
+    cov = [
+        c
+        for c in suite.dataset_level()
+        if isinstance(c, EnumCoverage) and c.column in df.columns
+    ]
+    if cov and include_coverage:
+        if observed_enums is None:
+            row = df.agg(
+                *[
+                    F.collect_set(
+                        F.when(F.col(c.column).isin(*c.values), F.col(c.column))
+                    ).alias(f"_o{i}")
+                    for i, c in enumerate(cov)
+                ]
+            ).collect()[0]
+            observed_enums = {c.column: set(row[i] or []) for i, c in enumerate(cov)}
+        for c in cov:
+            seen = observed_enums.get(c.column, set())
+            for v in c.values:
+                if v not in seen:
+                    rows.append(
+                        (
+                            c.constraint_id,
+                            *nulls,
+                            f"enum value '{v}' never observed in {c.column}",
+                            c.severity.name,
+                        )
+                    )
+    return spark.createDataFrame(rows, schema)
 
 
 def all_violations(
-    df: DataFrame, suite: ConstraintSet, keys: Sequence[str] = DEFAULT_KEYS
+    df: DataFrame,
+    suite: ConstraintSet,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    include_coverage: bool = True,
+    observed_enums: dict | None = None,
 ) -> DataFrame:
-    """Full suite: row ∪ group ∪ dataset legs (each leg scans once; the
-    row leg carries every row-level constraint in a single projection)."""
-    return (
-        row_violations(df, suite, keys)
-        .unionByName(group_violations(df, suite, keys))
-        .unionByName(dataset_findings(df, suite, keys))
+    """Full suite in as few scans as possible. When the group family is
+    window-fusable (the transcript shape), the row family rides the same
+    shuffle: ONE scan of the input for every per-row and per-conversation
+    constraint, plus the tiny bounded coverage agg (itself skippable via
+    ``observed_enums``). Heterogeneous suites fall back to one fused row
+    scan + per-constraint group legs."""
+    fused = _fusable(suite, df, keys) if _present(df, keys) else None
+    if fused:
+        row_cs = [c for c in suite.row_level() if _present(df, [c.column])]
+        main = fused_group_violations(df, *fused, keys, row_cs=row_cs)
+    else:
+        main = row_violations(df, suite, keys).unionByName(
+            group_violations(df, suite, keys)
+        )
+    return main.unionByName(
+        dataset_findings(df, suite, keys, include_coverage, observed_enums)
     )

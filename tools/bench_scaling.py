@@ -1,0 +1,166 @@
+"""Two-parallelism scaling probe (north rule: throughput scaling
+efficiency >= 0.8 between N and 4N executors).
+
+The sandbox has no real cluster, so per the driver instruction the
+criterion is evidenced by running the SAME validation job at two
+parallelism levels — local[8] and local[32] — in SEPARATE JVMs on the
+SAME pre-materialized parquet input, and reporting turns/sec at both
+plus efficiency = (T_32/T_8) / (32/8).
+
+Protocol (BASELINE.md "Measurement protocol"): fixed-seed synthetic
+transcripts written once; the full constraint suite (stats + violations
++ verdicts) timed end-to-end excluding data generation; one warmup then
+three timed runs per parallelism; median reported.
+
+Usage:
+    python tools/bench_scaling.py [--turns 4000000] [--runs 3] \
+        [--out BENCH.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Runs inside a fresh JVM: read the shared input, run the full suite
+# N_RUNS+1 times (first = warmup), print one JSON line of wall times.
+CHILD = textwrap.dedent(
+    """
+    import json, os, sys, time
+    sys.path.insert(0, {repo!r})
+    cores = int(sys.argv[1]); inp = sys.argv[2]; runs = int(sys.argv[3])
+    from pyspark.sql import SparkSession
+    spark = (
+        SparkSession.builder.master(f"local[{{cores}}]")
+        .appName(f"scaling-probe-{{cores}}")
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from ocsf_validator_spark.runner import run_validation
+    df = spark.read.parquet(inp)
+    n = df.count()
+    walls = []
+    for i in range(runs + 1):
+        t0 = time.time()
+        res = run_validation(spark, df, quiet=True)
+        w = time.time() - t0
+        if i > 0:
+            walls.append(w)
+    print(json.dumps({{"cores": cores, "n_rows": n, "walls": walls}}))
+    """
+)
+
+
+def run_level(cores: int, inp: str, runs: int) -> dict:
+    child = CHILD.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", child, str(cores), inp, str(runs)],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--turns", type=int, default=4_000_000)
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--levels", default="8,32")
+    p.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
+    args = p.parse_args()
+    lo, hi = (int(x) for x in args.levels.split(","))
+
+    # materialize the shared input ONCE (excluded from timing)
+    tmp = tempfile.mkdtemp(prefix="scaling-input-")
+    inp = os.path.join(tmp, "transcripts.parquet")
+    gen = textwrap.dedent(
+        f"""
+        import sys; sys.path.insert(0, {REPO!r})
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[32]")
+                 .config("spark.sql.shuffle.partitions", "32")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .config("spark.driver.memory", "24g")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        from ocsf_validator_spark.synth import synth_transcripts
+        synth_transcripts(spark, n_turns={args.turns}).repartition(64) \\
+            .write.mode("overwrite").parquet({inp!r})
+        """
+    )
+    print(f"generating {args.turns:,} turns -> {inp}", file=sys.stderr)
+    subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO)
+
+    results = {}
+    for cores in (lo, hi):
+        print(f"running local[{cores}] x{args.runs} (+1 warmup)...", file=sys.stderr)
+        results[cores] = run_level(cores, inp, args.runs)
+
+    n = results[lo]["n_rows"]
+    med = {c: statistics.median(r["walls"]) for c, r in results.items()}
+    tput = {c: n / med[c] for c in med}
+    eff = (tput[hi] / tput[lo]) / (hi / lo)
+
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_rows": n,
+        "levels": {
+            str(c): {
+                "walls_sec": [round(w, 2) for w in results[c]["walls"]],
+                "median_sec": round(med[c], 2),
+                "turns_per_sec": round(tput[c], 1),
+            }
+            for c in (lo, hi)
+        },
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    md = f"""# BENCH — scaling evidence (north rule)
+
+No real cluster in this sandbox; per driver instruction the N -> 4N
+executor criterion is evidenced by the SAME job at two parallelism
+levels in separate JVMs over the same pre-materialized input.
+
+- Job: full constraint suite (fused stats pass + violation pass +
+  verdict pass) via `ocsf_validator_spark.runner.run_validation`
+- Input: {n:,} synthetic transcript turns (seed=42, zipf-skewed
+  conversation sizes), parquet, generated once outside the timed window
+- Protocol: 1 warmup + {args.runs} timed runs per level, median reported
+- Config: `spark.sql.adaptive.enabled=true`, shuffle partitions = cores
+
+| parallelism | wall (median, s) | turns/sec | runs (s) |
+|---|---|---|---|
+| local[{lo}]  (N)  | {med[lo]:.2f} | {tput[lo]:,.0f} | {', '.join(f'{w:.2f}' for w in results[lo]['walls'])} |
+| local[{hi}] (4N) | {med[hi]:.2f} | {tput[hi]:,.0f} | {', '.join(f'{w:.2f}' for w in results[hi]['walls'])} |
+
+**Scaling efficiency** = (T_{hi}/T_{lo}) / ({hi}/{lo}) =
+({tput[hi]:,.0f} / {tput[lo]:,.0f}) / {hi // lo} = **{eff:.3f}**
+({'PASS' if eff >= 0.8 else 'FAIL'} vs the >= 0.8 requirement).
+"""
+    with open(args.out, "w") as f:
+        f.write(md)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
