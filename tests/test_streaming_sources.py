@@ -1,0 +1,151 @@
+"""Streaming validation + table-source abstraction tests."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from ocsf_validator_spark import streaming as st
+from ocsf_validator_spark.sources import iceberg_available, load_table
+from ocsf_validator_spark.synth import synth_transcripts
+
+
+def _land_batches(spark, root: str, n: int = 4000) -> int:
+    """Write synth transcripts as two parquet 'arrivals'."""
+    df = synth_transcripts(spark, n_turns=n, seed=42)
+    a = df.filter(F.col("turn_idx") % 2 == 0)
+    b = df.filter(F.col("turn_idx") % 2 == 1)
+    a.write.mode("append").parquet(root)
+    b.write.mode("append").parquet(root)
+    return n
+
+
+def test_validate_stream_drains_and_matches_batch(spark, tmp_path):
+    root = str(tmp_path / "landing")
+    n = _land_batches(spark, root, 4000)
+    viol_out = str(tmp_path / "viol")
+    ckpt = str(tmp_path / "ckpt")
+    manifest = str(tmp_path / "manifest")
+
+    seen = []
+    q = st.validate_stream(
+        st.stream_transcripts(spark, root),
+        violations_out=viol_out,
+        checkpoint_dir=ckpt,
+        manifest_dir=manifest,
+        on_batch=lambda bid, rows, nv: seen.append((bid, rows, nv)),
+    )
+    q.awaitTermination(120)
+    assert sum(r for _, r, _ in seen) == n
+
+    # stream total violations == batch run over the same rows (coverage
+    # excluded on both sides)
+    from ocsf_validator_spark.spec import transcript_suite
+    from ocsf_validator_spark.violations import all_violations
+
+    batch_n = all_violations(
+        spark.read.parquet(root), transcript_suite(), include_coverage=False
+    ).count()
+    stream_n = spark.read.parquet(viol_out).count()
+    assert stream_n == batch_n
+
+    # manifest line per micro-batch
+    files = glob.glob(os.path.join(manifest, "batch-*.json"))
+    assert len(files) == len(seen) and len(files) >= 1
+
+
+def test_validate_stream_restart_is_incremental(spark, tmp_path):
+    root = str(tmp_path / "landing2")
+    _land_batches(spark, root, 2000)
+    viol_out = str(tmp_path / "viol2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    q = st.validate_stream(
+        st.stream_transcripts(spark, root), viol_out, ckpt
+    )
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(viol_out).count()
+
+    # restart with no new data: checkpoint says nothing pending
+    q2 = st.validate_stream(
+        st.stream_transcripts(spark, root), viol_out, ckpt
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(viol_out).count() == n1
+
+    # new arrival -> only the new rows are validated
+    synth_transcripts(spark, n_turns=1000, seed=7).write.mode("append").parquet(root)
+    q3 = st.validate_stream(
+        st.stream_transcripts(spark, root), viol_out, ckpt
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(viol_out).count() > n1
+
+
+def test_cross_batch_duplicates_bounded_state(spark, tmp_path):
+    root = str(tmp_path / "landing3")
+    df = synth_transcripts(spark, n_turns=1000, seed=42)
+    df.write.mode("append").parquet(root)
+    # duplicate every 10th key in a later arrival
+    dups = df.filter(F.xxhash64("conv_id", "turn_idx") % 10 == 0)
+    dups.write.mode("append").parquet(root)
+    n_dups = dups.count()
+
+    out = str(tmp_path / "dedup")
+    deduped = st.cross_batch_duplicates(st.stream_transcripts(spark, root))
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.read.parquet(out).count()
+    assert kept == 1000 + n_dups - n_dups  # each dup key kept exactly once
+
+
+def test_streaming_turn_stats_windows(spark, tmp_path):
+    root = str(tmp_path / "landing4")
+    synth_transcripts(spark, n_turns=3000, seed=42).write.parquet(root)
+    out = str(tmp_path / "stats")
+    # data spans 3000s (~50 min); a 5-min watermark closes the windows
+    # ending before max_ts - 5 min (append mode emits only closed windows)
+    q = (
+        st.streaming_turn_stats(
+            st.stream_transcripts(spark, root),
+            watermark="5 minutes",
+            window="10 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stats = spark.read.parquet(out)
+    rows = stats.collect()
+    # synth spaces rows 1s apart -> 3000s spans six 10-min windows; the
+    # final window may be held back by the watermark, so >= 4
+    assert len(rows) >= 4
+    assert sum(r.n_turns for r in rows) <= 3000
+    assert all(r.win_end > r.win_start for r in rows)
+
+
+def test_load_table_parquet_fallback(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    synth_transcripts(spark, n_turns=500, seed=42).write.parquet(p)
+    h = load_table(spark, p)
+    assert h.format == "parquet"
+    assert h.df.count() == 500
+    assert h.snapshot_id.startswith("path:")
+    # snapshot id is content-sensitive: appending changes it
+    synth_transcripts(spark, n_turns=10, seed=1).write.mode("append").parquet(p)
+    h2 = load_table(spark, p)
+    assert h2.snapshot_id != h.snapshot_id
+    # sandbox has no Iceberg runtime; the probe must say so (not raise)
+    assert iceberg_available(spark) in (True, False)
