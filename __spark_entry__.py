@@ -130,6 +130,34 @@ def q_suite_violations(spark: SparkSession, sf: str) -> DataFrame:
     return all_violations(_transcripts(spark, sf), _events_suite())
 
 
+def q_group_violations_scalable(spark: SparkSession, sf: str) -> DataFrame:
+    """The skew-resilient ordered-check path (ordered.py: range
+    repartition + mapInPandas + driver boundary carry) on a defect-rich
+    transcripts view of lineitem: turn_idx = l_linenumber % 3 injects
+    deterministic duplicate keys AND gaps; shipdate disorder across turn
+    buckets injects monotonicity violations."""
+    from ocsf_validator_spark.ordered import scalable_group_violations
+
+    li = _t(spark, sf, "lineitem")
+    t = li.select(
+        F.col("l_orderkey").cast("string").alias("conv_id"),
+        (F.col("l_linenumber") % 3).cast("int").alias("turn_idx"),
+        F.col("l_returnflag").alias("role"),
+        F.col("l_linestatus").alias("text"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    cs = [
+        Unique(
+            column="conv_turn",
+            keys=("conv_id", "turn_idx"),
+            first_seen_order=("ts", "role", "text"),
+        ),
+        TurnOrdering(column="turn_idx"),
+        Monotonic(column="ts"),
+    ]
+    return scalable_group_violations(t, cs, ["ts", "role", "text"])
+
+
 def q_suite_verdicts(spark: SparkSession, sf: str) -> DataFrame:
     t = _transcripts(spark, sf)
     suite = _events_suite()
@@ -411,6 +439,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "suite_violations": q_suite_violations,
+        "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
         "conversation_stats": q_conversation_stats,
         "column_stats_documents": q_column_stats_documents,
@@ -479,6 +508,48 @@ def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
     sqls["suite_violations"] = f"WITH {_T_CTE} {_SUITE_VIOLATION_LEGS}"
+
+    sqls["group_violations_scalable"] = """
+WITH t AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS conv_id,
+         CAST(l_linenumber % 3 AS INTEGER) AS turn_idx,
+         l_returnflag AS role, l_linestatus AS text, l_shipdate AS ts
+  FROM lineitem
+), w AS (
+  SELECT conv_id, turn_idx, role, text, ts,
+         LAG(turn_idx) OVER ord AS prev_idx,
+         LAG(ts) OVER ord AS prev_ts,
+         ROW_NUMBER() OVER grp AS occ,
+         FIRST_VALUE(CAST(ts AS VARCHAR) || '|' || role || '|' || text)
+           OVER (PARTITION BY conv_id, turn_idx
+                 ORDER BY ts, role, text
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS first_seen
+  FROM t
+  WINDOW ord AS (PARTITION BY conv_id ORDER BY turn_idx, ts, role, text),
+         grp AS (PARTITION BY conv_id, turn_idx ORDER BY ts, role, text)
+)
+SELECT 'unique.conv_turn' AS constraint_id, conv_id, turn_idx,
+       'duplicate key (' || conv_id || ',' || turn_idx || ') occurrence '
+         || occ || '; first seen ' || first_seen AS reason,
+       'ERROR' AS severity
+FROM w WHERE occ > 1
+UNION ALL
+SELECT 'order.turn_idx', conv_id, turn_idx,
+       CASE WHEN turn_idx = prev_idx THEN 'duplicate turn_idx ' || turn_idx
+            ELSE 'turn_idx gap: expected ' || COALESCE(prev_idx + 1, 0)
+                 || ' got ' || turn_idx END,
+       'ERROR'
+FROM w
+WHERE (prev_idx IS NOT NULL AND turn_idx = prev_idx)
+   OR turn_idx > COALESCE(prev_idx + 1, 0)
+UNION ALL
+SELECT 'monotonic.ts', conv_id, turn_idx,
+       'ts not monotonic: ' || CAST(ts AS VARCHAR) || ' after '
+         || CAST(prev_ts AS VARCHAR),
+       'ERROR'
+FROM w WHERE prev_ts IS NOT NULL AND ts < prev_ts
+"""
 
     sqls["suite_verdicts"] = f"""
 WITH {_T_CTE},

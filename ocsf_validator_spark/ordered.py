@@ -1,0 +1,348 @@
+"""Skew-resilient conversation-ordered checks (the 10^12-turn path).
+
+The fused window pass in violations.py partitions by conv_id, so one
+conversation = one task. A pathological conversation (synth's 5%-skew
+conv; at the design point, a conversation with 10^8 turns) serializes
+that task. This module evaluates the SAME group constraints — Unique
+(first-seen-wins occurrence ranks), TurnOrdering (dup/gap), Monotonic —
+with NO per-conversation partitioning:
+
+1. ``repartitionByRange(conv_id, turn_idx, *ties)`` +
+   ``sortWithinPartitions``: the range partitioner balances rows by
+   SAMPLED KEY DENSITY, so a giant conversation spans many partitions
+   and every task gets ~equal rows regardless of skew.
+2. Phase A (one pass over the staged sort): per-partition boundary
+   summaries — row count, last row, the tail (conv, turn)-group's count
+   and first-seen, single-group flag — a few hundred bytes per
+   partition, collected to the driver.
+3. The driver prefix-scans the summaries into per-partition carry-in:
+   the predecessor row for lag checks at the partition head, plus the
+   running occurrence count / first-seen for a duplicate group that
+   straddles the boundary (correct across ANY number of partitions,
+   because a group spanning k partitions makes partitions 2..k-1
+   single-group).
+4. Phase B: ``mapInPandas`` (Arrow batches, vectorized pandas — the
+   only Python loops are over emitted VIOLATIONS, so work is
+   output-proportional) re-reads the staged sort with the broadcast
+   carry and emits exactly the rows the window formulation emits.
+
+The staged sort is persisted between the two phases (at real scale:
+written to a staging table) — both so it is scanned once per phase and
+so the range boundaries, which are computed from a sample at execution
+time, are FROZEN between phases.
+
+Cost model vs the window path: same single range shuffle + sort, but no
+giant-conversation straggler; price is the Arrow hop and the tiny
+summary job. Use when max-conversation >> rows-per-task; the window
+path wins when conversations are small (it stays fully in the JVM).
+Equivalence to the window path is asserted row-for-row in
+tests/test_ordered.py, including groups that straddle partitions.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ocsf_validator_spark.spec import Monotonic, TurnOrdering, Unique
+
+def _violation_ddl(part: str, idx: str) -> str:
+    return (
+        f"constraint_id string, {part} string, {idx} int, "
+        "reason string, severity string"
+    )
+
+
+def _sql_str(v) -> str | None:
+    """Render one value the way Spark's CAST(x AS STRING) does."""
+    if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+        return None
+    if hasattr(v, "strftime"):
+        if getattr(v, "microsecond", 0):
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    return str(v)
+
+
+def _ties_str(pdf: pd.DataFrame, ties: Sequence[str]) -> pd.Series:
+    """concat_ws('|', cast(t as string)...) — Spark skips NULLs.
+
+    Fast path: no nulls in the batch → vectorized string concat.
+    Null rows fall back to a per-row join over that (defect-rare) subset.
+    """
+    if not ties:
+        return pd.Series([""] * len(pdf), index=pdf.index)
+    cols = []
+    for t in ties:
+        s = pdf[t]
+        if str(s.dtype).startswith("datetime"):
+            micro = s.dt.microsecond.fillna(0) != 0
+            base = s.dt.strftime("%Y-%m-%d %H:%M:%S")
+            if bool(micro.any()):
+                base = base.where(~micro, s.dt.strftime("%Y-%m-%d %H:%M:%S.%f"))
+            cols.append(base.astype("object"))
+        else:
+            cols.append(s.astype("object").where(s.notna(), None).map(
+                lambda x: None if x is None else str(x)
+            ))
+    nulls = pd.concat([c.isna() for c in cols], axis=1).any(axis=1)
+    fast = cols[0].fillna("")
+    for c in cols[1:]:
+        fast = fast + "|" + c.fillna("")
+    if bool(nulls.any()):
+        idxs = nulls[nulls].index
+        for i in idxs:
+            fast.loc[i] = "|".join(
+                c.loc[i] for c in cols if c.loc[i] is not None
+            )
+    return fast
+
+
+def scalable_group_violations(
+    df: DataFrame,
+    cs: list,
+    ties: list[str],
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Drop-in replacement for violations.fused_group_violations (group
+    legs only) that survives arbitrarily skewed conversations."""
+    part, idx = keys[0], keys[1]
+    spark = df.sparkSession
+    mono = [
+        (c.constraint_id, c.column, c.strict, c.severity.name)
+        for c in cs
+        if isinstance(c, Monotonic)
+    ]
+    uniq_specs = [
+        (c.constraint_id, c.severity.name) for c in cs if isinstance(c, Unique)
+    ]
+    order_specs = [
+        (c.constraint_id, c.severity.name) for c in cs if isinstance(c, TurnOrdering)
+    ]
+    need = [part, idx, *[t for t in ties if t not in (part, idx)]]
+    for _, col, _, _ in mono:
+        if col not in need:
+            need.append(col)
+    P = num_partitions or spark.sparkContext.defaultParallelism * 2
+
+    staged = (
+        df.select(*need)
+        .repartitionByRange(P, *[F.col(c) for c in [part, idx, *ties]])
+        .sortWithinPartitions(
+            F.col(part).asc(),
+            F.col(idx).asc(),
+            *[F.col(t).asc_nulls_last() for t in ties],
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    data_cols = [c for c in staged.columns if c != "_pid"]
+
+    # ---- Phase A: per-partition boundary summaries -----------------------
+    summary_ddl = (
+        "pid int, n long, single_group boolean, "
+        "tail_count long, tail_first string, last_json string"
+    )
+
+    def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = None
+        n = 0
+        single = True
+        tail_key = None  # (conv, turn) of the group at the current end
+        tail_count = 0
+        tail_first = None
+        last = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.reset_index(drop=True)
+            pid = int(pdf["_pid"].iloc[0])
+            m = len(pdf)
+            conv, turn = pdf[part], pdf[idx]
+            first_key = (conv.iloc[0], turn.iloc[0])
+            last_key = (conv.iloc[m - 1], turn.iloc[m - 1])
+            batch_single = first_key == last_key  # sorted -> ends equal = all equal
+            continues = n > 0 and tail_key == first_key
+            single = batch_single if n == 0 else (single and continues and batch_single)
+            # start index of the batch's tail group (sorted: scan from end)
+            s = m - 1
+            keys_conv, keys_turn = conv.values, turn.values
+            while s > 0 and (keys_conv[s - 1], keys_turn[s - 1]) == last_key:
+                s -= 1
+            ts = _ties_str(pdf, ties)
+            if continues and s == 0 and batch_single:
+                tail_count += m  # whole batch extends the carry group
+            else:
+                tail_count = m - s
+                tail_first = str(ts.iloc[s])
+            tail_key = last_key
+            last = {c: pdf[c].iloc[-1] for c in data_cols}
+            n += m
+        if pid is None:
+            return
+
+        def enc(v):
+            # timestamps -> SQL strings (re-parsed by Phase B); numpy
+            # scalars -> native; everything else JSON-native already
+            if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+                return None
+            if hasattr(v, "strftime"):
+                return _sql_str(v)
+            if hasattr(v, "item"):
+                return v.item()
+            return v
+
+        yield pd.DataFrame(
+            {
+                "pid": [pid],
+                "n": [n],
+                "single_group": [bool(single)],
+                "tail_count": [int(tail_count)],
+                "tail_first": [tail_first],
+                "last_json": [json.dumps({c: enc(v) for c, v in last.items()})],
+            }
+        )
+
+    summaries = sorted(
+        staged.mapInPandas(summarize, summary_ddl).collect(), key=lambda r: r.pid
+    )
+
+    # ---- driver prefix scan -> carry-in per partition ---------------------
+    carry: dict[int, dict] = {}
+    prev_last = None
+    run_key = None
+    run_count = 0
+    run_first = None
+    for s in summaries:
+        carry[s.pid] = {
+            "prev": dict(prev_last) if prev_last else None,
+            "run_key": list(run_key) if run_key else None,
+            "run_count": run_count,
+            "run_first": run_first,
+        }
+        last = json.loads(s.last_json)
+        this_tail = (last[part], last[idx])
+        if prev_last is not None and s.single_group and run_key == this_tail:
+            run_count += int(s.tail_count)  # group spans 3+ partitions
+        else:
+            run_count = int(s.tail_count)
+            run_first = s.tail_first
+        run_key = this_tail
+        prev_last = last
+    bcarry = spark.sparkContext.broadcast(carry)
+
+    # ---- Phase B: vectorized checks with carry ----------------------------
+    def check(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict | None = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.reset_index(drop=True)
+            if state is None:
+                c0 = bcarry.value.get(int(pdf["_pid"].iloc[0])) or {}
+                state = {
+                    "prev": c0.get("prev"),
+                    "run_key": tuple(c0["run_key"]) if c0.get("run_key") else None,
+                    "run_count": int(c0.get("run_count") or 0),
+                    "run_first": c0.get("run_first"),
+                }
+            n = len(pdf)
+            conv, turn = pdf[part], pdf[idx]
+            prev = state["prev"]
+            lag_conv = conv.shift(1)
+            lag_turn = turn.shift(1)
+            if prev is not None:
+                lag_conv.iloc[0] = prev[part]
+                lag_turn.iloc[0] = prev[idx]
+            same_conv = (conv == lag_conv).fillna(False)
+
+            cid_rows: list[str] = []
+            sev_rows: list[str] = []
+            pos_rows: list[int] = []
+            out_rows: list[str] = []
+
+            for cid, sev in order_specs:
+                is_dup = same_conv & (turn == lag_turn)
+                expected = (lag_turn.where(same_conv).astype("float64") + 1).fillna(0)
+                is_gap = (~is_dup) & (turn.astype("float64") > expected)
+                for i in is_dup[is_dup].index:
+                    cid_rows.append(cid); sev_rows.append(sev); pos_rows.append(i)
+                    out_rows.append(f"duplicate {idx} {turn.iloc[i]}")
+                for i in is_gap[is_gap].index:
+                    cid_rows.append(cid); sev_rows.append(sev); pos_rows.append(i)
+                    out_rows.append(
+                        f"{idx} gap: expected {int(expected.iloc[i])} got {turn.iloc[i]}"
+                    )
+
+            for cid, col, strict, sev in mono:
+                cur = pdf[col]
+                lag_v = cur.shift(1)
+                if prev is not None and prev.get(col) is not None:
+                    pv = prev[col]
+                    if str(cur.dtype).startswith("datetime"):
+                        pv = pd.Timestamp(pv)
+                    lag_v.iloc[0] = pv
+                ok = same_conv & lag_v.notna() & cur.notna()
+                bad = ((cur <= lag_v) if strict else (cur < lag_v)) & ok
+                for i in bad[bad].index:
+                    cid_rows.append(cid); sev_rows.append(sev); pos_rows.append(i)
+                    out_rows.append(
+                        f"{col} not monotonic: {_sql_str(cur.iloc[i])} "
+                        f"after {_sql_str(lag_v.iloc[i])}"
+                    )
+
+            ts_str = None
+            if uniq_specs:
+                ts_str = _ties_str(pdf, ties)
+                grp_change = (~same_conv) | (turn != lag_turn)
+                gid = grp_change.cumsum()
+                occ = gid.groupby(gid).cumcount() + 1
+                firsts = ts_str.groupby(gid).transform("first")
+                head_cont = prev is not None and (
+                    conv.iloc[0] == prev[part] and turn.iloc[0] == prev[idx]
+                )
+                if head_cont:
+                    in_head = gid == gid.iloc[0]
+                    occ = occ.where(~in_head, occ + state["run_count"])
+                    if state["run_first"] is not None:
+                        firsts = firsts.where(~in_head, state["run_first"])
+                for cid, sev in uniq_specs:
+                    dup = occ > 1
+                    for i in dup[dup].index:
+                        cid_rows.append(cid); sev_rows.append(sev); pos_rows.append(i)
+                        out_rows.append(
+                            f"duplicate key ({conv.iloc[i]},{turn.iloc[i]}) "
+                            f"occurrence {int(occ.iloc[i])}; "
+                            f"first seen {firsts.iloc[i]}"
+                        )
+                tail_all_one = bool((gid == gid.iloc[n - 1]).all())
+                if head_cont and tail_all_one:
+                    state["run_count"] += n
+                else:
+                    tail_n = int((gid == gid.iloc[n - 1]).sum())
+                    state["run_count"] = tail_n
+                    state["run_first"] = str(
+                        ts_str.iloc[n - 1 - (tail_n - 1)]
+                    )
+                state["run_key"] = (conv.iloc[n - 1], turn.iloc[n - 1])
+
+            state["prev"] = {c: pdf[c].iloc[-1] for c in data_cols}
+            if out_rows:
+                yield pd.DataFrame(
+                    {
+                        "constraint_id": cid_rows,
+                        part: [str(conv.iloc[i]) for i in pos_rows],
+                        idx: [int(turn.iloc[i]) for i in pos_rows],
+                        "reason": out_rows,
+                        "severity": sev_rows,
+                    }
+                )
+
+    return staged.mapInPandas(check, _violation_ddl(part, idx))

@@ -47,7 +47,11 @@ from ocsf_validator_spark.verdict import (
     summarize_rows,
     verdicts,
 )
-from ocsf_validator_spark.violations import all_violations, dataset_findings
+from ocsf_validator_spark.violations import (
+    all_violations,
+    dataset_findings,
+    detect_skewed_convs,
+)
 
 
 @dataclass
@@ -77,6 +81,7 @@ def run_validation(
     violations_out: str | None = None,
     verdicts_out: str | None = None,
     quiet: bool = False,
+    detect_skew: bool = True,
 ) -> RunResult:
     suite = suite or transcript_suite()
     threshold = Severity.WARNING if strict else Severity.ERROR
@@ -142,10 +147,28 @@ def run_validation(
         say("nothing pending; all buckets previously completed")
         return RunResult(0, 0, 0, time.time() - t0, skipped_buckets=skipped)
 
+    # Phase 2b — skew probe: conversations too big for one window task
+    # get routed to the range-partitioned ordered path. Threshold: ~4x
+    # the expected rows-per-shuffle-partition (never below 1M rows).
+    skewed: list[str] = []
+    if detect_skew:
+        parallelism = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        skew_rows = max(1_000_000, 4 * n_rows // max(parallelism, 1))
+        skewed = detect_skewed_convs(df, conv_col, skew_rows)
+        if skewed:
+            say(
+                f"skew: routing {len(skewed)} conversations >= {skew_rows} "
+                "rows to the range-partitioned path"
+            )
+
     # Phase 3 — violations: two fused scans (row projection + conv
     # window) plus the bounded coverage agg. Cached only when the rows
     # are consumed twice (parquet sink + verdict counts).
-    viol = all_violations(df, suite, observed_enums=observed_enums)
+    viol = all_violations(
+        df, suite, observed_enums=observed_enums, skewed_convs=skewed
+    )
     if violations_out:
         viol = viol.cache()
         viol.write.mode("append").parquet(violations_out)

@@ -250,9 +250,12 @@ def fused_group_violations(
     tie-break is the Unique constraint's first_seen_order, so occurrence
     ranks and the kept first-seen peer are identical to the standalone
     unique_violations (reference first-seen-wins, validators.py:255-260).
-    Duplicate-group bookkeeping uses fill-forward (last(..., ignorenulls)
-    over unboundedPreceding) instead of a second (conv, idx)-partitioned
-    window, so no extra exchange is introduced.
+    Duplicate-group bookkeeping (occurrence rank + first-seen) uses a
+    second Window partitioned by (conv, idx) — hash(conv) already
+    satisfies ClusteredDistribution((conv, idx)) and the physical sort
+    keys (conv, idx, ties) are identical, so Catalyst plans it with NO
+    extra exchange and NO extra sort: one shuffle, one sort, two
+    adjacent WindowExecs.
 
     Scale note: partitionBy(conv_id) puts each conversation in one task;
     a pathological conversation (synth's 5%-skew conv) makes one task
@@ -260,16 +263,21 @@ def fused_group_violations(
     signal can fall back to the salted no-window formulation in
     stats.conversation_stats."""
     part, idx = keys[0], keys[1]
-    w = Window.partitionBy(part).orderBy(
-        F.col(idx).asc(), *[F.col(t).asc_nulls_last() for t in ties]
-    )
+    tie_order = [F.col(t).asc_nulls_last() for t in ties]
+    w = Window.partitionBy(part).orderBy(F.col(idx).asc(), *tie_order)
+    w2 = Window.partitionBy(part, idx).orderBy(*tie_order)
     prev_idx = F.lag(F.col(idx)).over(w)
-    cols: dict = {"_prev_idx": prev_idx, "_rn": F.row_number().over(w)}
-    is_start = F.col("_prev_idx").isNull() | (F.col(idx) != F.col("_prev_idx"))
-    fill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols: dict = {"_prev_idx": prev_idx}
     mono_cols = [c.column for c in cs if isinstance(c, Monotonic)]
     for m in mono_cols:
         cols[f"_prev_{m}"] = F.lag(F.col(m)).over(w)
+    has_unique = any(isinstance(c, Unique) for c in cs)
+    if has_unique:
+        first_seen_str = F.concat_ws(
+            "|", *[F.col(t).cast("string") for t in ties]
+        )
+        cols["_occ"] = F.row_number().over(w2)
+        cols["_first"] = F.first(first_seen_str).over(w2)
     # row_cs may reference any input column (incl. `where` scopes), so
     # carry the full row through the shuffle; for the transcript shape
     # that is 6 narrow columns.
@@ -283,21 +291,7 @@ def fused_group_violations(
         ]
     )
     staged = df.select(*carry, *[v.alias(k) for k, v in cols.items()])
-    first_seen_str = F.concat_ws("|", *[F.col(t).cast("string") for t in ties])
-    staged = staged.select(
-        "*",
-        F.last(F.when(is_start, F.col("_rn")), ignorenulls=True).over(
-            Window.partitionBy(part)
-            .orderBy(F.col("_rn"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("_start_rn"),
-        F.last(F.when(is_start, first_seen_str), ignorenulls=True).over(
-            Window.partitionBy(part)
-            .orderBy(F.col("_rn"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("_first"),
-    )
-    occ = F.col("_rn") - F.col("_start_rn") + 1
+    occ = F.col("_occ") if has_unique else F.lit(1)
     entry_t = "struct<constraint_id:string,reason:string,severity:string>"
     legs = [violation_entry(c).cast(entry_t) for c in row_cs]
     key_repr = F.concat_ws(",", *[F.col(k).cast("string") for k in keys])
@@ -475,21 +469,65 @@ def dataset_findings(
     return spark.createDataFrame(rows, schema)
 
 
+def detect_skewed_convs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    threshold: int = 1_000_000,
+    max_detected: int = 10_000,
+) -> list[str]:
+    """Conversations too large for one window task. groupBy(conv).count
+    does map-side partial aggregation, and only rows above the threshold
+    are collected — bounded output no matter the conversation count."""
+    rows = (
+        df.groupBy(conv_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= threshold)
+        .orderBy(F.col("_n").desc())
+        .limit(max_detected)
+        .collect()
+    )
+    return [r[0] for r in rows if r[0] is not None]
+
+
 def all_violations(
     df: DataFrame,
     suite: ConstraintSet,
     keys: Sequence[str] = DEFAULT_KEYS,
     include_coverage: bool = True,
     observed_enums: dict | None = None,
+    skewed_convs: Sequence[str] | None = None,
 ) -> DataFrame:
     """Full suite in as few scans as possible. When the group family is
     window-fusable (the transcript shape), the row family rides the same
     shuffle: ONE scan of the input for every per-row and per-conversation
     constraint, plus the tiny bounded coverage agg (itself skippable via
     ``observed_enums``). Heterogeneous suites fall back to one fused row
-    scan + per-constraint group legs."""
+    scan + per-constraint group legs.
+
+    ``skewed_convs`` (from detect_skewed_convs) routes pathologically
+    large conversations AROUND the window pass: their group checks run
+    on the skew-immune range-partitioned path (ordered.py) and their row
+    checks on a map-only projection, while everything else keeps the
+    single-scan plan. The window pass then never sees a partition larger
+    than the biggest NORMAL conversation — no straggler task."""
     fused = _fusable(suite, df, keys) if _present(df, keys) else None
-    if fused:
+    if fused and skewed_convs:
+        from ocsf_validator_spark.ordered import scalable_group_violations
+
+        part = keys[0]
+        big = df.filter(F.col(part).isin(*skewed_convs))
+        small = df.filter(
+            ~F.col(part).isin(*skewed_convs) | F.col(part).isNull()
+        )
+        row_cs = [c for c in suite.row_level() if _present(df, [c.column])]
+        main = (
+            fused_group_violations(small, *fused, keys, row_cs=row_cs)
+            .unionByName(row_violations(big, suite, keys))
+            .unionByName(
+                scalable_group_violations(big, fused[0], fused[1], keys)
+            )
+        )
+    elif fused:
         row_cs = [c for c in suite.row_level() if _present(df, [c.column])]
         main = fused_group_violations(df, *fused, keys, row_cs=row_cs)
     else:

@@ -38,10 +38,13 @@ CHILD = textwrap.dedent(
     sys.path.insert(0, {repo!r})
     cores = int(sys.argv[1]); inp = sys.argv[2]; runs = int(sys.argv[3])
     from pyspark.sql import SparkSession
+    # shuffle partitions FIXED across levels (as on a real cluster where
+    # the partition count doesn't change when executors are added); AQE
+    # coalesces. Also keeps per-task sorts small at low parallelism.
     spark = (
         SparkSession.builder.master(f"local[{{cores}}]")
         .appName(f"scaling-probe-{{cores}}")
-        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.shuffle.partitions", "128")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -53,6 +56,7 @@ CHILD = textwrap.dedent(
     from ocsf_validator_spark.runner import run_validation
     df = spark.read.parquet(inp)
     n = df.count()
+    import gc
     walls = []
     for i in range(runs + 2):  # 2 warmups: JVM JIT reaches steady state on run 3
         t0 = time.time()
@@ -60,6 +64,12 @@ CHILD = textwrap.dedent(
         w = time.time() - t0
         if i > 1:
             walls.append(w)
+        # drain the ContextCleaner between runs: without this, shuffle
+        # state from prior runs accumulates (the driver heap is large,
+        # so no natural GC fires) and later runs degrade 2-4x
+        gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(2)
     print(json.dumps({{"cores": cores, "n_rows": n, "walls": walls}}))
     """
 )
@@ -71,9 +81,11 @@ def run_level(cores: int, inp: str, runs: int) -> dict:
         [sys.executable, "-c", child, str(cores), inp, str(runs)],
         capture_output=True,
         text=True,
-        check=True,
         cwd=REPO,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"local[{cores}] probe failed (see stderr above)")
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -116,8 +128,14 @@ def main() -> None:
         "host-saturation context",
     )
     p.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
+    p.add_argument("--input", help="reuse a previously generated input dir")
     args = p.parse_args()
     pairs = [tuple(int(x) for x in s.split(":")) for s in args.pairs.split(",")]
+
+    if args.input:
+        measured = [measure_pair(lo, hi, args.input, args.runs) for lo, hi in pairs]
+        _finish(measured, args)
+        return
 
     # materialize the shared input ONCE (excluded from timing)
     tmp = tempfile.mkdtemp(prefix="scaling-input-")
@@ -141,6 +159,10 @@ def main() -> None:
     subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO)
 
     measured = [measure_pair(lo, hi, inp, args.runs) for lo, hi in pairs]
+    _finish(measured, args)
+
+
+def _finish(measured: list, args) -> None:
     head = measured[0]
     summary = {
         "metric": "scaling_efficiency",
@@ -180,7 +202,9 @@ pre-materialized input.
 - Input: {head['n_rows']:,} synthetic transcript turns (seed=42, one 5%
   skew conversation), parquet, generated once outside the timed window
 - Protocol: 2 JIT warmups + {args.runs} timed runs per level, median
-- Config: `spark.sql.adaptive.enabled=true`, shuffle partitions = cores
+- Config: `spark.sql.adaptive.enabled=true`; shuffle partitions FIXED
+  at 128 across levels (as on a real cluster, where the shuffle
+  partition count does not change when executors are added)
 
 The headline pair is local[2] -> local[8]: both levels hold dedicated
 physical cores on this 32-core host, so the 4x slot ratio is physically
