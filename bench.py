@@ -72,11 +72,21 @@ def main() -> None:
     # warmup: JIT + parquet footer caches
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    import gc
+
+    def drain():
+        # ContextCleaner hygiene: with a big heap no natural GC fires,
+        # so shuffle state from prior queries accumulates and later
+        # queries degrade (see tools/bench_scaling.py)
+        gc.collect()
+        spark._jvm.System.gc()
+
     timings: dict[str, float] = {}
     for name in bench_set:
         t0 = time.time()
         force(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        drain()
 
     # validation-throughput probe on synthetic transcripts (the north
     # rule's primary metric: validated turns/sec)
