@@ -162,8 +162,23 @@ def q_suite_verdicts(spark: SparkSession, sf: str) -> DataFrame:
     t = _transcripts(spark, sf)
     suite = _events_suite()
     v = all_violations(t, suite)
+    # observed buckets from a pruned single-column scan of the base
+    # table — not a distinct over the windowed transcript view
+    observed = [
+        int(r[0])
+        for r in _t(spark, sf, "events")
+        .select(F.col("user_id").cast("string").alias("conv_id"))
+        .select(md5_bucket_col("conv_id", 8).alias("b"))
+        .distinct()
+        .collect()
+    ]
     return verdicts(
-        t, v, suite, num_buckets=8, bucket_expr=md5_bucket_col("conv_id", 8)
+        t,
+        v,
+        suite,
+        num_buckets=8,
+        bucket_expr=md5_bucket_col("conv_id", 8),
+        observed_buckets=observed,
     )
 
 
@@ -280,12 +295,28 @@ def q_ks_click_view(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ks_by_bucket_textlen(spark: SparkSession, sf: str) -> DataFrame:
-    """Arrow/pandas-UDF KS path (no SQL oracle — rows-only check)."""
+    """Arrow/pandas-UDF grouped KS, oracle-checked: deterministic ref
+    sample (first 200 docs by id) + portable md5 bucket so DuckDB can
+    replay the exact per-bucket statistic."""
     d = _t(spark, sf, "documents")
-    ref = [float(r[0]) for r in d.select(F.length("text")).limit(200).collect()]
-    return drift.ks_by_bucket(
-        d, ref, "length(text)", conv_col="source", num_buckets=8
-    ).orderBy("bucket")
+    ref = [
+        float(r[0])
+        for r in d.orderBy("doc_id").select(F.length("text")).limit(200).collect()
+    ]
+    out = drift.ks_by_bucket(
+        d,
+        ref,
+        "length(text)",
+        num_buckets=8,
+        bucket_expr=md5_bucket_col("source", 8),
+    )
+    return out.select(
+        "bucket",
+        "n",
+        F.round("ks", 6).alias("ks"),
+        F.round("threshold", 6).alias("threshold"),
+        "drifted",
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -366,23 +397,28 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    """Decimal end-to-end: cast INPUTS to decimal, multiply exactly
+    (products stay within precision 38, no intermediate rounding), sum
+    exactly, round ONCE at the output cast. Per-row double->decimal
+    casts of the product, or a decimal->double hop before rounding, both
+    diverge from the oracle by ulps that sum to visible cents
+    (round-1 hash mismatch)."""
     li = _t(spark, sf, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
+    qty = F.col("l_quantity").cast("decimal(8,2)")
+    price = F.col("l_extendedprice").cast("decimal(8,2)")
+    disc1 = (F.lit(1) - F.col("l_discount").cast("decimal(5,4)")).cast(
+        "decimal(5,4)"
     )
-    charge = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast("decimal(18,4)")
+    tax1 = (F.lit(1) + F.col("l_tax").cast("decimal(5,4)")).cast("decimal(5,4)")
+    disc_price = price * disc1            # decimal(14,6), exact
+    charge = disc_price * tax1            # decimal(20,10), exact
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias(
-                "sum_base_price"
-            ),
-            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,2)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,2)").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -782,12 +818,38 @@ ORDER BY list_cosine_similarity(embedding::DOUBLE[], pe) DESC, vec_id
 LIMIT 10
 """
 
-    sqls["embedding_near_dup"] = """
-SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cos_sim
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+    # mirror of similarity.hyperplane_bucket_col (md5-derived planes) so
+    # the oracle replays the LSH-bucket blocking exactly
+    def _sql_hyperplane_bucket(emb: str, seed: int, n_planes: int = 8) -> str:
+        terms = []
+        for p in range(n_planes):
+            comp = (
+                f"list_transform(range(0, 64), i -> "
+                f"(('0x' || substr(md5('{seed}_{p}_' || i), 1, 8))::BIGINT"
+                f" / 4294967296.0) - 0.5)"
+            )
+            terms.append(
+                f"CASE WHEN list_dot_product({emb}, {comp}) > 0"
+                f" THEN {1 << p} ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    sqls["embedding_near_dup"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         {_sql_hyperplane_bucket('embedding::DOUBLE[]', 42)} AS bk0,
+         {_sql_hyperplane_bucket('embedding::DOUBLE[]', 43)} AS bk1
+  FROM embeddings),
+p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         list_cosine_similarity(a.emb, b.emb) AS cs
+  FROM e a JOIN e b ON a.bk0 = b.bk0 AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95
+  UNION
+  SELECT a.vec_id, b.vec_id, list_cosine_similarity(a.emb, b.emb)
+  FROM e a JOIN e b ON a.bk1 = b.bk1 AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95)
+SELECT a_id, b_id, ROUND(cs, 5) AS cos_sim FROM p
 """
 
     stop = lambda ws: " OR ".join(f"tk = '{w}'" for w in ws)
@@ -826,13 +888,20 @@ FROM documents
 """
 
     sqls["q1_pricing"] = """
+WITH d AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DECIMAL(8,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(8,2)) AS price,
+         CAST(1 - CAST(l_discount AS DECIMAL(5,4)) AS DECIMAL(5,4)) AS disc1,
+         CAST(1 + CAST(l_tax AS DECIMAL(5,4)) AS DECIMAL(5,4)) AS tax1
+  FROM lineitem)
 SELECT l_returnflag, l_linestatus,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_charge,
+  CAST(ROUND(SUM(qty), 2) AS DECIMAL(18,2)) AS sum_qty,
+  CAST(ROUND(SUM(price), 2) AS DECIMAL(18,2)) AS sum_base_price,
+  CAST(ROUND(SUM(price * disc1), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+  CAST(ROUND(SUM(price * disc1 * tax1), 2) AS DECIMAL(18,2)) AS sum_charge,
   COUNT(*) AS count_order
-FROM lineitem GROUP BY l_returnflag, l_linestatus
+FROM d GROUP BY l_returnflag, l_linestatus
 """
 
     sqls["top_revenue_orders"] = """
@@ -855,7 +924,38 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
 
-    # ks_by_bucket_textlen, lsh_bucket_topk, multimodal_features:
-    # engine-specific plumbing (pandas-UDF KS, LSH bucket id, fake
-    # decoder) — intentionally no oracle → rows-only check.
+    sqls["ks_by_bucket_textlen"] = """
+WITH ref AS (
+  SELECT CAST(LENGTH(text) AS DOUBLE) AS v
+  FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 200)),
+d AS (
+  SELECT CAST((('0x' || substr(md5(source), 1, 8))::BIGINT % 8) AS INTEGER) AS bucket,
+         CAST(LENGTH(text) AS DOUBLE) AS v
+  FROM documents WHERE text IS NOT NULL),
+u AS (
+  SELECT bucket, v, 1 AS ia, 0 AS ib FROM d
+  UNION ALL
+  SELECT b.bucket, ref.v, 0, 1
+  FROM (SELECT DISTINCT bucket FROM d) b CROSS JOIN ref),
+cum AS (
+  SELECT bucket, SUM(ia) OVER w AS ca, SUM(ib) OVER w AS cb
+  FROM u
+  WINDOW w AS (PARTITION BY bucket ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+n AS (SELECT bucket, CAST(SUM(ia) AS DOUBLE) AS na,
+             CAST(SUM(ib) AS DOUBLE) AS nb
+      FROM u GROUP BY bucket),
+ks AS (
+  SELECT cum.bucket, MAX(ABS(cum.ca / n.na - cum.cb / n.nb)) AS d
+  FROM cum JOIN n USING (bucket) GROUP BY cum.bucket)
+SELECT ks.bucket, CAST(n.na AS BIGINT) AS n, ROUND(ks.d, 6) AS ks,
+       ROUND(1.358 * SQRT((n.na + n.nb) / (n.na * n.nb)), 6) AS threshold,
+       ks.d > 1.358 * SQRT((n.na + n.nb) / (n.na * n.nb)) AS drifted
+FROM ks JOIN n USING (bucket)
+"""
+
+    # lsh_bucket_topk, multimodal_features: engine-specific plumbing
+    # (LSH bucket id, fake decoder) — intentionally no oracle →
+    # rows-only check; both are cross-checked in pytest instead
+    # (recall-vs-bruteforce, numpy reimplementation).
     return sqls

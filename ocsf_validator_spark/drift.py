@@ -137,6 +137,7 @@ def ks_by_bucket(
     value_expr: str,
     conv_col: str = "conv_id",
     num_buckets: int = 64,
+    bucket_expr=None,
 ) -> DataFrame:
     """Per-bucket KS vs a broadcast reference sample — the 10^12-turn
     path. Grouped applyInPandas (Arrow batches, vectorized numpy ECDF);
@@ -175,10 +176,12 @@ def ks_by_bucket(
             }
         )
 
+    if bucket_expr is None:
+        bucket_expr = F.pmod(
+            F.xxhash64(F.col(conv_col)), F.lit(num_buckets)
+        ).cast("int")
     staged = df.select(
-        F.pmod(F.xxhash64(F.col(conv_col)), F.lit(num_buckets))
-        .cast("int")
-        .alias("bucket"),
+        bucket_expr.alias("bucket"),
         F.expr(value_expr).cast("double").alias("_v"),
     ).filter(F.col("_v").isNotNull())
     return staged.groupBy("bucket").applyInPandas(

@@ -41,6 +41,7 @@ tests/test_ordered.py, including groups that straddle partitions.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 from typing import Iterator, Sequence
 
@@ -64,6 +65,8 @@ def _sql_str(v) -> str | None:
     if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
         return None
     if hasattr(v, "strftime"):
+        if not hasattr(v, "hour"):  # datetime.date (Spark DATE): no time part
+            return v.strftime("%Y-%m-%d")
         if getattr(v, "microsecond", 0):
             return v.strftime("%Y-%m-%d %H:%M:%S.%f")
         return v.strftime("%Y-%m-%d %H:%M:%S")
@@ -98,8 +101,10 @@ def _ties_str(pdf: pd.DataFrame, ties: Sequence[str]) -> pd.Series:
     if bool(nulls.any()):
         idxs = nulls[nulls].index
         for i in idxs:
+            # pd.isna, not `is None`: strftime over NaT yields NaN (float),
+            # which `is not None` would let through into the str join
             fast.loc[i] = "|".join(
-                c.loc[i] for c in cols if c.loc[i] is not None
+                str(c.loc[i]) for c in cols if not pd.isna(c.loc[i])
             )
     return fast
 
@@ -110,9 +115,18 @@ def scalable_group_violations(
     ties: list[str],
     keys: Sequence[str] = ("conv_id", "turn_idx"),
     num_partitions: int | None = None,
+    row_cs: Sequence = (),
+    cleanup: bool = True,
 ) -> DataFrame:
     """Drop-in replacement for violations.fused_group_violations (group
-    legs only) that survives arbitrarily skewed conversations."""
+    legs only) that survives arbitrarily skewed conversations.
+
+    ``row_cs``: row-level constraints to evaluate over the SAME staged
+    data (a JVM projection over the persisted stage — the skewed subset
+    never needs a second scan of the source for its row checks).
+    ``cleanup=True`` eagerly materializes the result (localCheckpoint),
+    then unpersists the stage and destroys the carry broadcast, so
+    repeated calls in a long-lived session do not accumulate storage."""
     part, idx = keys[0], keys[1]
     spark = df.sparkSession
     mono = [
@@ -126,15 +140,31 @@ def scalable_group_violations(
     order_specs = [
         (c.constraint_id, c.severity.name) for c in cs if isinstance(c, TurnOrdering)
     ]
-    need = [part, idx, *[t for t in ties if t not in (part, idx)]]
-    for _, col, _, _ in mono:
-        if col not in need:
-            need.append(col)
+    if row_cs:
+        need = list(df.columns)  # row legs may reference any column
+    else:
+        need = [part, idx, *[t for t in ties if t not in (part, idx)]]
+        for _, col, _, _ in mono:
+            if col not in need:
+                need.append(col)
     P = num_partitions or spark.sparkContext.defaultParallelism * 2
 
+    # Persist the narrow projection BEFORE repartitionByRange: the range
+    # partitioner runs a sampling job over its child, which would
+    # otherwise re-scan the source (for the runner's skew route that is
+    # a second full read of the input just to draw ~P*20 sample rows).
+    pre = df.select(*need).persist(StorageLevel.MEMORY_AND_DISK)
     staged = (
-        df.select(*need)
-        .repartitionByRange(P, *[F.col(c) for c in [part, idx, *ties]])
+        pre
+        # same null ordering as the sort below (asc_nulls_last on ties),
+        # else null-tie rows of a boundary-straddling duplicate group can
+        # land out of traversal order and skew occurrence ranks
+        .repartitionByRange(
+            P,
+            F.col(part),
+            F.col(idx),
+            *[F.col(t).asc_nulls_last() for t in ties],
+        )
         .sortWithinPartitions(
             F.col(part).asc(),
             F.col(idx).asc(),
@@ -176,12 +206,13 @@ def scalable_group_violations(
             keys_conv, keys_turn = conv.values, turn.values
             while s > 0 and (keys_conv[s - 1], keys_turn[s - 1]) == last_key:
                 s -= 1
-            ts = _ties_str(pdf, ties)
             if continues and s == 0 and batch_single:
                 tail_count += m  # whole batch extends the carry group
             else:
                 tail_count = m - s
-                tail_first = str(ts.iloc[s])
+                # only the tail group's FIRST row ever needs its tie
+                # string here — not the whole batch
+                tail_first = str(_ties_str(pdf.iloc[[s]], ties).iloc[0])
             tail_key = last_key
             last = {c: pdf[c].iloc[-1] for c in data_cols}
             n += m
@@ -213,6 +244,9 @@ def scalable_group_violations(
     summaries = sorted(
         staged.mapInPandas(summarize, summary_ddl).collect(), key=lambda r: r.pid
     )
+    # the Phase A job materialized `staged`; the pre-shuffle projection
+    # has served its purpose (one source scan for sample + stage)
+    pre.unpersist()
 
     # ---- driver prefix scan -> carry-in per partition ---------------------
     carry: dict[int, dict] = {}
@@ -286,8 +320,17 @@ def scalable_group_violations(
                 lag_v = cur.shift(1)
                 if prev is not None and prev.get(col) is not None:
                     pv = prev[col]
-                    if str(cur.dtype).startswith("datetime"):
-                        pv = pd.Timestamp(pv)
+                    if isinstance(pv, str):
+                        # the carry crossed the driver as a JSON string;
+                        # re-parse by the column's actual value type
+                        # (Spark DATE arrives as object-dtype date, not
+                        # datetime64 — dtype prefix alone is not enough)
+                        if str(cur.dtype).startswith("datetime"):
+                            pv = pd.Timestamp(pv)
+                        else:
+                            nn = cur.dropna()
+                            if len(nn) and isinstance(nn.iloc[0], _dt.date):
+                                pv = _dt.date.fromisoformat(pv)
                     lag_v.iloc[0] = pv
                 ok = same_conv & lag_v.notna() & cur.notna()
                 bad = ((cur <= lag_v) if strict else (cur < lag_v)) & ok
@@ -298,21 +341,30 @@ def scalable_group_violations(
                         f"after {_sql_str(lag_v.iloc[i])}"
                     )
 
-            ts_str = None
             if uniq_specs:
-                ts_str = _ties_str(pdf, ties)
                 grp_change = (~same_conv) | (turn != lag_turn)
                 gid = grp_change.cumsum()
                 occ = gid.groupby(gid).cumcount() + 1
-                firsts = ts_str.groupby(gid).transform("first")
                 head_cont = prev is not None and (
                     conv.iloc[0] == prev[part] and turn.iloc[0] == prev[idx]
                 )
+                in_head = gid == gid.iloc[0]
                 if head_cont:
-                    in_head = gid == gid.iloc[0]
                     occ = occ.where(~in_head, occ + state["run_count"])
-                    if state["run_first"] is not None:
-                        firsts = firsts.where(~in_head, state["run_first"])
+                tail_mask = gid == gid.iloc[n - 1]
+                # tie strings are only needed for duplicate groups, the
+                # head group (carry continuation) and the tail group —
+                # a defect-proportional subset; never strftime the whole
+                # batch
+                need_ts = gid.duplicated(keep=False) | tail_mask
+                if head_cont:
+                    need_ts = need_ts | in_head
+                ts_sub = _ties_str(pdf.loc[need_ts], ties)
+                firsts = ts_sub.groupby(gid[need_ts]).transform("first")
+                if head_cont and state["run_first"] is not None:
+                    firsts = firsts.where(
+                        gid[need_ts] != gid.iloc[0], state["run_first"]
+                    )
                 for cid, sev in uniq_specs:
                     dup = occ > 1
                     for i in dup[dup].index:
@@ -320,17 +372,15 @@ def scalable_group_violations(
                         out_rows.append(
                             f"duplicate key ({conv.iloc[i]},{turn.iloc[i]}) "
                             f"occurrence {int(occ.iloc[i])}; "
-                            f"first seen {firsts.iloc[i]}"
+                            f"first seen {firsts.loc[i]}"
                         )
-                tail_all_one = bool((gid == gid.iloc[n - 1]).all())
+                tail_all_one = bool(tail_mask.all())
                 if head_cont and tail_all_one:
                     state["run_count"] += n
                 else:
-                    tail_n = int((gid == gid.iloc[n - 1]).sum())
+                    tail_n = int(tail_mask.sum())
                     state["run_count"] = tail_n
-                    state["run_first"] = str(
-                        ts_str.iloc[n - 1 - (tail_n - 1)]
-                    )
+                    state["run_first"] = str(ts_sub.loc[n - tail_n])
                 state["run_key"] = (conv.iloc[n - 1], turn.iloc[n - 1])
 
             state["prev"] = {c: pdf[c].iloc[-1] for c in data_cols}
@@ -345,4 +395,26 @@ def scalable_group_violations(
                     }
                 )
 
-    return staged.mapInPandas(check, _violation_ddl(part, idx))
+    out = staged.mapInPandas(check, _violation_ddl(part, idx))
+    if row_cs:
+        # row-level legs for the skewed subset: a plain JVM projection
+        # over the ALREADY-PERSISTED stage — no second source scan
+        from ocsf_validator_spark.compile import violation_entry
+
+        entries = F.array_compact(F.array(*[violation_entry(c) for c in row_cs]))
+        rows = staged.select(part, idx, F.explode(entries).alias("_v")).select(
+            F.col("_v.constraint_id").alias("constraint_id"),
+            F.col(part).cast("string").alias(part),
+            F.col(idx).cast("int").alias(idx),
+            F.col("_v.reason").alias("reason"),
+            F.col("_v.severity").alias("severity"),
+        )
+        out = out.unionByName(rows)
+    if cleanup:
+        # violations are defect-proportional (tiny vs the stage): pin
+        # them eagerly, then release the stage + carry so long-lived
+        # sessions (runner loops, benchmarks) don't accumulate storage
+        out = out.localCheckpoint(eager=True)
+        staged.unpersist()
+        bcarry.destroy()
+    return out

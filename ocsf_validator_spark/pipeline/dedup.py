@@ -33,20 +33,48 @@ _MD5_HASH = "cast(conv(substring(md5({x}), 1, 8), 16, 10) as bigint)"
 
 
 def exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = False,
 ) -> DataFrame:
     """(id, keep_id) for every row whose ``text_col`` duplicates an
-    earlier (min-id) row. GroupBy text benefits from map-side combine;
-    only duplicated keys survive to the join."""
+    earlier (min-id) row.
+
+    The raw document body NEVER crosses an exchange: grouping and the
+    join back key on (xxhash64(text), xxhash64(1, text), length(text)) —
+    a 128-bit content key computed map-side, so the shuffle carries 20
+    bytes per row instead of full texts. At 10^12 docs the chance of any
+    128-bit collision is ~1e-15; ``verify=True`` adds a belt-and-braces
+    text-equality recheck of the survivor pairs via broadcast joins
+    (only sensible when the duplicate set is broadcast-small)."""
+    key = [
+        F.xxhash64(F.col(text_col)).alias("_h1"),
+        F.xxhash64(F.lit(1), F.col(text_col)).alias("_h2"),
+        F.length(F.col(text_col)).alias("_len"),
+    ]
+    keyed = df.select(F.col(id_col), *key)
     canon = (
-        df.groupBy(text_col)
+        keyed.groupBy("_h1", "_h2", "_len")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > 1)
         .drop("_n")
     )
-    return (
-        df.join(canon, text_col)
+    pairs = (
+        keyed.join(canon, ["_h1", "_h2", "_len"])
         .filter(F.col(id_col) != F.col("keep_id"))
+        .select(F.col(id_col), F.col("keep_id"))
+    )
+    if not verify:
+        return pairs
+    left = df.select(F.col(id_col), F.col(text_col).alias("_ta"))
+    right = df.select(
+        F.col(id_col).alias("keep_id"), F.col(text_col).alias("_tb")
+    )
+    return (
+        left.join(F.broadcast(pairs), id_col)
+        .join(right, "keep_id")
+        .filter(F.col("_ta") == F.col("_tb"))
         .select(F.col(id_col), F.col("keep_id"))
     )
 
@@ -86,21 +114,43 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
-    """Distinct (a_id, b_id) pairs colliding in ≥1 LSH band. Each band is
-    an equi-join on the band's hash tuple — broadcast-free sort-merge /
-    shuffled-hash joins on high-cardinality keys, output proportional to
-    true collisions, never n²."""
+    """Distinct (a_id, b_id) pairs colliding in ≥1 LSH band.
+
+    All bands ride ONE self-join: each signature explodes into
+    (band_no, band_key) rows and the join keys on that pair — the
+    signature aggregation is computed once and both join sides share the
+    identical exchange (ReusedExchange), instead of n_bands separate
+    equi-joins each re-running the signature DAG. Output stays
+    proportional to true collisions, never n²."""
     n_bands = n_hashes // band_size
-    out = None
-    for b in range(n_bands):
-        cols = [f"m{i}" for i in range(b * band_size, (b + 1) * band_size)]
-        a = sig.select(F.col(id_col).alias("a_id"), *cols)
-        bb = sig.select(F.col(id_col).alias("b_id"), *cols)
-        leg = a.join(bb, cols).filter(F.col("a_id") < F.col("b_id")).select(
-            "a_id", "b_id"
-        )
-        out = leg if out is None else out.unionByName(leg)
-    return out.distinct()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{i}").cast("string")
+                        for i in range(b * band_size, (b + 1) * band_size)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    ex = sig.select(F.col(id_col), F.explode(bands).alias("_bk")).select(
+        F.col(id_col),
+        F.col("_bk.band").alias("_band"),
+        F.col("_bk.key").alias("_key"),
+    )
+    a = ex.select(F.col(id_col).alias("a_id"), "_band", "_key")
+    b = ex.select(F.col(id_col).alias("b_id"), "_band", "_key")
+    return (
+        a.join(b, ["_band", "_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
 
 
 def jaccard_pairs(

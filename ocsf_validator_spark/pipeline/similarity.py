@@ -113,28 +113,56 @@ def lsh_bucket_topk(
 
 def embedding_near_dup_pairs(
     df: DataFrame,
-    block_col: str = "label",
+    block_cols: tuple[str, ...] = (),
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
 ) -> DataFrame:
-    """(a_id, b_id, cos_sim) pairs above ``threshold`` within blocking
-    groups — embedding-cosine near-duplicate detection. The block join
-    bounds candidates; at scale use ``hyperplane_bucket_col`` as the
-    block to avoid quadratic blowup inside big groups."""
-    a = df.select(
-        F.col(block_col), F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va")
-    )
-    b = df.select(
-        F.col(block_col), F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb")
-    )
-    return (
-        a.join(b, block_col)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            F.expr(cosine_expr(_dbl("_va"), _dbl("_vb"))).alias("cos_sim"),
+    """(a_id, b_id, cos_sim) pairs above ``threshold`` — embedding-cosine
+    near-duplicate detection.
+
+    The default block is the random-hyperplane LSH bucket (union over
+    ``n_tables`` independent tables for recall), NOT a data column: a
+    column block (e.g. one giant `label` group) makes the self-join
+    quadratic inside the block, while 2^n_planes buckets keep every
+    block ~n/2^n_planes regardless of label skew. ``block_cols`` adds
+    exact equality keys on top (pairs must also agree on those)."""
+    legs = []
+    for t in range(n_tables):
+        bucket = hyperplane_bucket_col(vec_col, dim, n_planes, seed + t)
+        keyed = df.select(
+            bucket.alias("_bucket"),
+            *block_cols,
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
         )
-        .filter(F.col("cos_sim") >= threshold)
-    )
+        a = keyed.select(
+            "_bucket",
+            *block_cols,
+            F.col(id_col).alias("a_id"),
+            F.col("_v").alias("_va"),
+        )
+        b = keyed.select(
+            "_bucket",
+            *block_cols,
+            F.col(id_col).alias("b_id"),
+            F.col("_v").alias("_vb"),
+        )
+        legs.append(
+            a.join(b, ["_bucket", *block_cols])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select(
+                "a_id",
+                "b_id",
+                F.expr(cosine_expr(_dbl("_va"), _dbl("_vb"))).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.distinct() if n_tables > 1 else out

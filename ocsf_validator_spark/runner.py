@@ -63,6 +63,7 @@ class RunResult:
     summary_rows: list = field(default_factory=list)
     manifest_entries: list = field(default_factory=list)
     skipped_buckets: int = 0
+    timings: dict = field(default_factory=dict)  # per-phase wall seconds
 
     @property
     def throughput(self) -> float:
@@ -86,6 +87,13 @@ def run_validation(
     suite = suite or transcript_suite()
     threshold = Severity.WARNING if strict else Severity.ERROR
     t0 = time.time()
+    timings: dict[str, float] = {}
+    _mark = [t0]
+
+    def lap(phase: str) -> None:
+        now = time.time()
+        timings[phase] = round(now - _mark[0], 3)
+        _mark[0] = now
 
     def say(msg: str) -> None:
         if not quiet:
@@ -98,6 +106,7 @@ def run_validation(
     audit = dataset_findings(
         df.limit(0), suite, include_coverage=False
     ).collect()
+    lap("audit")
     fatal = [r for r in audit if r.severity == "FATAL"]
     if fatal:
         for r in fatal:
@@ -135,6 +144,7 @@ def run_validation(
         .select("bucket", "n_rows", *cov_aggs)
         .collect()
     )
+    lap("stats")
     n_rows = sum(r.n_rows for r in bucket_stats)
     observed = [int(r.bucket) for r in bucket_stats]
     observed_enums = {
@@ -166,9 +176,11 @@ def run_validation(
     # Phase 3 — violations: two fused scans (row projection + conv
     # window) plus the bounded coverage agg. Cached only when the rows
     # are consumed twice (parquet sink + verdict counts).
+    lap("skew_probe")
     viol = all_violations(
         df, suite, observed_enums=observed_enums, skewed_convs=skewed
     )
+    lap("violations_build")
     if violations_out:
         viol = viol.cache()
         viol.write.mode("append").parquet(violations_out)
@@ -180,6 +192,7 @@ def run_validation(
         df, viol, suite, conv_col=conv_col, num_buckets=num_buckets,
         threshold=threshold, observed_buckets=observed,
     ).collect()
+    lap("verdict")
     if violations_out:
         viol.unpersist()
     if verdicts_out:
@@ -217,7 +230,9 @@ def run_validation(
         f"validated {n_rows} turns in {wall:.1f}s "
         f"({n_rows / wall if wall else 0:,.0f} turns/sec); exit={code}"
     )
-    return RunResult(code, n_rows, n_violations, wall, summary, entries, skipped)
+    return RunResult(
+        code, n_rows, n_violations, wall, summary, entries, skipped, timings
+    )
 
 
 def main(argv: list[str] | None = None) -> int:

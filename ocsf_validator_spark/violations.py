@@ -520,11 +520,13 @@ def all_violations(
             ~F.col(part).isin(*skewed_convs) | F.col(part).isNull()
         )
         row_cs = [c for c in suite.row_level() if _present(df, [c.column])]
-        main = (
-            fused_group_violations(small, *fused, keys, row_cs=row_cs)
-            .unionByName(row_violations(big, suite, keys))
-            .unionByName(
-                scalable_group_violations(big, fused[0], fused[1], keys)
+        main = fused_group_violations(
+            small, *fused, keys, row_cs=row_cs
+        ).unionByName(
+            # the skewed subset's row legs ride the same staged sort as
+            # its group checks — one scan of the source for everything
+            scalable_group_violations(
+                big, fused[0], fused[1], keys, row_cs=row_cs
             )
         )
     elif fused:
