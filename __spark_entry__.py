@@ -396,6 +396,122 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _props_k_residual(pdf):
+    """Residual rule over the raw JSON payload: props.k must be in
+    [0, 50]. Deliberately NOT a Column expression — exercises the
+    Arrow-batched PandasCheck leg (reference validate_metaschemas,
+    validators.py:278-314)."""
+    import json
+
+    def _k(s):
+        if s is None:
+            return None
+        try:
+            v = json.loads(s).get("k")
+        except Exception:
+            return None
+        return v if isinstance(v, int) else None
+
+    ks = pdf["props"].map(_k)
+    mask = ks.notna() & (ks > 50)
+    reasons = (
+        "props.k="
+        + ks.fillna(-1).astype(int).astype(str)
+        + " outside residual range [0, 50]"
+    )
+    return mask, reasons
+
+
+def q_residual_props_range(spark: SparkSession, sf: str) -> DataFrame:
+    from ocsf_validator_spark.spec import PandasCheck
+    from ocsf_validator_spark.violations import residual_violations
+
+    ev = _t(spark, sf, "events").select("event_id", "props")
+    suite = ConstraintSet(
+        name="residual",
+        constraints=[
+            PandasCheck(
+                column="props",
+                columns=("props",),
+                check=_props_k_residual,
+                check_id="props_k_range",
+            )
+        ],
+    )
+    return residual_violations(ev, suite, keys=("event_id",))
+
+
+def q_payload_unknown_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested-payload key conformance: props parsed with from_json into
+    a map column, map_keys ⊆ allowed (MapKeysIn); second leg uses a
+    value-derived key so reasons vary per row."""
+    from ocsf_validator_spark.spec import MapKeysIn
+    from ocsf_validator_spark.violations import row_violations
+
+    ev = _t(spark, sf, "events")
+    k_int = F.get_json_object("props", "$.k").cast("int")
+    t = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,string>").alias("props_map"),
+        F.map_from_arrays(
+            F.array(F.concat(F.lit("k"), (k_int % 4).cast("string"))),
+            F.array(k_int.cast("string")),
+        ).alias("tag_map"),
+    )
+    suite = ConstraintSet(
+        name="payload",
+        constraints=[
+            MapKeysIn(column="props_map", allowed=("v", "tag")),
+            MapKeysIn(column="tag_map", allowed=("k0", "k1")),
+        ],
+    )
+    return row_violations(t, suite, keys=("event_id",))
+
+
+def q_parse_corrupt_props(spark: SparkSession, sf: str) -> DataFrame:
+    """PERMISSIVE JSON parse -> corrupt-record violations (SURVEY S2's
+    non-fatal leg): every 37th payload is deterministically mangled, the
+    parse keeps going and flags exactly those rows."""
+    from ocsf_validator_spark.sources import corrupt_json_violations
+
+    ev = _t(spark, sf, "events")
+    t = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 37 == 0, F.concat(F.lit("{"), F.col("props"))
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    return corrupt_json_violations(
+        t, "props", keys=("event_id",), schema="map<string,int>"
+    )
+
+
+def q_type_routing_events(spark: SparkSession, sf: str) -> DataFrame:
+    """M3 type-inference routing: first-match when-chain assigns each
+    event a record type; unmatched rows surface through the
+    UndetectableType violation leg (reference TypeMapping,
+    type_mapping.py:41-47)."""
+    from ocsf_validator_spark.compile import rec_type_col, undetectable_type_violations
+
+    ev = _t(spark, sf, "events")
+    rules = [
+        ("event_type IN ('click', 'view')", "interaction"),
+        ("event_type IN ('purchase', 'signup')", "commerce"),
+        ("value >= 900", "outlier"),  # first-match: only non-enum rows reach this
+    ]
+    typed = ev.select(
+        "event_id", rec_type_col(rules).alias("rec_type")
+    ).filter(F.col("rec_type").isNotNull())
+    undet = undetectable_type_violations(rules=rules, df=ev, keys=("event_id",))
+    return typed.unionByName(
+        undet.select(
+            "event_id", F.concat(F.lit("UNDETECTABLE: "), "reason").alias("rec_type")
+        )
+    )
+
+
 def q_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
     """Decimal end-to-end: cast INPUTS to decimal, multiply exactly
     (products stay within precision 38, no intermediate rounding), sum
@@ -501,6 +617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "type_routing_events": q_type_routing_events,
+        "residual_props_range": q_residual_props_range,
+        "payload_unknown_keys": q_payload_unknown_keys,
+        "parse_corrupt_props": q_parse_corrupt_props,
         "q1_pricing": q_q1_pricing,
         "top_revenue_orders": q_top_revenue_orders,
         "revenue_by_nation": q_revenue_by_nation,
@@ -952,6 +1072,50 @@ SELECT ks.bucket, CAST(n.na AS BIGINT) AS n, ROUND(ks.d, 6) AS ks,
        ROUND(1.358 * SQRT((n.na + n.nb) / (n.na * n.nb)), 6) AS threshold,
        ks.d > 1.358 * SQRT((n.na + n.nb) / (n.na * n.nb)) AS drifted
 FROM ks JOIN n USING (bucket)
+"""
+
+    sqls["type_routing_events"] = """
+WITH typed AS (
+  SELECT event_id,
+         CASE WHEN event_type IN ('click', 'view') THEN 'interaction'
+              WHEN event_type IN ('purchase', 'signup') THEN 'commerce'
+              WHEN value >= 900 THEN 'outlier'
+              ELSE NULL END AS rec_type
+  FROM events)
+SELECT event_id, rec_type FROM typed WHERE rec_type IS NOT NULL
+UNION ALL
+SELECT event_id, 'UNDETECTABLE: record matches none of 3 type rules'
+FROM typed WHERE rec_type IS NULL
+"""
+
+    sqls["residual_props_range"] = """
+SELECT 'residual.props_k_range' AS constraint_id, event_id,
+       'props.k=' || CAST(json_extract_string(props, '$.k') AS INTEGER)
+         || ' outside residual range [0, 50]' AS reason,
+       'ERROR' AS severity
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+"""
+
+    sqls["payload_unknown_keys"] = """
+SELECT 'map_keys.props_map' AS constraint_id, event_id,
+       'unknown key(s) [k] in props_map' AS reason, 'ERROR' AS severity
+FROM events WHERE props IS NOT NULL
+UNION ALL
+SELECT 'map_keys.tag_map', event_id,
+       'unknown key(s) [k'
+         || (CAST(json_extract_string(props, '$.k') AS INTEGER) % 4)
+         || '] in tag_map',
+       'ERROR'
+FROM events
+WHERE (CAST(json_extract_string(props, '$.k') AS INTEGER) % 4) >= 2
+"""
+
+    sqls["parse_corrupt_props"] = """
+SELECT 'parse.json' AS constraint_id, event_id,
+       'props is not parseable JSON: ' || substr('{' || props, 1, 64) AS reason,
+       'ERROR' AS severity
+FROM events WHERE event_id % 37 = 0
 """
 
     # lsh_bucket_topk, multimodal_features: engine-specific plumbing

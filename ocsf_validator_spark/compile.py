@@ -25,6 +25,7 @@ from ocsf_validator_spark.spec import (
     Constraint,
     Deprecated,
     InEnum,
+    MapKeysIn,
     MaxLen,
     NotNull,
     Range,
@@ -132,6 +133,23 @@ def compile_range(c: Range) -> RowLeg:
     return pred, reason
 
 
+def compile_map_keys_in(c: MapKeysIn) -> RowLeg:
+    """Unknown keys inside a nested map payload (reference compare_keys
+    recursion, validators.py:59-158, applied to Dict[str, OcsfX] attrs):
+    array_except(map_keys(col), allowed) names the offenders — pure
+    column algebra, no UDF, sorted for deterministic reasons."""
+    col = F.col(c.column)
+    allowed = F.array(*[F.lit(v) for v in c.allowed])
+    extras = F.array_sort(F.array_except(F.map_keys(col), allowed))
+    pred = _scoped(col.isNotNull() & (F.size(extras) > 0), c)
+    reason = F.concat(
+        F.lit(f"unknown key(s) ["),
+        F.concat_ws(",", extras),
+        F.lit(f"] in {c.column}"),
+    )
+    return pred, reason
+
+
 _COMPILERS: dict[type, Callable] = {
     NotNull: compile_not_null,
     InEnum: compile_in_enum,
@@ -140,6 +158,7 @@ _COMPILERS: dict[type, Callable] = {
     Regex: compile_regex,
     MaxLen: compile_max_len,
     Range: compile_range,
+    MapKeysIn: compile_map_keys_in,
 }
 
 
@@ -163,6 +182,41 @@ def violation_entry(c: Constraint) -> Column:
             reason.alias("reason"),
             F.lit(c.severity.name).alias("severity"),
         ),
+    )
+
+
+def rec_type_col(rules: list[tuple[str, str]]) -> Column:
+    """Type-inference routing (reference TypeMapping.update,
+    type_mapping.py:41-47: annotate each record with its type via
+    FIRST-MATCH over path patterns): a when-chain over SQL predicates;
+    rows matching no rule get NULL — the UndetectableTypeError leg."""
+    if not rules:
+        raise ValueError("rec_type_col needs at least one (predicate, type) rule")
+    expr: Column | None = None
+    for pred, name in rules:
+        expr = (
+            F.when(F.expr(pred), F.lit(name))
+            if expr is None
+            else expr.when(F.expr(pred), F.lit(name))
+        )
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+def undetectable_type_violations(
+    df,
+    rules: list[tuple[str, str]],
+    keys=("conv_id", "turn_idx"),
+    constraint_id: str = "typemap.rec_type",
+    severity: str = "ERROR",
+):
+    """Violation rows for records no routing rule claims (reference
+    UndetectableTypeError, type_mapping.py + types.py)."""
+    staged = df.select(*keys, rec_type_col(rules).alias("_rt"))
+    return staged.filter(F.col("_rt").isNull()).select(
+        F.lit(constraint_id).alias("constraint_id"),
+        *keys,
+        F.lit(f"record matches none of {len(rules)} type rules").alias("reason"),
+        F.lit(severity).alias("severity"),
     )
 
 

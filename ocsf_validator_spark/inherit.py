@@ -40,6 +40,7 @@ from ocsf_validator_spark.spec import (
     Deprecated,
     EnumCoverage,
     InEnum,
+    MapKeysIn,
     MaxLen,
     Monotonic,
     NotNull,
@@ -93,6 +94,7 @@ _KINDS: dict[str, type[Constraint]] = {
     "monotonic": Monotonic,
     "schema": AllowedColumns,
     "coverage": EnumCoverage,
+    "map_keys": MapKeysIn,
 }
 
 # spec-dict fields that are not constructor kwargs
@@ -179,12 +181,37 @@ def resolve(
     fulfilled: dict[str, dict[str, Any]] = {}
     in_progress: set[str] = set()
 
-    def _get(target: str, origin: str) -> Mapping[str, Any]:
-        if target not in registry:
-            raise SuiteResolutionError(
-                f"suite {origin!r}: target {target!r} not found"
+    def _imprecise(target: str) -> str | None:
+        """Imprecise-base resolution (reference resolve_imprecise_base,
+        processor.py:162-192: an extends target that misses at its exact
+        path but resolves from a parent directory): a namespaced target
+        'ext/base' falls back to its basename, and a bare 'base' to a
+        UNIQUE '.../base' key. Resolvable-but-imprecise is an INFO-tier
+        warning, not an error (reference `imprecise_inheritance: INFO`)."""
+        base = target.rsplit("/", 1)[-1]
+        if "/" in target and base in registry:
+            return base
+        suffix = [k for k in registry if k.endswith(f"/{target}")]
+        if len(suffix) == 1:
+            return suffix[0]
+        return None
+
+    def _get_name(target: str, origin: str) -> str:
+        if target in registry:
+            return target
+        imp = _imprecise(target)
+        if imp is not None:
+            warnings.append(
+                f"INFO suite {origin!r}: imprecise target {target!r} "
+                f"resolved to {imp!r}"
             )
-        return registry[target]
+            return imp
+        raise SuiteResolutionError(
+            f"suite {origin!r}: target {target!r} not found"
+        )
+
+    def _get(target: str, origin: str) -> Mapping[str, Any]:
+        return registry[_get_name(target, origin)]
 
     def _resolve(n: str) -> dict[str, Any]:
         if n in fulfilled:
@@ -213,9 +240,7 @@ def resolve(
             parents.append(spec["extends"])
         parents += [p for p in profiles if p not in redundant]
         for p in parents:
-            parent = _resolve(p) if p in registry else None
-            if parent is None:
-                raise SuiteResolutionError(f"suite {n!r}: target {p!r} not found")
+            parent = _resolve(_get_name(p, n))
             # subject keys win; constraint specs merge field-wise
             deep_merge(merged["constraints"], parent["constraints"])
             deep_merge(merged["dictionary"], parent["dictionary"])

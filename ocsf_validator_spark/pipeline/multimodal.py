@@ -63,12 +63,16 @@ def payload_metadata(media: DataFrame) -> DataFrame:
 
 def _fake_feature(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real decoder+encoder: bytes →
-    fixed-dim feature by folding byte values into ``dim`` buckets."""
-    acc = [0.0] * dim
-    for i, b in enumerate(payload):
-        acc[i % dim] += float(b)
-    n = max(len(payload), 1)
-    return [v / n for v in acc]
+    fixed-dim feature by folding byte values into ``dim`` buckets
+    (vectorized: numpy frombuffer + reshape-sum, no per-byte loop)."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    n = max(len(arr), 1)
+    pad = (-len(arr)) % dim
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad)])
+    return (arr.reshape(-1, dim).sum(axis=0) / n).tolist()
 
 
 def decode_features(

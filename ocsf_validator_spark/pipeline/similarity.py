@@ -69,7 +69,11 @@ def hyperplane_bucket_col(
     """Random-hyperplane LSH bucket id in [0, 2^n_planes): sign bits of
     dot products with ``n_planes`` deterministic pseudo-random planes.
     Plane components derive from md5(seed, plane, dim-index) → uniform
-    in [-0.5, 0.5): fully reproducible, no RNG state, portable SQL."""
+    in [-0.5, 0.5): fully reproducible, no RNG state, portable SQL.
+    ``n_planes=0`` puts every row in bucket 0 (the exact/no-blocking
+    degenerate case, useful as a brute-force baseline)."""
+    if n_planes == 0:
+        return F.lit(0).cast("int")
     terms = []
     for p in range(n_planes):
         comp = (
@@ -90,25 +94,31 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     dim: int = 64,
     n_planes: int = 8,
+    n_tables: int = 2,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: score only rows sharing the probe's LSH bucket.
-    At scale the bucket is a partition key → partition pruning makes a
-    probe touch 1/2^n_planes of the data."""
-    bucketed = df.withColumn(
-        "_bucket", hyperplane_bucket_col(vec_col, dim, n_planes, seed)
-    )
+    """Approximate top-k: score only rows sharing the probe's LSH bucket
+    in AT LEAST ONE of ``n_tables`` independent hash tables (per-table
+    miss probability multiplies: recall = 1-(1-p)^T). One scan with an
+    OR-of-buckets predicate; at scale each table's bucket is a partition
+    key → a probe touches ~T/2^n_planes of the data."""
+    seeds = [seed + t for t in range(n_tables)]
     probe_df = df.sparkSession.createDataFrame(
         [(probe,)], f"{vec_col} array<double>"
-    ).withColumn("_bucket", hyperplane_bucket_col(vec_col, dim, n_planes, seed))
-    probe_bucket = probe_df.collect()[0]["_bucket"]
-    return cosine_topk(
-        bucketed.filter(F.col("_bucket") == probe_bucket),
-        probe,
-        k,
-        vec_col,
-        id_col,
+    ).select(
+        *[
+            hyperplane_bucket_col(vec_col, dim, n_planes, s).alias(f"_b{t}")
+            for t, s in enumerate(seeds)
+        ]
     )
+    probe_buckets = probe_df.collect()[0]
+    pred = None
+    for t, s in enumerate(seeds):
+        leg = hyperplane_bucket_col(vec_col, dim, n_planes, s) == int(
+            probe_buckets[t]
+        )
+        pred = leg if pred is None else (pred | leg)
+    return cosine_topk(df.filter(pred), probe, k, vec_col, id_col)
 
 
 def embedding_near_dup_pairs(

@@ -50,7 +50,7 @@ from ocsf_validator_spark.verdict import (
 from ocsf_validator_spark.violations import (
     all_violations,
     dataset_findings,
-    detect_skewed_convs,
+    detect_skewed_conv_counts,
 )
 
 
@@ -161,16 +161,23 @@ def run_validation(
     # get routed to the range-partitioned ordered path. Threshold: ~4x
     # the expected rows-per-shuffle-partition (never below 1M rows).
     skewed: list[str] = []
+    ordered_partitions = None
     if detect_skew:
         parallelism = int(
             spark.conf.get("spark.sql.shuffle.partitions", "200")
         )
         skew_rows = max(1_000_000, 4 * n_rows // max(parallelism, 1))
-        skewed = detect_skewed_convs(df, conv_col, skew_rows)
+        skewed_counts = detect_skewed_conv_counts(df, conv_col, skew_rows)
+        skewed = [c for c, _ in skewed_counts]
         if skewed:
+            # partition the ordered path by DATA SIZE (~250k rows/task),
+            # not by core count — identical plan at every cluster size
+            n_big = sum(n for _, n in skewed_counts)
+            ordered_partitions = max(8, -(-n_big // 250_000))
             say(
                 f"skew: routing {len(skewed)} conversations >= {skew_rows} "
-                "rows to the range-partitioned path"
+                f"rows ({n_big} rows) to the range-partitioned path "
+                f"({ordered_partitions} partitions)"
             )
 
     # Phase 3 — violations: two fused scans (row projection + conv
@@ -178,7 +185,11 @@ def run_validation(
     # are consumed twice (parquet sink + verdict counts).
     lap("skew_probe")
     viol = all_violations(
-        df, suite, observed_enums=observed_enums, skewed_convs=skewed
+        df,
+        suite,
+        observed_enums=observed_enums,
+        skewed_convs=skewed,
+        ordered_partitions=ordered_partitions,
     )
     lap("violations_build")
     if violations_out:
@@ -243,6 +254,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--suite-json", help="suite registry JSON (uses inherit.resolve)")
     p.add_argument("--suite-name", default="transcripts")
     p.add_argument("--strict", action="store_true", help="WARNING also fails (reference strict mode)")
+    p.add_argument(
+        "--severity",
+        action="append",
+        default=[],
+        metavar="CONSTRAINT_ID=LEVEL",
+        help="remap one constraint's severity (repeatable), e.g. "
+        "--severity deprecated.role=ERROR --severity ref.tool=IGNORE "
+        "(reference ValidatorOptions, runner.py:57-116)",
+    )
     p.add_argument("--buckets", type=int, default=DEFAULT_BUCKETS)
     p.add_argument("--checkpoint", help="manifest directory for resume")
     p.add_argument("--violations-out")
@@ -280,6 +300,16 @@ def main(argv: list[str] | None = None) -> int:
             # compile-phase failure is FATAL (reference exits 2 when the
             # schema/dependency graph cannot be resolved)
             print(f"[FATAL] suite compilation failed: {e}")
+            return 2
+
+    if args.severity:
+        try:
+            overrides = dict(s.split("=", 1) for s in args.severity)
+            suite = (suite or transcript_suite()).with_severities(overrides)
+        except (KeyError, ValueError) as e:
+            # a typo'd constraint id or level is a config error — FATAL,
+            # never a silently-kept default severity
+            print(f"[FATAL] bad --severity: {e}")
             return 2
 
     res = run_validation(

@@ -76,6 +76,57 @@ def load_table(
     )
 
 
+def parse_json_column(
+    df: DataFrame,
+    column: str,
+    schema: str = "map<string,string>",
+    mode: str = "PERMISSIVE",
+    parsed_col: str = "_parsed",
+) -> DataFrame:
+    """Parse a JSON string column the way the reference parses documents
+    (reference reader.py:205-227): FAILFAST raises on the first
+    malformed payload (the runner maps that to exit 2, the reference's
+    [FATAL] JSONDecodeError path), PERMISSIVE keeps going and flags the
+    corrupt rows instead — adds ``parsed_col`` (NULL on corrupt rows)
+    and ``{parsed_col}_corrupt`` (true where the payload was non-null
+    but unparseable), so a ``parse.json`` violation leg can emit them."""
+    from pyspark.sql import functions as F
+
+    parsed = F.from_json(F.col(column), schema, {"mode": mode})
+    out = df.withColumn(parsed_col, parsed)
+    if mode.upper() == "FAILFAST":
+        return out
+    return out.withColumn(
+        f"{parsed_col}_corrupt",
+        F.col(column).isNotNull() & F.col(parsed_col).isNull(),
+    )
+
+
+def corrupt_json_violations(
+    df: DataFrame,
+    column: str,
+    keys=("conv_id", "turn_idx"),
+    constraint_id: str = "parse.json",
+    severity: str = "ERROR",
+    schema: str = "map<string,string>",
+) -> DataFrame:
+    """(constraint_id, keys..., reason, severity) rows for payloads that
+    fail to parse under PERMISSIVE mode — the non-fatal leg of the
+    reference's parse handling (SURVEY S2)."""
+    from pyspark.sql import functions as F
+
+    staged = parse_json_column(df, column, schema, "PERMISSIVE")
+    return staged.filter(F.col("_parsed_corrupt")).select(
+        F.lit(constraint_id).alias("constraint_id"),
+        *keys,
+        F.concat(
+            F.lit(f"{column} is not parseable JSON: "),
+            F.substring(F.col(column), 1, 64),
+        ).alias("reason"),
+        F.lit(severity).alias("severity"),
+    )
+
+
 def write_violations(
     violations: DataFrame, location: str, fmt: str = "parquet"
 ) -> None:

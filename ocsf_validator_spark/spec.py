@@ -146,6 +146,40 @@ class Range(Constraint):
     KIND = "range"
 
 
+@dataclass(frozen=True)
+class MapKeysIn(Constraint):
+    """No unknown keys INSIDE a nested payload (reference
+    validate_no_unknown_keys descending into dict-valued attrs,
+    validators.py:106-158 + compare_keys recursion validators.py:59-103):
+    ``column`` is a map<string,_> column (or a struct path resolving to
+    one); every key must be in ``allowed``. NULL maps never violate."""
+
+    allowed: tuple[str, ...] = ()
+    KIND = "map_keys"
+
+
+@dataclass(frozen=True)
+class PandasCheck(Constraint):
+    """Residual complex rule evaluated in an Arrow-batched pandas pass —
+    the escape hatch for constraints no Column expression can state
+    (reference validate_metaschemas, validators.py:278-314: jsonschema
+    Draft2020-12 over whole documents). ``check(pdf) -> (mask, reasons)``
+    where mask is a boolean Series (True = violation) and reasons is a
+    str Series (or None to use the static ``reason``). ``check_id``
+    (not the function object) feeds constraint_id and the version hash,
+    so checkpoints stay stable across processes."""
+
+    columns: tuple[str, ...] = ()
+    check: Any = field(default=None, repr=False, compare=False)
+    check_id: str = "residual"
+    reason: str = "failed residual check"
+    KIND = "residual"
+
+    @property
+    def constraint_id(self) -> str:
+        return self.id_override or f"{self.KIND}.{self.check_id}"
+
+
 # ---------------------------------------------------------------------------
 # Group-level constraints — compile to aggregations / windows
 # ---------------------------------------------------------------------------
@@ -221,9 +255,10 @@ class EnumCoverage(Constraint):
     KIND = "coverage"
 
 
-ROW_LEVEL = (NotNull, InEnum, Deprecated, TypeCast, Regex, MaxLen, Range)
+ROW_LEVEL = (NotNull, InEnum, Deprecated, TypeCast, Regex, MaxLen, Range, MapKeysIn)
 GROUP_LEVEL = (Unique, TurnOrdering, Monotonic)
 DATASET_LEVEL = (AllowedColumns, EnumCoverage)
+RESIDUAL_LEVEL = (PandasCheck,)
 
 
 @dataclass
@@ -274,6 +309,35 @@ class ConstraintSet:
 
     def dataset_level(self) -> list[Constraint]:
         return [c for c in self.constraints if isinstance(c, DATASET_LEVEL)]
+
+    def residual_level(self) -> list[Constraint]:
+        return [c for c in self.constraints if isinstance(c, RESIDUAL_LEVEL)]
+
+    def with_severities(self, overrides: Mapping[str, "Severity | str | int"]) -> "ConstraintSet":
+        """Per-error-class severity remap (reference ValidatorOptions,
+        runner.py:57-116: ~20 tunable severities like
+        ``unused_attribute: WARN``): a new suite with each listed
+        constraint_id's severity replaced. Unknown ids raise — a config
+        typo must not silently keep the old severity."""
+        import dataclasses
+
+        by_id = self.by_id()
+        unknown = set(overrides) - set(by_id)
+        if unknown:
+            raise KeyError(f"severity override for unknown constraint(s): {sorted(unknown)}")
+        out = [
+            dataclasses.replace(c, severity=Severity.parse(overrides[c.constraint_id]))
+            if c.constraint_id in overrides
+            else c
+            for c in self.constraints
+        ]
+        return ConstraintSet(
+            name=self.name,
+            constraints=out,
+            extends=self.extends,
+            profiles=self.profiles,
+            meta=dict(self.meta),
+        )
 
 
 def transcript_suite(

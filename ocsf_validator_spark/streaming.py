@@ -10,7 +10,10 @@ north-star extension for validating an APPEND-ONLY transcript stream
   family + conversation-window family share one shuffle), appends
   violations to the sink, and writes a per-batch manifest line. Restart
   resumes from the streaming checkpoint — exactly-once per micro-batch
-  via the sink's idempotent (batch_id)-keyed commit.
+  because the sink IS (batch_id)-keyed: each batch overwrites its own
+  ``batch_id=<n>`` partition, so a replay after a failure between the
+  write and the checkpoint commit rewrites the same partition instead
+  of duplicating rows.
 
   Scope note: the conversation-window checks see one micro-batch at a
   time, so they catch intra-batch duplicates/disorder; duplicates that
@@ -82,7 +85,12 @@ def validate_stream(
         viol = all_violations(batch_df, suite, include_coverage=False)
         viol.cache()
         n_viol = viol.count()
-        viol.write.mode("append").parquet(violations_out)
+        # idempotent (batch_id)-keyed commit: a replayed batch
+        # OVERWRITES its own partition directory — at-least-once
+        # foreachBatch delivery becomes exactly-once in the sink
+        viol.write.mode("overwrite").parquet(
+            os.path.join(violations_out, f"batch_id={int(batch_id)}")
+        )
         viol.unpersist()
         if manifest_dir:
             os.makedirs(manifest_dir, exist_ok=True)

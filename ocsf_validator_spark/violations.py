@@ -68,16 +68,47 @@ def _present(df: DataFrame, cols: Sequence[str]) -> bool:
     return all(c in df.columns for c in cols)
 
 
+def _resolve_path(schema: T.StructType, path: str):
+    """DataType of a column or dotted struct path ('meta.width'), or
+    None when it doesn't resolve — the schema-walk analogue of the
+    reference's compare_keys recursion into nested dicts
+    (validators.py:59-103). A literal top-level column named with dots
+    wins over the nested interpretation."""
+    if path in schema.fieldNames():
+        return schema[path].dataType
+    cur: T.DataType = schema
+    for part in path.split("."):
+        if isinstance(cur, T.StructType) and part in cur.fieldNames():
+            cur = cur[part].dataType
+        else:
+            return None
+    return cur
+
+
+def _resolves(df: DataFrame, cols: Sequence[str]) -> bool:
+    return all(_resolve_path(df.schema, c) is not None for c in cols)
+
+
+def _referenced_columns(c) -> list[str]:
+    if isinstance(c, Unique):
+        return [*c.keys, *c.first_seen_order]
+    if isinstance(c, Monotonic):
+        return [c.partition_by, c.order_by, c.column]
+    if isinstance(c, TurnOrdering):
+        return [c.partition_by, c.order_by]
+    cols = getattr(c, "columns", None)  # PandasCheck
+    return list(cols) if cols else [c.column]
+
+
 def row_violations(
     df: DataFrame, suite: ConstraintSet, keys: Sequence[str] = DEFAULT_KEYS
 ) -> DataFrame:
     """All row-level constraints in ONE projection over one scan.
 
-    Constraints whose column is absent are skipped (the reference only
-    errors on absent keys via the required-keys validator, never by
-    crashing another validator); the schema audit in dataset_findings
-    reports missing REQUIRED columns as FATAL."""
-    cs = [c for c in suite.row_level() if _present(df, [c.column])]
+    Constraints whose column doesn't resolve (top-level OR struct path)
+    are skipped here but REPORTED by dataset_findings as an
+    unresolvable-column finding — never a silent skip."""
+    cs = [c for c in suite.row_level() if _resolves(df, [c.column])]
     if not cs or not _present(df, keys):
         return _empty(df, keys)
     entries = F.array_compact(F.array(*[violation_entry(c) for c in cs]))
@@ -438,6 +469,26 @@ def dataset_findings(
                         c.severity.name,
                     )
                 )
+    # a constraint referencing a column that doesn't resolve (top-level
+    # or struct path) is itself a reportable defect — the evaluation
+    # passes skip it, but NEVER silently: the user who declared
+    # NotNull("meta.width") against a schema without it gets a finding,
+    # not a false PASS (reference reports missing attrs the same way).
+    for c in [*suite.row_level(), *suite.group_level(), *suite.residual_level()]:
+        missing = sorted(
+            p for p in set(_referenced_columns(c))
+            if _resolve_path(df.schema, p) is None
+        )
+        if missing:
+            rows.append(
+                (
+                    c.constraint_id,
+                    *nulls,
+                    f"column(s) {','.join(missing)} do not resolve in "
+                    "schema; constraint not evaluated",
+                    c.severity.name,
+                )
+            )
     cov = [
         c
         for c in suite.dataset_level()
@@ -469,13 +520,55 @@ def dataset_findings(
     return spark.createDataFrame(rows, schema)
 
 
-def detect_skewed_convs(
+def residual_violations(
+    df: DataFrame, suite: ConstraintSet, keys: Sequence[str] = DEFAULT_KEYS
+) -> DataFrame:
+    """Residual complex rules (spec.PandasCheck) in ONE Arrow-batched
+    mapInPandas pass — the leg for constraints no Column expression can
+    state (reference validate_metaschemas, validators.py:278-314). All
+    registered checks share the scan; only the referenced columns cross
+    into Python (column-pruned projection); output is violation rows
+    only, so the Arrow return path is defect-proportional."""
+    import pandas as pd
+
+    cs = [c for c in suite.residual_level() if _resolves(df, c.columns)]
+    if not cs or not _present(df, keys):
+        return _empty(df, keys)
+    need = list(dict.fromkeys([*keys, *(col for c in cs for col in c.columns)]))
+    specs = [(c.constraint_id, c.check, c.reason, c.severity.name) for c in cs]
+    schema = _violation_schema(df, keys)
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            for cid, fn, static_reason, sev in specs:
+                mask, reasons = fn(pdf)
+                if mask is None or not bool(mask.any()):
+                    continue
+                sub = pdf.loc[mask]
+                out = {"constraint_id": cid}
+                for k in keys:
+                    out[k] = sub[k]
+                out["reason"] = (
+                    reasons.loc[sub.index]
+                    if reasons is not None
+                    else static_reason
+                )
+                out["severity"] = sev
+                yield pd.DataFrame(out)
+
+    return df.select(*need).mapInPandas(run, schema)
+
+
+def detect_skewed_conv_counts(
     df: DataFrame,
     conv_col: str = "conv_id",
     threshold: int = 1_000_000,
     max_detected: int = 10_000,
-) -> list[str]:
-    """Conversations too large for one window task. groupBy(conv).count
+) -> list[tuple[str, int]]:
+    """[(conv_id, n_rows)] for conversations too large for one window
+    task. groupBy(conv).count reads ONLY the conv column (pruned scan),
     does map-side partial aggregation, and only rows above the threshold
     are collected — bounded output no matter the conversation count."""
     rows = (
@@ -486,7 +579,18 @@ def detect_skewed_convs(
         .limit(max_detected)
         .collect()
     )
-    return [r[0] for r in rows if r[0] is not None]
+    return [(r[0], int(r[1])) for r in rows if r[0] is not None]
+
+
+def detect_skewed_convs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    threshold: int = 1_000_000,
+    max_detected: int = 10_000,
+) -> list[str]:
+    return [
+        c for c, _ in detect_skewed_conv_counts(df, conv_col, threshold, max_detected)
+    ]
 
 
 def all_violations(
@@ -496,6 +600,7 @@ def all_violations(
     include_coverage: bool = True,
     observed_enums: dict | None = None,
     skewed_convs: Sequence[str] | None = None,
+    ordered_partitions: int | None = None,
 ) -> DataFrame:
     """Full suite in as few scans as possible. When the group family is
     window-fusable (the transcript shape), the row family rides the same
@@ -519,23 +624,30 @@ def all_violations(
         small = df.filter(
             ~F.col(part).isin(*skewed_convs) | F.col(part).isNull()
         )
-        row_cs = [c for c in suite.row_level() if _present(df, [c.column])]
+        row_cs = [c for c in suite.row_level() if _resolves(df, [c.column])]
         main = fused_group_violations(
             small, *fused, keys, row_cs=row_cs
         ).unionByName(
             # the skewed subset's row legs ride the same staged sort as
             # its group checks — one scan of the source for everything
             scalable_group_violations(
-                big, fused[0], fused[1], keys, row_cs=row_cs
+                big,
+                fused[0],
+                fused[1],
+                keys,
+                num_partitions=ordered_partitions,
+                row_cs=row_cs,
             )
         )
     elif fused:
-        row_cs = [c for c in suite.row_level() if _present(df, [c.column])]
+        row_cs = [c for c in suite.row_level() if _resolves(df, [c.column])]
         main = fused_group_violations(df, *fused, keys, row_cs=row_cs)
     else:
         main = row_violations(df, suite, keys).unionByName(
             group_violations(df, suite, keys)
         )
+    if suite.residual_level():
+        main = main.unionByName(residual_violations(df, suite, keys))
     return main.unionByName(
         dataset_findings(df, suite, keys, include_coverage, observed_enums)
     )

@@ -171,3 +171,32 @@ def test_unknown_kind_raises():
     registry = {"m": {"constraints": {"x": {"kind": "nope", "column": "a"}}}}
     with pytest.raises(SuiteResolutionError, match="unknown kind"):
         resolve(registry, "m")
+
+
+def test_imprecise_base_resolution_info_tier():
+    """Reference resolve_imprecise_base (processor.py:162-192): an
+    extends target that misses at its exact name but resolves via its
+    basename (or a unique namespaced key) resolves WITH an INFO warning;
+    ambiguous or truly missing targets still error."""
+    from ocsf_validator_spark.inherit import SuiteResolutionError, resolve
+
+    registry = {
+        "base": {"constraints": {"required.a": {"kind": "required", "column": "a"}}},
+        "ns/mix": {"constraints": {"max_len.a": {"kind": "max_len", "column": "a", "max_len": 5}}},
+        "child": {
+            "extends": "ext/base",     # imprecise: basename exists
+            "profiles": ["mix"],        # imprecise: unique ns/ key exists
+            "constraints": {"required.b": {"kind": "required", "column": "b"}},
+        },
+    }
+    warnings: list[str] = []
+    cs = resolve(registry, "child", warnings=warnings)
+    assert set(cs.by_id()) == {"required.a", "required.b", "max_len.a"}
+    assert sum("INFO" in w and "imprecise" in w for w in warnings) == 2
+
+    missing = dict(registry)
+    missing["child"] = {**registry["child"], "extends": "nowhere/at/all"}
+    import pytest as _pytest
+
+    with _pytest.raises(SuiteResolutionError):
+        resolve(missing, "child")

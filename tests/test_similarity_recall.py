@@ -1,0 +1,149 @@
+"""Recall evidence for the approximate similarity paths (round-1 gap:
+lsh_bucket_topk and the bucket-blocked near-dup join had no recall
+check vs the exact formulation), plus a numpy cross-check of the
+multimodal fake-feature stub and an exchange audit of exact dedup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocsf_validator_spark.pipeline import dedup, multimodal, similarity
+
+DIM = 64
+
+
+def _vecs(spark, n_base=300, n_dups=12, seed=7):
+    """Deterministic embeddings: n_base random unit-ish vectors plus
+    n_dups near-duplicates of vector 0 (noise 0.01/dim -> cos ~0.997,
+    so a near-dup flips each of the 8 hyperplane signs w.p. ~0.026)."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_base, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[0] + 0.01 * rng.normal(size=(n_dups, DIM))
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    rows = [
+        (i, [float(x) for x in v], "d" if i >= n_base else "b")
+        for i, v in enumerate(np.vstack([base, dups]))
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label string"
+    ), base[0]
+
+
+def test_lsh_bucket_topk_recall(spark):
+    df, probe_np = _vecs(spark)
+    probe = [float(x) for x in probe_np]
+    exact = [
+        r.vec_id
+        for r in similarity.cosine_topk(
+            df.filter(F.col("vec_id") != 0), probe, k=10
+        ).collect()
+    ]
+    approx = [
+        r.vec_id
+        for r in similarity.lsh_bucket_topk(
+            df.filter(F.col("vec_id") != 0), probe, k=10
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    # near-dups of the probe dominate the true top-10 and share its
+    # hyperplane signs with high probability; fixed seed -> deterministic
+    assert recall >= 0.6, f"recall@10 = {recall} ({approx} vs {exact})"
+    # everything the bucket path returns must be genuinely high-cosine
+    assert set(approx) <= set(
+        r.vec_id
+        for r in similarity.cosine_topk(
+            df.filter(F.col("vec_id") != 0), probe, k=30
+        ).collect()
+    )
+
+
+def test_near_dup_bucket_blocking_recall(spark):
+    df, _ = _vecs(spark)
+    brute = similarity.embedding_near_dup_pairs(
+        df, threshold=0.95, n_planes=0, n_tables=1
+    )
+    # n_planes=0 => every row in bucket 0 => exact all-pairs baseline
+    exact_pairs = {(r.a_id, r.b_id) for r in brute.collect()}
+    assert len(exact_pairs) >= 60  # the 13 near-dups of v0 inter-match
+    got = {
+        (r.a_id, r.b_id)
+        for r in similarity.embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert got <= exact_pairs  # no false positives ever
+    recall = len(got) / len(exact_pairs)
+    assert recall >= 0.6, f"near-dup recall = {recall}"
+
+
+def test_fake_feature_matches_numpy(spark):
+    d = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 37), (3, "")],
+        "doc_id bigint, text string",
+    )
+    feats = {
+        r.id: (r.n_bytes, r.sha256, r.feature)
+        for r in multimodal.decode_features(
+            multimodal.attach_payload(d), dim=8
+        ).collect()
+    }
+    import hashlib
+
+    for _, txt in [(1, "hello world"), (2, "x" * 37), (3, "")]:
+        b = txt.encode()
+        doc_id = {("hello world"): 1, ("x" * 37): 2, (""): 3}[txt]
+        n_bytes, sha, feature = feats[doc_id]
+        assert n_bytes == len(b)
+        assert sha == hashlib.sha256(b).hexdigest()
+        # independent reimplementation: fold bytes into 8 buckets
+        acc = [0.0] * 8
+        for i, v in enumerate(b):
+            acc[i % 8] += float(v)
+        want = [v / max(len(b), 1) for v in acc]
+        assert feature == pytest.approx(want)
+
+
+def test_exact_dedup_no_text_in_exchange(spark):
+    d = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc"), (6, "bbb")],
+        "doc_id bigint, text string",
+    )
+    pairs = dedup.exact_duplicates(d)
+    got = sorted((r.doc_id, r.keep_id) for r in pairs.collect())
+    assert got == [(3, 1), (4, 1), (6, 2)]
+    # plan audit: no Exchange carries the raw text column
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = pairs._jdf.queryExecution().explainString(mode)
+    blocks = plan.split("\n\n")
+    for b in blocks:
+        if ") Exchange" in b.split("\n")[0]:
+            assert "text#" not in b, f"text crossed an exchange:\n{b}"
+    # verify leg agrees (hash collisions absent here by construction)
+    verified = sorted(
+        (r.doc_id, r.keep_id)
+        for r in dedup.exact_duplicates(d, verify=True).collect()
+    )
+    assert verified == got
+
+
+def test_lsh_candidate_pairs_reuses_exchange(spark):
+    d = spark.createDataFrame(
+        [(i, f"w{i % 7} common tokens here for all docs {i % 3}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    # the static ReuseExchange rule is visible with AQE off (under AQE
+    # the same reuse happens at runtime via stage reuse)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sig = dedup.minhash_signatures(d, n_hashes=8, k=2)
+        pairs = dedup.lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        plan = pairs._jdf.queryExecution().explainString(mode)
+        # one signature aggregation feeding both join sides
+        assert "ReusedExchange" in plan, plan
+        assert pairs.count() > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

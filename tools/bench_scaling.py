@@ -57,20 +57,23 @@ CHILD = textwrap.dedent(
     df = spark.read.parquet(inp)
     n = df.count()
     import gc
-    walls = []
+    walls, phases = [], []
     for i in range(runs + 2):  # 2 warmups: JVM JIT reaches steady state on run 3
         t0 = time.time()
         res = run_validation(spark, df, quiet=True)
         w = time.time() - t0
         if i > 1:
             walls.append(w)
+            phases.append(res.timings)
+        sys.stderr.write(f"  local[{{cores}}] run {{i}}: {{w:.1f}}s {{res.timings}}\\n")
+        sys.stderr.flush()
         # drain the ContextCleaner between runs: without this, shuffle
         # state from prior runs accumulates (the driver heap is large,
         # so no natural GC fires) and later runs degrade 2-4x
         gc.collect()
         spark._jvm.System.gc()
         time.sleep(2)
-    print(json.dumps({{"cores": cores, "n_rows": n, "walls": walls}}))
+    print(json.dumps({{"cores": cores, "n_rows": n, "walls": walls, "phases": phases}}))
     """
 )
 
@@ -83,6 +86,9 @@ def run_level(cores: int, inp: str, runs: int) -> dict:
         text=True,
         cwd=REPO,
     )
+    for line in out.stderr.splitlines():
+        if line.startswith("  local["):
+            print(line, file=sys.stderr)
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError(f"local[{cores}] probe failed (see stderr above)")
