@@ -171,9 +171,13 @@ def run_validation(
         skewed = [c for c, _ in skewed_counts]
         if skewed:
             # partition the ordered path by DATA SIZE (~250k rows/task),
-            # not by core count — identical plan at every cluster size
+            # rounded UP to a multiple of the available slots so the
+            # Arrow stages run full waves (13 partitions on 8 cores is
+            # a 1.6-wave schedule with a 38%-idle tail)
             n_big = sum(n for _, n in skewed_counts)
-            ordered_partitions = max(8, -(-n_big // 250_000))
+            p = max(8, -(-n_big // 250_000))
+            dp = max(spark.sparkContext.defaultParallelism, 1)
+            ordered_partitions = -(-p // dp) * dp
             say(
                 f"skew: routing {len(skewed)} conversations >= {skew_rows} "
                 f"rows ({n_big} rows) to the range-partitioned path "

@@ -76,6 +76,28 @@ def load_table(
     )
 
 
+def list_partitions(spark: SparkSession, location: str) -> list[dict]:
+    """Source partition/file listing (reference FileReader._walk,
+    reader.py:205-227 walks the schema directory tree): for an Iceberg
+    table, the partitions metadata table; for a parquet location, the
+    concrete files with sizes via the Hadoop FS API (no data read).
+    Returns [{path, bytes}] (parquet) or the partition rows (Iceberg)."""
+    if "/" not in location and iceberg_available(spark):
+        return [r.asDict() for r in spark.sql(f"SELECT * FROM {location}.partitions").collect()]
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(location)
+    fs = path.getFileSystem(conf)
+    out = []
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if p.endswith(".parquet"):
+            out.append({"path": p, "bytes": int(st.getLen())})
+    return out
+
+
 def parse_json_column(
     df: DataFrame,
     column: str,

@@ -149,3 +149,15 @@ def test_load_table_parquet_fallback(spark, tmp_path):
     assert h2.snapshot_id != h.snapshot_id
     # sandbox has no Iceberg runtime; the probe must say so (not raise)
     assert iceberg_available(spark) in (True, False)
+
+
+def test_list_partitions_parquet(spark, tmp_path):
+    """S6: source file/partition listing without reading data."""
+    from ocsf_validator_spark import sources
+    from ocsf_validator_spark.synth import synth_transcripts
+
+    out = str(tmp_path / "t.parquet")
+    synth_transcripts(spark, n_turns=1000).repartition(3).write.parquet(out)
+    files = sources.list_partitions(spark, out)
+    assert len(files) == 3
+    assert all(f["path"].endswith(".parquet") and f["bytes"] > 0 for f in files)

@@ -50,6 +50,14 @@ CHILD = textwrap.dedent(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
+        # make the JVM a faithful N-core machine: without this, the
+        # low-parallelism level borrows the 32-core host's GC + JIT
+        # threads for free (a real N-core executor has N cores for
+        # everything), which flatters level N and understates efficiency
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={{cores}}",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -105,6 +113,14 @@ def measure_pair(lo: int, hi: int, inp: str, runs: int) -> dict:
     med = {c: statistics.median(r["walls"]) for c, r in results.items()}
     tput = {c: n / med[c] for c in med}
     eff = (tput[hi] / tput[lo]) / (hi / lo)
+
+    def phase_median(r: dict) -> dict:
+        keys = r["phases"][0].keys() if r.get("phases") else []
+        return {
+            k: round(statistics.median(p[k] for p in r["phases"]), 2)
+            for k in keys
+        }
+
     return {
         "lo": lo,
         "hi": hi,
@@ -116,6 +132,7 @@ def measure_pair(lo: int, hi: int, inp: str, runs: int) -> dict:
                 "walls_sec": [round(w, 2) for w in results[c]["walls"]],
                 "median_sec": round(med[c], 2),
                 "turns_per_sec": round(tput[c], 1),
+                "phase_median_sec": phase_median(results[c]),
             }
             for c in (lo, hi)
         },
@@ -183,6 +200,22 @@ def _finish(measured: list, args) -> None:
     def pair_md(m: dict) -> str:
         lo, hi = m["lo"], m["hi"]
         L = m["levels"]
+        phases = list(L[str(lo)].get("phase_median_sec", {}).keys())
+        phase_rows = ""
+        if phases:
+            phase_rows = (
+                "\nPer-phase wall (median, s — audit/stats/probe are the "
+                "fixed per-run jobs; `verdict` executes the fused "
+                "violations+verdict plan):\n\n"
+                "| phase | " + " | ".join(phases) + " |\n"
+                "|---|" + "---|" * len(phases) + "\n"
+                + f"| local[{lo}] | "
+                + " | ".join(str(L[str(lo)]["phase_median_sec"][p]) for p in phases)
+                + " |\n"
+                + f"| local[{hi}] | "
+                + " | ".join(str(L[str(hi)]["phase_median_sec"][p]) for p in phases)
+                + " |\n"
+            )
         return f"""
 ### local[{lo}] -> local[{hi}] (N={lo}, 4N={hi})
 
@@ -190,7 +223,7 @@ def _finish(measured: list, args) -> None:
 |---|---|---|---|
 | local[{lo}]  (N)  | {L[str(lo)]['median_sec']:.2f} | {L[str(lo)]['turns_per_sec']:,.0f} | {', '.join(f"{w:.2f}" for w in L[str(lo)]['walls_sec'])} |
 | local[{hi}] (4N) | {L[str(hi)]['median_sec']:.2f} | {L[str(hi)]['turns_per_sec']:,.0f} | {', '.join(f"{w:.2f}" for w in L[str(hi)]['walls_sec'])} |
-
+{phase_rows}
 Efficiency = ({L[str(hi)]['turns_per_sec']:,.0f} / {L[str(lo)]['turns_per_sec']:,.0f}) / {hi // lo} =
 **{m['efficiency']:.3f}** ({'PASS' if m['pass'] else 'FAIL'} vs >= 0.8).
 """
