@@ -372,6 +372,18 @@ def q_lsh_bucket_topk(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 5).alias("cos_sim"))
 
 
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat ANN (coarse-quantizer inverted lists; rows-only check —
+    centroid choice is xxhash64-seeded, engine-specific; recall vs
+    brute force is pytest-verified in test_similarity_recall)."""
+    emb = _t(spark, sf, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") != 0), probe, k=10, n_centroids=8, nprobe=3
+    )
+    return top.select("vec_id", F.round("cos_sim", 5).alias("cos_sim"))
+
+
 def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.text_profile(_t(spark, sf, "documents"))
 
@@ -614,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": q_ann_topk_cosine,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_bucket_topk": q_lsh_bucket_topk,
+        "ivf_topk": q_ivf_topk,
         "text_profile": q_text_profile,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,

@@ -121,6 +121,74 @@ def lsh_bucket_topk(
     return cosine_topk(df.filter(pred), probe, k, vec_col, id_col)
 
 
+def ivf_assign_col(
+    centroids: list[list[float]], vec_col: str = "embedding"
+) -> Column:
+    """IVF coarse-quantizer assignment: index (0-based) of the nearest
+    centroid by cosine — pure column algebra over centroid literals
+    (k is small, so the k dot products inline into one projection).
+    At scale this column is the table's partition key."""
+    sims = F.array(
+        *[
+            F.expr(
+                cosine_expr(
+                    _dbl(vec_col),
+                    "array(" + ",".join(f"{float(x)}D" for x in c) + ")",
+                )
+            )
+            for c in centroids
+        ]
+    )
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic coarse centroids: the n_centroids rows with the
+    smallest xxhash64(id) — a seeded uniform sample, reproducible at any
+    parallelism (a k-means refinement can replace this without changing
+    the query shape)."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def ivf_topk(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: score only rows assigned to the
+    probe's ``nprobe`` nearest coarse centroids — the inverted-file
+    counterpart of lsh_bucket_topk (a probe touches ~nprobe/n_centroids
+    of the data; with the assignment as partition key, that is
+    partition pruning, not a filter scan)."""
+    import numpy as np
+
+    cents = centroids or ivf_centroids(df, n_centroids, vec_col, id_col)
+    c = np.asarray(cents, dtype="float64")
+    p = np.asarray(probe, dtype="float64")
+    sims = (c @ p) / (np.linalg.norm(c, axis=1) * np.linalg.norm(p))
+    probe_lists = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    assigned = ivf_assign_col(cents, vec_col)
+    return cosine_topk(
+        df.filter(assigned.isin(probe_lists)), probe, k, vec_col, id_col
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     block_cols: tuple[str, ...] = (),

@@ -133,6 +133,96 @@ def cross_batch_duplicates(
     )
 
 
+def stateful_ordering_violations(
+    sdf: DataFrame,
+    keys: tuple[str, str] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: dense
+    turn ordering + ts monotonicity ACROSS micro-batches. Per-group
+    state carries (last_idx, last_ts_epoch_us), so a gap, duplicate, or
+    ts regression that straddles batches is caught — the stateful
+    complement to the per-batch window checks in validate_stream (the
+    batch engine's fused_group_violations semantics, carried as state
+    instead of a window frame).
+
+    Output: (conv_id, turn_idx, constraint_id, reason, severity),
+    append mode (violations are final facts). State is two scalars per live conversation — bounded
+    by the number of open conversations, not by turns."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    part, idx = keys
+
+    def check(key, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            last_idx, last_us = state.get
+        else:
+            last_idx, last_us = None, None
+        conv = key[0]
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([idx, ts_col]).reset_index(drop=True)
+            t = pdf[idx].to_numpy(dtype="int64")
+            # previous turn: lag within the batch, state carry at row 0
+            prev = np.empty_like(t)
+            prev[1:] = np.maximum.accumulate(t)[:-1]
+            prev[0] = last_idx if last_idx is not None else -1
+            dup = (t == prev) & (prev >= 0)
+            gap = t > prev + 1
+            # ts regression vs the running max (vectorized cummax with
+            # the state carry as seed); NaT never regresses
+            us = (
+                pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+                if str(pdf[ts_col].dtype).startswith("datetime")
+                else pdf[ts_col].to_numpy(dtype="int64")
+            )
+            valid = pdf[ts_col].notna().to_numpy()
+            seed = last_us if last_us is not None else np.iinfo("int64").min
+            run = np.maximum.accumulate(np.where(valid, us, seed))
+            prev_max = np.empty_like(run)
+            prev_max[1:] = run[:-1]
+            prev_max[0] = seed
+            prev_max = np.maximum(prev_max, seed)
+            regressed = valid & (us < prev_max)
+            for i in np.flatnonzero(dup):
+                out.append((conv, int(t[i]), "order.turn_idx",
+                            f"duplicate {idx} {t[i]}", "ERROR"))
+            for i in np.flatnonzero(gap & ~dup):
+                exp = prev[i] + 1 if prev[i] >= 0 else 0
+                out.append((conv, int(t[i]), "order.turn_idx",
+                            f"{idx} gap: expected {exp} got {t[i]}", "ERROR"))
+            for i in np.flatnonzero(regressed):
+                out.append((conv, int(t[i]), "monotonic.ts",
+                            f"{ts_col} regressed", "ERROR"))
+            bmax = int(t.max())
+            last_idx = bmax if last_idx is None else max(last_idx, bmax)
+            if valid.any():
+                vmax = int(us[valid].max())
+                last_us = vmax if last_us is None else max(last_us, vmax)
+        state.update((last_idx, last_us))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[part, idx, "constraint_id", "reason", "severity"]
+            )
+
+    return sdf.groupBy(part).applyInPandasWithState(
+        check,
+        outputStructType=(
+            f"{part} string, {idx} int, constraint_id string, "
+            "reason string, severity string"
+        ),
+        stateStructType="last_idx int, last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_turn_stats(
     sdf: DataFrame,
     watermark_col: str = "ts",

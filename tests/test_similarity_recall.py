@@ -147,3 +147,26 @@ def test_lsh_candidate_pairs_reuses_exchange(spark):
         assert pairs.count() > 0
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_ivf_topk_recall(spark):
+    df, probe_np = _vecs(spark)
+    probe = [float(x) for x in probe_np]
+    rest = df.filter(F.col("vec_id") != 0)
+    exact = [
+        r.vec_id for r in similarity.cosine_topk(rest, probe, k=10).collect()
+    ]
+    got = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            rest, probe, k=10, n_centroids=16, nprobe=4
+        ).collect()
+    ]
+    recall = len(set(exact) & set(got)) / len(exact)
+    # the 12 near-dups of the probe share its nearest centroid; nprobe=4
+    # of 16 lists covers them (fixed seed -> deterministic)
+    assert recall >= 0.8, f"ivf recall@10 = {recall} ({got} vs {exact})"
+    # determinism: same centroids at different parallelism
+    c1 = similarity.ivf_centroids(df, 8)
+    c2 = similarity.ivf_centroids(df.repartition(13), 8)
+    assert c1 == c2

@@ -161,3 +161,56 @@ def test_list_partitions_parquet(spark, tmp_path):
     files = sources.list_partitions(spark, out)
     assert len(files) == 3
     assert all(f["path"].endswith(".parquet") and f["bytes"] > 0 for f in files)
+
+
+def test_stateful_ordering_across_batches(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: a gap, a
+    duplicate, and a ts regression that STRADDLE micro-batches are all
+    caught (per-batch window checks cannot see them)."""
+    import pandas as pd
+
+    from ocsf_validator_spark import streaming as st
+
+    root = str(tmp_path / "in")
+    os.makedirs(root)
+    rows1 = [
+        ("c1", 0, "user", "a", None, "2026-01-01 00:00:00"),
+        ("c1", 1, "user", "b", None, "2026-01-01 00:00:01"),
+        ("c2", 0, "user", "x", None, "2026-01-01 00:00:00"),
+    ]
+    rows2 = [
+        ("c1", 3, "user", "gap-after-batch", None, "2026-01-01 00:00:03"),  # gap
+        ("c2", 0, "user", "dup-across-batch", None, "2026-01-01 00:00:05"),  # dup
+        ("c2", 1, "user", "ts-regresses", None, "2025-12-31 23:59:00"),      # mono
+    ]
+    for i, rows in enumerate([rows1, rows2]):
+        df = spark.createDataFrame(rows, st.TRANSCRIPT_DDL.replace("timestamp", "string"))
+        df.withColumn("ts", df.ts.cast("timestamp")).coalesce(1).write.parquet(
+            f"{root}/b{i}", mode="overwrite"
+        )
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    sdf = (
+        spark.readStream.schema(st.TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root + "/b*")
+    )
+    q = (
+        st.stateful_ordering_violations(sdf)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.conv_id, r.turn_idx, r.constraint_id)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert ("c1", 3, "order.turn_idx") in got       # cross-batch gap
+    assert ("c2", 0, "order.turn_idx") in got       # cross-batch duplicate
+    assert ("c2", 1, "monotonic.ts") in got         # cross-batch regression
+    # clean continuations produce nothing else for c1
+    assert ("c1", 1, "order.turn_idx") not in got

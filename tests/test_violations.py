@@ -99,3 +99,32 @@ def test_all_violations_severities(transcripts):
     sevs = {r.severity for r in rows}
     assert sevs <= {"FATAL", "ERROR", "WARNING", "INFO"}
     assert len(rows) >= 10
+
+
+def test_fused_plan_shape_one_exchange_one_sort(spark, transcripts):
+    """The single-scan contract, asserted on the physical plan: the
+    whole fused suite (row legs + unique + ordering + monotonic) plans
+    as ONE exchange and ONE sort — the (conv,turn) occurrence window
+    reuses the conv exchange because hash(conv) already satisfies
+    ClusteredDistribution((conv,turn)) and the sort keys are shared."""
+    from ocsf_validator_spark.spec import transcript_suite
+    from ocsf_validator_spark.violations import _fusable, fused_group_violations
+
+    suite = transcript_suite()
+    cs, ties = _fusable(suite, transcripts, ("conv_id", "turn_idx"))
+    fused = fused_group_violations(
+        transcripts, cs, ties, ("conv_id", "turn_idx"), row_cs=suite.row_level()
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        plan = fused._jdf.queryExecution().explainString(mode)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
+    n_sort = plan.count(" Sort ")
+    n_window = plan.count(" Window ") + plan.count("WindowExec")
+    assert n_exchange == 1, plan
+    assert n_sort == 1, plan
+    assert n_window == 2, plan
