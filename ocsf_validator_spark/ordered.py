@@ -140,22 +140,25 @@ def scalable_group_violations(
     order_specs = [
         (c.constraint_id, c.severity.name) for c in cs if isinstance(c, TurnOrdering)
     ]
-    if row_cs:
-        need = list(df.columns)  # row legs may reference any column
-    else:
-        need = [part, idx, *[t for t in ties if t not in (part, idx)]]
-        for _, col, _, _ in mono:
-            if col not in need:
-                need.append(col)
+    narrow = [part, idx, *[t for t in ties if t not in (part, idx)]]
+    for _, col, _, _ in mono:
+        if col not in narrow:
+            narrow.append(col)
+    # row legs may reference any column, but they are evaluated against
+    # the PRE-SHUFFLE persist below — only the narrow group-check columns
+    # ever cross the range exchange / the Arrow boundary (full text
+    # payloads through the shuffle twice would dominate at the 10^8-turn
+    # design point)
+    need = list(df.columns) if row_cs else narrow
     P = num_partitions or spark.sparkContext.defaultParallelism * 2
 
-    # Persist the narrow projection BEFORE repartitionByRange: the range
+    # Persist the projection BEFORE repartitionByRange: the range
     # partitioner runs a sampling job over its child, which would
     # otherwise re-scan the source (for the runner's skew route that is
     # a second full read of the input just to draw ~P*20 sample rows).
     pre = df.select(*need).persist(StorageLevel.MEMORY_AND_DISK)
     staged = (
-        pre
+        pre.select(*narrow)
         # same null ordering as the sort below (asc_nulls_last on ties),
         # else null-tie rows of a boundary-straddling duplicate group can
         # land out of traversal order and skew occurrence ranks
@@ -244,9 +247,11 @@ def scalable_group_violations(
     summaries = sorted(
         staged.mapInPandas(summarize, summary_ddl).collect(), key=lambda r: r.pid
     )
-    # the Phase A job materialized `staged`; the pre-shuffle projection
-    # has served its purpose (one source scan for sample + stage)
-    pre.unpersist()
+    if not row_cs:
+        # the Phase A job materialized `staged`; the pre-shuffle
+        # projection has served its purpose (one source scan for
+        # sample + stage). With row_cs it lives on as the row-leg input.
+        pre.unpersist()
 
     # ---- driver prefix scan -> carry-in per partition ---------------------
     carry: dict[int, dict] = {}
@@ -398,11 +403,12 @@ def scalable_group_violations(
     out = staged.mapInPandas(check, _violation_ddl(part, idx))
     if row_cs:
         # row-level legs for the skewed subset: a plain JVM projection
-        # over the ALREADY-PERSISTED stage — no second source scan
+        # over the ALREADY-PERSISTED pre-shuffle data — no second source
+        # scan, and no wide columns through the range exchange
         from ocsf_validator_spark.compile import violation_entry
 
         entries = F.array_compact(F.array(*[violation_entry(c) for c in row_cs]))
-        rows = staged.select(part, idx, F.explode(entries).alias("_v")).select(
+        rows = pre.select(part, idx, F.explode(entries).alias("_v")).select(
             F.col("_v.constraint_id").alias("constraint_id"),
             F.col(part).cast("string").alias(part),
             F.col(idx).cast("int").alias(idx),
@@ -416,5 +422,7 @@ def scalable_group_violations(
         # sessions (runner loops, benchmarks) don't accumulate storage
         out = out.localCheckpoint(eager=True)
         staged.unpersist()
+        if row_cs:
+            pre.unpersist()
         bcarry.destroy()
     return out

@@ -195,7 +195,9 @@ def run_validation(
         skewed_convs=skewed,
         ordered_partitions=ordered_partitions,
     )
-    lap("violations_build")
+    # NOTE: when skew is routed, all_violations executes the skewed
+    # subset eagerly (stage + Phase A/B + checkpoint) inside this phase
+    lap("skew_path")
     if violations_out:
         viol = viol.cache()
         viol.write.mode("append").parquet(violations_out)

@@ -82,7 +82,8 @@ def list_partitions(spark: SparkSession, location: str) -> list[dict]:
     table, the partitions metadata table; for a parquet location, the
     concrete files with sizes via the Hadoop FS API (no data read).
     Returns [{path, bytes}] (parquet) or the partition rows (Iceberg)."""
-    if "/" not in location and iceberg_available(spark):
+    looks_like_path = "/" in location or location.endswith(".parquet")
+    if not looks_like_path and iceberg_available(spark):
         return [r.asDict() for r in spark.sql(f"SELECT * FROM {location}.partitions").collect()]
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

@@ -169,11 +169,17 @@ def stateful_ordering_violations(
                 continue
             pdf = pdf.sort_values([idx, ts_col]).reset_index(drop=True)
             t = pdf[idx].to_numpy(dtype="int64")
-            # previous turn: lag within the batch, state carry at row 0
+            # highest turn seen before each row: cummax lag within the
+            # batch, FLOORED by the carry everywhere (not just row 0) —
+            # otherwise a batch like [1,3] after carry 2 reports a false
+            # gap at 3 and silently passes the re-delivered 1
+            carry = last_idx if last_idx is not None else -1
             prev = np.empty_like(t)
             prev[1:] = np.maximum.accumulate(t)[:-1]
-            prev[0] = last_idx if last_idx is not None else -1
+            prev[0] = carry
+            prev = np.maximum(prev, carry)
             dup = (t == prev) & (prev >= 0)
+            below = (t < prev) & (prev >= 0)
             gap = t > prev + 1
             # ts regression vs the running max (vectorized cummax with
             # the state carry as seed); NaT never regresses
@@ -193,6 +199,10 @@ def stateful_ordering_violations(
             for i in np.flatnonzero(dup):
                 out.append((conv, int(t[i]), "order.turn_idx",
                             f"duplicate {idx} {t[i]}", "ERROR"))
+            for i in np.flatnonzero(below):
+                out.append((conv, int(t[i]), "order.turn_idx",
+                            f"out-of-order {idx} {t[i]}: already past {prev[i]}",
+                            "ERROR"))
             for i in np.flatnonzero(gap & ~dup):
                 exp = prev[i] + 1 if prev[i] >= 0 else 0
                 out.append((conv, int(t[i]), "order.turn_idx",

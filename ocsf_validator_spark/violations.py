@@ -535,6 +535,14 @@ def residual_violations(
     if not cs or not _present(df, keys):
         return _empty(df, keys)
     need = list(dict.fromkeys([*keys, *(col for c in cs for col in c.columns)]))
+    # each path must surface in pandas under its DECLARED dotted name
+    # (a bare select of 'meta.width' yields a column called 'width', and
+    # two paths sharing a leaf collide). A dotted SPARK column name is
+    # not an option either — mapInPandas re-parses dots as struct access
+    # — so alias to a dot-free name and rename back inside the batch.
+    safe = {p: p.replace(".", "__dot__") for p in need}
+    need_cols = [F.col(p).alias(safe[p]) for p in need]
+    unsafe = {v: k for k, v in safe.items()}
     specs = [(c.constraint_id, c.check, c.reason, c.severity.name) for c in cs]
     schema = _violation_schema(df, keys)
 
@@ -542,6 +550,7 @@ def residual_violations(
         for pdf in it:
             if len(pdf) == 0:
                 continue
+            pdf = pdf.rename(columns=unsafe)
             for cid, fn, static_reason, sev in specs:
                 mask, reasons = fn(pdf)
                 if mask is None or not bool(mask.any()):
@@ -558,7 +567,7 @@ def residual_violations(
                 out["severity"] = sev
                 yield pd.DataFrame(out)
 
-    return df.select(*need).mapInPandas(run, schema)
+    return df.select(*need_cols).mapInPandas(run, schema)
 
 
 def detect_skewed_conv_counts(

@@ -204,3 +204,29 @@ def test_failfast_parse_raises(spark):
     staged = parse_json_column(df, "payload", mode="FAILFAST")
     with pytest.raises(Exception, match="(?i)malformed|failfast"):
         staged.collect()
+
+
+def test_residual_check_on_struct_path(spark, nested):
+    """Review regression: a PandasCheck over a dotted struct path must
+    see the column under its DECLARED name (select aliasing), not the
+    bare leaf name."""
+
+    def _width_check(pdf):
+        col = pdf["meta.width"]
+        mask = col.notna() & (col > 700)
+        return mask, "width too large: " + col.fillna(-1).astype(int).astype(str)
+
+    suite = ConstraintSet(
+        name="r3",
+        constraints=[
+            PandasCheck(
+                column="meta.width",
+                columns=("meta.width",),
+                check=_width_check,
+                check_id="width_cap",
+            )
+        ],
+    )
+    got = residual_violations(nested, suite, KEYS).collect()
+    assert [(r.conv_id, r.turn_idx) for r in got] == [("c2", 0)]
+    assert got[0].reason == "width too large: 800"

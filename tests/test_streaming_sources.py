@@ -214,3 +214,50 @@ def test_stateful_ordering_across_batches(spark, tmp_path):
     assert ("c2", 1, "monotonic.ts") in got         # cross-batch regression
     # clean continuations produce nothing else for c1
     assert ("c1", 1, "order.turn_idx") not in got
+
+
+def test_stateful_ordering_carry_floor(spark, tmp_path):
+    """Review regression: after carry last_idx=2, a batch [1,3] must
+    flag the re-delivered 1 (out-of-order) and NOT flag 3 (the correct
+    next turn) — the carry floors the whole batch, not just row 0."""
+    from ocsf_validator_spark import streaming as st
+
+    root = str(tmp_path / "in")
+    os.makedirs(root)
+    rows1 = [
+        ("c1", 0, "user", "a", None, "2026-01-01 00:00:00"),
+        ("c1", 1, "user", "b", None, "2026-01-01 00:00:01"),
+        ("c1", 2, "user", "c", None, "2026-01-01 00:00:02"),
+    ]
+    rows2 = [
+        ("c1", 1, "user", "redelivered", None, "2026-01-01 00:00:05"),
+        ("c1", 3, "user", "correct-next", None, "2026-01-01 00:00:06"),
+    ]
+    for i, rows in enumerate([rows1, rows2]):
+        df = spark.createDataFrame(rows, st.TRANSCRIPT_DDL.replace("timestamp", "string"))
+        df.withColumn("ts", df.ts.cast("timestamp")).coalesce(1).write.parquet(
+            f"{root}/b{i}", mode="overwrite"
+        )
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    sdf = (
+        spark.readStream.schema(st.TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root + "/b*")
+    )
+    q = (
+        st.stateful_ordering_violations(sdf)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.turn_idx, r.constraint_id, r.reason)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    reasons = {t: r for t, c, r in got if c == "order.turn_idx"}
+    assert 1 in reasons and "out-of-order" in reasons[1]
+    assert 3 not in reasons  # no false gap on the legitimate next turn

@@ -205,8 +205,9 @@ def _finish(measured: list, args) -> None:
         if phases:
             phase_rows = (
                 "\nPer-phase wall (median, s — audit/stats/probe are the "
-                "fixed per-run jobs; `verdict` executes the fused "
-                "violations+verdict plan):\n\n"
+                "fixed per-run jobs; `skew_path` executes the skewed subset's "
+                "range-partitioned checks; `verdict` executes the fused "
+                "violations+verdict plan for everything else):\n\n"
                 "| phase | " + " | ".join(phases) + " |\n"
                 "|---|" + "---|" * len(phases) + "\n"
                 + f"| local[{lo}] | "
