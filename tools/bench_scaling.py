@@ -48,7 +48,11 @@ CHILD = textwrap.dedent(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "24g")
+        # heap scales with the level like a real cluster scales with
+        # executors (each executor ships its own memory): fixed driver
+        # share + 2 GB per core. A flat heap would over-provision the
+        # small level relative to what an N-core cluster actually has.
+        .config("spark.driver.memory", f"{{8 + 2 * cores}}g")
         .config("spark.ui.enabled", "false")
         # make the JVM a faithful N-core machine: without this, the
         # low-parallelism level borrows the 32-core host's GC + JIT
