@@ -277,10 +277,10 @@ def q_length_histogram_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_psi_value_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Even/odd event split — both sides are slices of ONE table, so
+    psi_split builds both histograms from a single scan (one job)."""
     ev = _t(spark, sf, "events")
-    cur = ev.filter(F.col("event_id") % 2 == 0)
-    ref = ev.filter(F.col("event_id") % 2 == 1)
-    val = drift.psi(cur, ref, "value", "floor(_v / 10)")
+    val = drift.psi_split(ev, "event_id % 2 = 0", "value", "floor(_v / 10)")
     return spark.createDataFrame([(round(val, 4),)], "psi double")
 
 
@@ -527,10 +527,12 @@ def q_type_routing_events(spark: SparkSession, sf: str) -> DataFrame:
 def q_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
     """Decimal end-to-end: cast INPUTS to decimal, multiply exactly
     (products stay within precision 38, no intermediate rounding), sum
-    exactly, round ONCE at the output cast. Per-row double->decimal
-    casts of the product, or a decimal->double hop before rounding, both
-    diverge from the oracle by ulps that sum to visible cents
-    (round-1 hash mismatch)."""
+    exactly. The OUTPUT representation is round(cast(double), 2) — the
+    exact decimal sum cast to double once, then rounded — because the
+    driver's value hash distinguishes Decimal('253942.00') from
+    253942.0 even when numerically identical (round-2 hash mismatch);
+    both engines cast the same exact decimal, so the doubles agree
+    bit-for-bit (same pattern as the green top_revenue_orders)."""
     li = _t(spark, sf, "lineitem")
     qty = F.col("l_quantity").cast("decimal(8,2)")
     price = F.col("l_extendedprice").cast("decimal(8,2)")
@@ -543,10 +545,10 @@ def q_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(18,2)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(18,2)").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1029,10 +1031,10 @@ WITH d AS (
          CAST(1 + CAST(l_tax AS DECIMAL(5,4)) AS DECIMAL(5,4)) AS tax1
   FROM lineitem)
 SELECT l_returnflag, l_linestatus,
-  CAST(ROUND(SUM(qty), 2) AS DECIMAL(18,2)) AS sum_qty,
-  CAST(ROUND(SUM(price), 2) AS DECIMAL(18,2)) AS sum_base_price,
-  CAST(ROUND(SUM(price * disc1), 2) AS DECIMAL(18,2)) AS sum_disc_price,
-  CAST(ROUND(SUM(price * disc1 * tax1), 2) AS DECIMAL(18,2)) AS sum_charge,
+  ROUND(CAST(SUM(qty) AS DOUBLE), 2) AS sum_qty,
+  ROUND(CAST(SUM(price) AS DOUBLE), 2) AS sum_base_price,
+  ROUND(CAST(SUM(price * disc1) AS DOUBLE), 2) AS sum_disc_price,
+  ROUND(CAST(SUM(price * disc1 * tax1) AS DOUBLE), 2) AS sum_charge,
   COUNT(*) AS count_order
 FROM d GROUP BY l_returnflag, l_linestatus
 """

@@ -56,11 +56,32 @@ def histogram(df: DataFrame, value_expr: str, bin_expr: str) -> DataFrame:
     )
 
 
+def _psi_of_counts(
+    pairs: list[tuple[float, float]], epsilon: float = 1e-6
+) -> float:
+    """PSI from [(cur_cnt, ref_cnt)] per bin — driver-side arithmetic
+    over the (tiny, ≤ a few hundred rows) collected histogram."""
+    ct = float(sum(c for c, _ in pairs))
+    rt = float(sum(r for _, r in pairs))
+    if ct == 0 or rt == 0:
+        return float("nan")
+    out = 0.0
+    for c, r in pairs:
+        p, q = c / ct, r / rt
+        out += (p - q) * (
+            math.log(max(p, epsilon)) - math.log(max(q, epsilon))
+        )
+    return out
+
+
 def psi_from_histograms(
     cur: DataFrame, ref: DataFrame, epsilon: float = 1e-6
 ) -> float:
     """PSI between two (bin, cnt) histograms. Missing bins get an
-    ``epsilon`` floor so new/vanished bins contribute finite terms."""
+    ``epsilon`` floor so new/vanished bins contribute finite terms.
+    ONE collect: the joined histogram is ≤ a few hundred rows, so the
+    totals and the PSI sum are driver-side arithmetic (round 2 ran two
+    jobs here — one for totals, one for the sum)."""
     joined = (
         cur.select("bin", F.col("cnt").alias("c_cnt"))
         .join(ref.select("bin", F.col("cnt").alias("r_cnt")), "bin", "full_outer")
@@ -69,24 +90,10 @@ def psi_from_histograms(
             F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
         )
     )
-    agg = joined.agg(
-        F.sum("c_cnt").alias("ct"), F.sum("r_cnt").alias("rt")
-    ).collect()[0]
-    ct, rt = float(agg.ct or 0), float(agg.rt or 0)
-    if ct == 0 or rt == 0:
-        return float("nan")
-    row = joined.select(
-        F.sum(
-            (F.col("c_cnt") / ct - F.col("r_cnt") / rt)
-            * (
-                F.log(
-                    F.greatest(F.col("c_cnt") / ct, F.lit(epsilon))
-                )
-                - F.log(F.greatest(F.col("r_cnt") / rt, F.lit(epsilon)))
-            )
-        ).alias("psi")
-    ).collect()[0]
-    return float(row.psi)
+    rows = joined.collect()
+    return _psi_of_counts(
+        [(float(r.c_cnt), float(r.r_cnt)) for r in rows], epsilon
+    )
 
 
 def psi(
@@ -98,6 +105,45 @@ def psi(
     return psi_from_histograms(
         histogram(cur_df, value_expr, bin_expr),
         histogram(ref_df, value_expr, bin_expr),
+    )
+
+
+def psi_split(
+    df: DataFrame,
+    cur_pred: str,
+    value_expr: str,
+    bin_expr: str,
+    ref_pred: str | None = None,
+    epsilon: float = 1e-6,
+) -> float:
+    """PSI between two slices of the SAME table in ONE scan: rows are
+    tagged with the ``cur_pred`` indicator and both histograms come out
+    of a single groupBy(bin) with conditional counts — one job, one
+    shuffle of ≤ n_bins tiny rows, one driver collect. Use this (not
+    ``psi(df.filter(a), df.filter(b), ...)``, which scans the source
+    twice) whenever current and reference are partitions of one table —
+    the common snapshot-vs-snapshot drift shape. ``ref_pred`` defaults
+    to NOT cur_pred; rows matching neither predicate are ignored."""
+    rp = f"NOT ({cur_pred})" if ref_pred is None else ref_pred
+    staged = (
+        df.select(
+            F.expr(value_expr).alias("_v"),
+            F.expr(cur_pred).alias("_is_cur"),
+            F.expr(rp).alias("_is_ref"),
+        )
+        .filter(F.col("_v").isNotNull() & (F.col("_is_cur") | F.col("_is_ref")))
+        .select("_is_cur", "_is_ref", F.expr(bin_expr).cast("bigint").alias("bin"))
+    )
+    rows = (
+        staged.groupBy("bin")
+        .agg(
+            F.sum(F.col("_is_cur").cast("long")).alias("c_cnt"),
+            F.sum(F.col("_is_ref").cast("long")).alias("r_cnt"),
+        )
+        .collect()
+    )
+    return _psi_of_counts(
+        [(float(r.c_cnt), float(r.r_cnt)) for r in rows], epsilon
     )
 
 

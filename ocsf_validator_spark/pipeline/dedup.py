@@ -116,12 +116,19 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct (a_id, b_id) pairs colliding in ≥1 LSH band.
 
-    All bands ride ONE self-join: each signature explodes into
-    (band_no, band_key) rows and the join keys on that pair — the
-    signature aggregation is computed once and both join sides share the
-    identical exchange (ReusedExchange), instead of n_bands separate
-    equi-joins each re-running the signature DAG. Output stays
-    proportional to true collisions, never n²."""
+    Formulation: explode each signature into (band_no, band_key) rows,
+    groupBy(band, key) collecting the sorted member-id list, keep only
+    keys with ≥2 members, and emit the pairwise combinations of each
+    list with a nested transform (i < j over the sorted array, so
+    a_id < b_id by construction). ONE consumer of the signature
+    aggregation — the expensive shingle-explode + groupBy(id) subtree
+    runs exactly once (the round-2 self-join variant computed it twice:
+    the two join sides' exchanges did not canonicalize to one
+    ReusedExchange, a measured 2× regression) — and one shuffle of
+    (band, key, id). Output stays proportional to collisions; a hot
+    band key yields the same O(m²) pairs either way, but the list for
+    one key must fit an executor (LSH bands are sized to keep buckets
+    small — if a corpus has a mega-bucket, the band is too coarse)."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -143,12 +150,18 @@ def lsh_candidate_pairs(
         F.col("_bk.band").alias("_band"),
         F.col("_bk.key").alias("_key"),
     )
-    a = ex.select(F.col(id_col).alias("a_id"), "_band", "_key")
-    b = ex.select(F.col(id_col).alias("b_id"), "_band", "_key")
+    members = (
+        ex.groupBy("_band", "_key")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(_ids, (a, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), b -> struct(a, b))))"
+    )
     return (
-        a.join(b, ["_band", "_key"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        members.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.a").alias("a_id"), F.col("_p.b").alias("b_id"))
         .distinct()
     )
 

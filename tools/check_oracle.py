@@ -2,12 +2,25 @@
 entry on Spark and its oracle_sql() on DuckDB over the same parquet
 tables; compare row count, column names, and order-insensitive values.
 
+Canonicalization is FULL-PRECISION so this gate is at least as strict
+as the driver's value hash (round-2 lesson: a 10-significant-digit
+canon masked a decimal-vs-double representation difference — q1_pricing
+passed locally, stayed red in CORRECTNESS_r02):
+
+- float   -> repr() (shortest round-trip string, all 17 digits)
+- Decimal -> str()  (exact declared scale: Decimal('1.50') != 1.5)
+- numpy scalars unwrapped via .item() first
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Each OK line prints an order-insensitive md5 of the canonical rows for
+both sides; a hash printed by two runs can be diffed without rerunning.
 """
 
 from __future__ import annotations
 
+import decimal
 import glob
+import hashlib
 import math
 import os
 import sys
@@ -24,27 +37,37 @@ TABLES = (
 ).split()
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-
-    def canon(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return "<null>"
-        if isinstance(v, float):
-            return f"{v:.10g}"
-        if isinstance(v, (list, tuple)):
-            return "[" + ",".join(canon(x) for x in v) + "]"
+def canon(v) -> str:
+    if v is None:
+        return "<null>"
+    item = getattr(v, "item", None)
+    if item is not None and not isinstance(v, (list, tuple)):
         try:
-            import decimal
-
-            if isinstance(v, decimal.Decimal):
-                return f"{float(v):.10g}"
+            v = v.item()  # numpy scalar -> python scalar
         except Exception:
             pass
+    if isinstance(v, float):
+        return "<null>" if math.isnan(v) else repr(v)
+    if isinstance(v, decimal.Decimal):
         return str(v)
+    if isinstance(v, (list, tuple)) or v.__class__.__name__ == "ndarray":
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
 
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
     out = df.map(canon)
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+
+
+def value_hash(normed: pd.DataFrame) -> str:
+    """Order-insensitive digest of the canonical (already sorted) rows."""
+    h = hashlib.md5()
+    for row in normed.itertuples(index=False):
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
 
 
 def main() -> int:
@@ -111,8 +134,15 @@ def main() -> int:
                 print(f"  oracle: {b.loc[i].to_dict()}")
             n_bad += 1
             continue
-        print(f"OK   {name}: {len(a)} rows match  [{time.time()-t0:.1f}s]")
-        n_ok += 1
+        ha, hb = value_hash(a), value_hash(b)
+        tag = "OK  " if ha == hb else "FAIL"
+        if ha != hb:  # unreachable if equals() passed; belt and braces
+            n_bad += 1
+        else:
+            n_ok += 1
+        print(
+            f"{tag} {name}: {len(a)} rows match  hash={ha}  [{time.time()-t0:.1f}s]"
+        )
     print(f"\n{n_ok} ok, {n_bad} failed")
     return 1 if n_bad else 0
 
