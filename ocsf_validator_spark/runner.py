@@ -41,17 +41,13 @@ from ocsf_validator_spark.spec import (
     Severity,
     transcript_suite,
 )
-from ocsf_validator_spark.stats import DEFAULT_BUCKETS, column_stats
+from ocsf_validator_spark.stats import DEFAULT_BUCKETS, bucketed_probe_stats
 from ocsf_validator_spark.verdict import (
     exit_code_rows,
     summarize_rows,
     verdicts,
 )
-from ocsf_validator_spark.violations import (
-    all_violations,
-    dataset_findings,
-    detect_skewed_conv_counts,
-)
+from ocsf_validator_spark.violations import all_violations, dataset_findings
 
 
 @dataclass
@@ -83,6 +79,7 @@ def run_validation(
     verdicts_out: str | None = None,
     quiet: bool = False,
     detect_skew: bool = True,
+    skew_min_rows: int = 1_000_000,
 ) -> RunResult:
     suite = suite or transcript_suite()
     threshold = Severity.WARNING if strict else Severity.ERROR
@@ -124,8 +121,11 @@ def run_validation(
 
     # Phase 2 — single-pass stats, collected once: yields n_rows, the
     # observed-bucket list (so the verdict pass never rescans the input),
-    # AND the enum-coverage observations (bounded collect_set probes
-    # riding the same scan — coverage costs zero extra jobs).
+    # the enum-coverage observations (bounded collect_set probes riding
+    # the same scan), AND the skew-probe candidates (per-conversation
+    # heavy hitters via the two-level aggregation) — ONE data scan for
+    # all four, where rounds 1-2 spent a separate third scan on the
+    # probe (12-15% of every flagship run per the BENCH.md phase tables).
     cov_cs = [
         c
         for c in suite.dataset_level()
@@ -137,13 +137,13 @@ def run_validation(
         )
         for i, c in enumerate(cov_cs)
     }
-    bucket_stats = (
-        column_stats(
-            df, conv_col=conv_col, num_buckets=num_buckets, extra_aggs=cov_aggs
-        )
-        .select("bucket", "n_rows", *cov_aggs)
-        .collect()
-    )
+    bucket_stats = bucketed_probe_stats(
+        df,
+        conv_col=conv_col,
+        num_buckets=num_buckets,
+        cov_aggs=cov_aggs,
+        probe_floor=skew_min_rows if detect_skew else None,
+    ).collect()
     lap("stats")
     n_rows = sum(r.n_rows for r in bucket_stats)
     observed = [int(r.bucket) for r in bucket_stats]
@@ -157,17 +157,29 @@ def run_validation(
         say("nothing pending; all buckets previously completed")
         return RunResult(0, 0, 0, time.time() - t0, skipped_buckets=skipped)
 
-    # Phase 2b — skew probe: conversations too big for one window task
-    # get routed to the range-partitioned ordered path. Threshold: ~4x
-    # the expected rows-per-shuffle-partition (never below 1M rows).
+    # Phase 2b — skew routing decision, now pure driver arithmetic over
+    # the probe structs collected with the stats (zero extra jobs):
+    # conversations too big for one window task go to the
+    # range-partitioned ordered path. Threshold: ~4x the expected
+    # rows-per-shuffle-partition (never below skew_min_rows, the probe's
+    # collection floor, so the candidates are always a superset).
     skewed: list[str] = []
     ordered_partitions = None
     if detect_skew:
         parallelism = int(
             spark.conf.get("spark.sql.shuffle.partitions", "200")
         )
-        skew_rows = max(1_000_000, 4 * n_rows // max(parallelism, 1))
-        skewed_counts = detect_skewed_conv_counts(df, conv_col, skew_rows)
+        skew_rows = max(skew_min_rows, 4 * n_rows // max(parallelism, 1))
+        cand = sorted(
+            (
+                (s.conv, int(s.n))
+                for r in bucket_stats
+                for s in (r._skew or [])
+                if s.conv is not None
+            ),
+            key=lambda t: -t[1],
+        )
+        skewed_counts = [(c, n) for c, n in cand if n >= skew_rows][:10_000]
         skewed = [c for c, _ in skewed_counts]
         if skewed:
             # partition the ordered path by DATA SIZE (~250k rows/task),
@@ -280,14 +292,20 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("ocsf-validator-runner", cores=args.cores)
     if args.input:
+        from ocsf_validator_spark.sources import load_table
+
         try:
             # FAILFAST analogue: an unreadable table is FATAL, like a
-            # JSON parse failure in the reference (README.md:46 "[FATAL]")
-            df = spark.read.parquet(args.input)
+            # JSON parse failure in the reference (README.md:46 "[FATAL]").
+            # load_table routes Iceberg-vs-parquet and supplies the
+            # lineage id the manifest records (Iceberg snapshot_id when a
+            # runtime is present, content fingerprint for parquet dirs).
+            handle = load_table(spark, args.input)
         except Exception as e:
             print(f"[FATAL] cannot read input {args.input}: {e}")
             return 2
-        snapshot = ckpt.snapshot_of_path(args.input)
+        df = handle.df
+        snapshot = handle.snapshot_id
     else:
         from ocsf_validator_spark.synth import synth_transcripts
 

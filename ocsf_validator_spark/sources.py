@@ -20,6 +20,7 @@ unreadable table raises, and the runner maps that to exit 2.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,12 +46,50 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+_IDENT_RE = re.compile(r"^[A-Za-z0-9_]+(\.[A-Za-z0-9_]+)*$")
+
+
+def _quoted_table(location: str) -> str:
+    """Backtick-quoted multipart Iceberg identifier. Raises on anything
+    that is not a plain dotted identifier — table names are NEVER
+    interpolated raw into SQL."""
+    if not _IDENT_RE.match(location):
+        raise ValueError(f"not a valid Iceberg table identifier: {location!r}")
+    return ".".join(f"`{part}`" for part in location.split("."))
+
+
+def _fs_exists(spark: SparkSession, location: str) -> bool:
+    """True when ``location`` exists on the default Hadoop filesystem —
+    the cheap probe that routes bare relative directory names (e.g.
+    'data') to the filesystem path instead of an Iceberg SQL error."""
+    try:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(location)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(path))
+    except Exception:
+        return False
+
+
 def _iceberg_snapshot_id(spark: SparkSession, table: str) -> str:
     row = spark.sql(
-        f"SELECT snapshot_id FROM {table}.snapshots "
+        f"SELECT snapshot_id FROM {_quoted_table(table)}.snapshots "
         "ORDER BY committed_at DESC LIMIT 1"
     ).collect()
     return f"iceberg:{row[0].snapshot_id}" if row else "iceberg:empty"
+
+
+def _route_to_iceberg(spark: SparkSession, location: str) -> bool:
+    """Iceberg route iff the location is a well-formed table identifier,
+    the runtime is present, AND nothing by that name exists on the
+    filesystem (filesystem wins: a bare relative dir like 'data' is a
+    path, not a table)."""
+    return (
+        _IDENT_RE.match(location) is not None
+        and not location.endswith(".parquet")
+        and not _fs_exists(spark, location)
+        and iceberg_available(spark)
+    )
 
 
 def load_table(
@@ -62,8 +101,7 @@ def load_table(
     present and ``location`` is not a filesystem path) or a parquet
     path. ``snapshot_id`` pins an Iceberg time-travel read (resume
     against the exact snapshot a manifest recorded)."""
-    looks_like_path = "/" in location or location.endswith(".parquet")
-    if not looks_like_path and iceberg_available(spark):
+    if _route_to_iceberg(spark, location):
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
@@ -82,9 +120,13 @@ def list_partitions(spark: SparkSession, location: str) -> list[dict]:
     table, the partitions metadata table; for a parquet location, the
     concrete files with sizes via the Hadoop FS API (no data read).
     Returns [{path, bytes}] (parquet) or the partition rows (Iceberg)."""
-    looks_like_path = "/" in location or location.endswith(".parquet")
-    if not looks_like_path and iceberg_available(spark):
-        return [r.asDict() for r in spark.sql(f"SELECT * FROM {location}.partitions").collect()]
+    if _route_to_iceberg(spark, location):
+        return [
+            r.asDict()
+            for r in spark.sql(
+                f"SELECT * FROM {_quoted_table(location)}.partitions"
+            ).collect()
+        ]
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(location)

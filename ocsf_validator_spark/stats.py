@@ -90,6 +90,67 @@ def column_stats(
     )
 
 
+def bucketed_probe_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    num_buckets: int = DEFAULT_BUCKETS,
+    cov_aggs: dict | None = None,
+    probe_floor: int | None = 1_000_000,
+) -> DataFrame:
+    """Per-bucket row counts + piggybacked coverage observations + the
+    SKEW PROBE, all in ONE scan of the input — a two-level aggregation:
+
+      level 1: groupBy(conv_id) → per-conversation row count and the
+               bounded enum-observation partials (map-side combine, so
+               the shuffle carries ~n_convs tiny rows, not n_rows);
+      level 2: groupBy(bucket)  → sum the counts, merge the observation
+               sets, and collect the conversations whose count reaches
+               ``probe_floor`` as (n, conv) structs.
+
+    This replaces the runner's former THIRD full scan (a separate
+    groupBy(conv).count() probe, 12-15% of every flagship run): the skew
+    candidates now ride the stats job. ``probe_floor`` is a static lower
+    bound for candidacy (the runner's final threshold is
+    max(1_000_000, 4·n_rows/shuffle_partitions) ≥ 1_000_000, so a 1M
+    floor collects a superset and the exact cut happens driver-side on
+    the already-bounded list — at most n_rows/probe_floor structs total).
+    ``probe_floor=None`` skips the probe column.
+
+    Output: (bucket int, n_rows long, <cov alias arrays...>,
+    _skew array<struct<n:long, conv>> sorted desc) — one row per bucket.
+    """
+    cov_aggs = cov_aggs or {}
+    l1 = df.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[e.alias(f"__p_{a}") for a, e in cov_aggs.items()],
+    )
+    aggs = [F.sum("_n").alias("n_rows")]
+    for a in cov_aggs:
+        aggs.append(
+            F.array_distinct(F.flatten(F.collect_list(f"__p_{a}"))).alias(a)
+        )
+    if probe_floor is not None:
+        aggs.append(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_n") >= F.lit(int(probe_floor)),
+                        F.struct(
+                            F.col("_n").alias("n"),
+                            F.col(conv_col).alias("conv"),
+                        ),
+                    )
+                ),
+                asc=False,
+            ).alias("_skew")
+        )
+    return (
+        l1.withColumn("bucket", bucket_col(conv_col, num_buckets))
+        .groupBy("bucket")
+        .agg(*aggs)
+    )
+
+
 def overall_stats(df: DataFrame, **kw) -> DataFrame:
     """Same stats, one global row (bucket = -1)."""
     out = column_stats(df.withColumn("__one", F.lit(1)), conv_col="__one", num_buckets=1, **{k: v for k, v in kw.items() if k != "conv_col"})

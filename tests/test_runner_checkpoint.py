@@ -98,3 +98,76 @@ def test_cli_main(tmp_path):
 
     code = main(["--synth", "2000", "--buckets", "8"])
     assert code == 1  # synthetic defects present
+
+
+def _run_jobs(spark, group: str, fn):
+    """Run fn under a job group; return how many Spark jobs it launched."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_skew_probe_adds_zero_jobs(spark):
+    """Round-3 contract: the skew probe rides the stats scan (two-level
+    aggregation in stats.bucketed_probe_stats), so detect_skew=True must
+    launch exactly as many jobs as detect_skew=False — rounds 1-2 paid a
+    separate full-scan probe job here."""
+    df = synth_transcripts(spark, n_turns=5000, seed=42)
+    n_off = _run_jobs(
+        spark, "probe-off",
+        lambda: run_validation(spark, df, num_buckets=8, quiet=True,
+                               detect_skew=False),
+    )
+    n_on = _run_jobs(
+        spark, "probe-on",
+        lambda: run_validation(spark, df, num_buckets=8, quiet=True,
+                               detect_skew=True),
+    )
+    assert n_on == n_off
+
+
+def test_runner_skew_routing_equivalence(spark, tmp_path):
+    """With the floor lowered so synth's 5%-skew conversation trips the
+    threshold, the routed run must produce exactly the violations of the
+    unrouted run (ordered.py path == window path), and must report the
+    conversation as skewed."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        df = synth_transcripts(spark, n_turns=5000, seed=42)
+        # skew conv = 250 rows; threshold = max(50, 4*5000/200=100) = 100
+        out_a = str(tmp_path / "routed")
+        out_b = str(tmp_path / "plain")
+        ra = run_validation(spark, df, num_buckets=8, quiet=True,
+                            skew_min_rows=50, violations_out=out_a)
+        rb = run_validation(spark, df, num_buckets=8, quiet=True,
+                            detect_skew=False, violations_out=out_b)
+        assert ra.exit_code == rb.exit_code
+        assert ra.n_violations == rb.n_violations
+        a = sorted(map(tuple, spark.read.parquet(out_a).collect()))
+        b = sorted(map(tuple, spark.read.parquet(out_b).collect()))
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_cli_input_records_source_snapshot(spark, tmp_path):
+    """--input routes through sources.load_table; the manifest must
+    record the lineage id the source handle provides (parquet content
+    fingerprint here; Iceberg snapshot_id when a runtime is present)."""
+    from ocsf_validator_spark.runner import main
+    from ocsf_validator_spark.sources import load_table
+
+    inp = str(tmp_path / "transcripts")
+    synth_transcripts(spark, n_turns=2000, seed=42).write.parquet(inp)
+    manifest = str(tmp_path / "manifest")
+    code = main(["--input", inp, "--buckets", "8", "--checkpoint", manifest])
+    assert code == 1
+    handle = load_table(spark, inp)
+    assert handle.format == "parquet"
+    entries = ckpt.read_entries(manifest)
+    assert entries and all(e.snapshot_id == handle.snapshot_id for e in entries)

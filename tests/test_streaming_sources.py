@@ -261,3 +261,50 @@ def test_stateful_ordering_carry_floor(spark, tmp_path):
     reasons = {t: r for t, c, r in got if c == "order.turn_idx"}
     assert 1 in reasons and "out-of-order" in reasons[1]
     assert 3 not in reasons  # no false gap on the legitimate next turn
+
+
+def test_list_partitions_bare_relative_dir(spark, monkeypatch):
+    """A bare relative directory name (no '/', no .parquet suffix) must
+    route to the filesystem listing when it exists — never to Iceberg
+    SQL (round-2 ADVICE: it used to raise a SQL error when an Iceberg
+    runtime was present, with the location interpolated unquoted).
+    Relative paths resolve against the JVM working directory, so the
+    fixture dir is created there."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from ocsf_validator_spark import sources
+
+    # pretend an Iceberg runtime is on the classpath: the fs probe must
+    # still win for an existing directory
+    monkeypatch.setattr(sources, "iceberg_available", lambda s: True)
+    d = "pytest_reldir_fixture"
+    os.makedirs(d, exist_ok=True)
+    try:
+        pd.DataFrame({"x": [1, 2]}).to_parquet(os.path.join(d, "p0.parquet"))
+        out = sources.list_partitions(spark, d)
+        assert len(out) == 1 and out[0]["bytes"] > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # a NON-existing well-formed identifier routes to Iceberg SQL with a
+    # quoted name — surfacing as an analysis error, not an injection
+    try:
+        sources.list_partitions(spark, "no_such_table_xyz")
+        raised = False
+    except Exception as e:
+        raised = True
+        assert "no_such_table_xyz" in str(e)
+    assert raised
+
+
+def test_iceberg_identifier_quoting():
+    from ocsf_validator_spark.sources import _quoted_table
+
+    assert _quoted_table("db.transcripts") == "`db`.`transcripts`"
+    import pytest
+
+    for bad in ("x; DROP TABLE y", "a b", "tab`le", ""):
+        with pytest.raises(ValueError):
+            _quoted_table(bad)
