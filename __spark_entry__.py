@@ -364,8 +364,9 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_lsh_bucket_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN via random-hyperplane LSH bucket (approximate path; rows-only
-    check — bucket membership is engine-specific plumbing)."""
+    """ANN via random-hyperplane LSH bucket (approximate path). The
+    bucket math is md5-derived, so the DuckDB oracle replays the exact
+    blocking (same trick as the green embedding_near_dup)."""
     emb = _t(spark, sf, "embeddings")
     probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     top = similarity.lsh_bucket_topk(emb.filter(F.col("vec_id") != 0), probe, k=10)
@@ -373,9 +374,10 @@ def q_lsh_bucket_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-flat ANN (coarse-quantizer inverted lists; rows-only check —
-    centroid choice is xxhash64-seeded, engine-specific; recall vs
-    brute force is pytest-verified in test_similarity_recall)."""
+    """IVF-flat ANN (coarse-quantizer inverted lists). Centroid choice
+    is an md5-keyed deterministic sample, so the DuckDB oracle replays
+    centroids, assignment, and probe lists exactly; recall vs brute
+    force is additionally pytest-verified in test_similarity_recall."""
     emb = _t(spark, sf, "embeddings")
     probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     top = similarity.ivf_topk(
@@ -987,6 +989,50 @@ p AS (
 SELECT a_id, b_id, ROUND(cs, 5) AS cos_sim FROM p
 """
 
+    # replay of similarity.lsh_bucket_topk: the probe's bucket in each
+    # of the two hash tables (seeds 42, 43), OR-of-buckets candidate
+    # set, exact cosine top-k within it
+    sqls["lsh_bucket_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         {_sql_hyperplane_bucket('embedding::DOUBLE[]', 42)} AS bk0,
+         {_sql_hyperplane_bucket('embedding::DOUBLE[]', 43)} AS bk1
+  FROM embeddings),
+p AS (SELECT emb AS pe, bk0 AS pb0, bk1 AS pb1 FROM e WHERE vec_id = 0)
+SELECT e.vec_id, ROUND(list_cosine_similarity(e.emb, p.pe), 5) AS cos_sim
+FROM e, p
+WHERE e.vec_id <> 0 AND (e.bk0 = p.pb0 OR e.bk1 = p.pb1)
+ORDER BY list_cosine_similarity(e.emb, p.pe) DESC, e.vec_id
+LIMIT 10
+"""
+
+    # replay of similarity.ivf_topk: centroids = 8 rows with the
+    # smallest md5-prefix hash of the id (over the probe-excluded set,
+    # exactly like the engine), assignment = argmax cosine (ties ->
+    # lowest centroid id, matching array_position-of-max), probe lists =
+    # 3 centroids nearest the probe (stable ties by cid, matching
+    # numpy argsort), then exact cosine top-k over the probed lists
+    sqls["ivf_topk"] = """
+WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
+h AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hid
+      FROM embeddings WHERE vec_id <> 0),
+c AS (SELECT ROW_NUMBER() OVER (ORDER BY hid, vec_id) - 1 AS cid, emb AS cemb
+      FROM h ORDER BY hid, vec_id LIMIT 8),
+pl AS (SELECT c.cid FROM c, p
+       ORDER BY list_cosine_similarity(c.cemb, p.pe) DESC, c.cid LIMIT 3),
+asg AS (SELECT h.vec_id, h.emb,
+               (SELECT c.cid FROM c
+                ORDER BY list_cosine_similarity(h.emb, c.cemb) DESC, c.cid
+                LIMIT 1) AS acid
+        FROM h)
+SELECT asg.vec_id, ROUND(list_cosine_similarity(asg.emb, p.pe), 5) AS cos_sim
+FROM asg, p
+WHERE asg.acid IN (SELECT cid FROM pl)
+ORDER BY list_cosine_similarity(asg.emb, p.pe) DESC, asg.vec_id
+LIMIT 10
+"""
+
     stop = lambda ws: " OR ".join(f"tk = '{w}'" for w in ws)
     sqls["text_profile"] = f"""
 WITH f AS (
@@ -1133,8 +1179,8 @@ SELECT 'parse.json' AS constraint_id, event_id,
 FROM events WHERE event_id % 37 = 0
 """
 
-    # lsh_bucket_topk, multimodal_features: engine-specific plumbing
-    # (LSH bucket id, fake decoder) — intentionally no oracle →
-    # rows-only check; both are cross-checked in pytest instead
-    # (recall-vs-bruteforce, numpy reimplementation).
+    # multimodal_features is the ONLY remaining no-oracle query: its
+    # feature vector comes from the engine's documented decoder stub
+    # (pipeline/multimodal.py) — cross-checked in pytest against a
+    # numpy reimplementation instead.
     return sqls

@@ -149,12 +149,16 @@ def ivf_centroids(
     id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Deterministic coarse centroids: the n_centroids rows with the
-    smallest xxhash64(id) — a seeded uniform sample, reproducible at any
-    parallelism (a k-means refinement can replace this without changing
-    the query shape)."""
+    smallest md5-prefix hash of the id — a seeded uniform sample,
+    reproducible at any parallelism AND in any engine (the md5 keying
+    lets a DuckDB oracle replay the exact centroid choice; a k-means
+    refinement can replace this without changing the query shape)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
     rows = (
         df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .orderBy(h, F.col(id_col))
         .limit(n_centroids)
         .collect()
     )

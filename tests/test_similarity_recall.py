@@ -128,13 +128,16 @@ def test_exact_dedup_no_text_in_exchange(spark):
     assert verified == got
 
 
-def test_lsh_candidate_pairs_reuses_exchange(spark):
+def test_lsh_candidate_pairs_single_pass_plan(spark):
+    """Plan contract for the round-3 formulation: NO self-join (the
+    round-2 exploded self-join recomputed the signature aggregation per
+    side — a measured 2× regression), so the expensive shingle-explode +
+    groupBy(id) subtree must appear exactly once and the whole query is
+    agg → agg → pair-explode → distinct: three exchanges, zero joins."""
     d = spark.createDataFrame(
         [(i, f"w{i % 7} common tokens here for all docs {i % 3}") for i in range(40)],
         "doc_id bigint, text string",
     )
-    # the static ReuseExchange rule is visible with AQE off (under AQE
-    # the same reuse happens at runtime via stage reuse)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         sig = dedup.minhash_signatures(d, n_hashes=8, k=2)
@@ -142,8 +145,9 @@ def test_lsh_candidate_pairs_reuses_exchange(spark):
         jvm = spark._jvm
         mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
         plan = pairs._jdf.queryExecution().explainString(mode)
-        # one signature aggregation feeding both join sides
-        assert "ReusedExchange" in plan, plan
+        assert "Join" not in plan, plan
+        # sig groupBy + (band,key) groupBy + final distinct
+        assert plan.count("Exchange hashpartitioning") == 3, plan
         assert pairs.count() > 0
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
