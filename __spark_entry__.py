@@ -464,13 +464,21 @@ def q_payload_unknown_keys(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = _t(spark, sf, "events")
     k_int = F.get_json_object("props", "$.k").cast("int")
-    t = ev.select(
-        "event_id",
-        F.from_json("props", "map<string,string>").alias("props_map"),
+    # guard: a row whose payload lacks an integer k would make the map
+    # key NULL and kill the whole job with RUNTIME_ERROR (null map key);
+    # degrade it to a NULL map instead — MapKeysIn skips null columns,
+    # so malformed payloads become non-findings, not job failures
+    tag_map = F.when(
+        k_int.isNotNull(),
         F.map_from_arrays(
             F.array(F.concat(F.lit("k"), (k_int % 4).cast("string"))),
             F.array(k_int.cast("string")),
-        ).alias("tag_map"),
+        ),
+    )
+    t = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,string>").alias("props_map"),
+        tag_map.alias("tag_map"),
     )
     suite = ConstraintSet(
         name="payload",

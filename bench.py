@@ -8,6 +8,8 @@ Env:
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
   BENCH_SYNTH_TURNS    synthetic transcript rows for the validation
                        throughput probe (default 2_000_000)
+  BENCH_WARMUPS        un-timed warmup runs per query (default 2)
+  BENCH_RUNS           timed runs per query, median reported (default 3)
   BENCH_SCALING=1      also run the two-parallelism scaling probe
                        (local[8] vs local[32] semantics via two runs at
                        different spark.default/shuffle parallelism —
@@ -73,6 +75,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     import gc
+    import statistics
 
     def drain():
         # ContextCleaner hygiene: with a big heap no natural GC fires,
@@ -81,12 +84,28 @@ def main() -> None:
         gc.collect()
         spark._jvm.System.gc()
 
+    # protocol (same discipline as tools/bench_scaling.py): per query,
+    # N_WARM un-timed warmups (JIT + codegen caches) then N_TIMED timed
+    # runs; report the MEDIAN and the spread. Round-2's single cold shot
+    # per query could not tell a real 2x regression from cold-JIT noise
+    # (BENCH_r01->r02 showed 3-5x "regressions" on unchanged code).
+    n_warm = int(os.environ.get("BENCH_WARMUPS", "2"))
+    n_timed = int(os.environ.get("BENCH_RUNS", "3"))
+
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in bench_set:
-        t0 = time.time()
-        force(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-        drain()
+        for _ in range(n_warm):
+            force(qs[name](spark, sf_dir))
+            drain()
+        runs = []
+        for _ in range(n_timed):
+            t0 = time.time()
+            force(qs[name](spark, sf_dir))
+            runs.append(time.time() - t0)
+            drain()
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = round(max(runs) - min(runs), 3)
 
     # validation-throughput probe on synthetic transcripts (the north
     # rule's primary metric: validated turns/sec)
@@ -95,12 +114,18 @@ def main() -> None:
 
     df = synth_transcripts(spark, n_turns=synth_turns).cache()
     df.count()  # materialize outside the timed window
-    run_validation(spark, df, quiet=True)  # JIT warmup for the suite
-    drain()
-    t0 = time.time()
-    res = run_validation(spark, df, quiet=True)
-    validate_sec = time.time() - t0
+    for _ in range(n_warm):
+        run_validation(spark, df, quiet=True)  # JIT warmup for the suite
+        drain()
+    runs = []
+    for _ in range(n_timed):
+        t0 = time.time()
+        run_validation(spark, df, quiet=True)
+        runs.append(time.time() - t0)
+        drain()
+    validate_sec = statistics.median(runs)
     timings["validate_synth"] = round(validate_sec, 3)
+    spread["validate_synth"] = round(max(runs) - min(runs), 3)
     turns_per_sec = synth_turns / validate_sec
     df.unpersist()
 
@@ -113,6 +138,8 @@ def main() -> None:
         "validated_turns_per_sec": round(turns_per_sec, 1),
         "synth_turns": synth_turns,
         "cpus": cpus,
+        "protocol": f"{n_warm} warmups + {n_timed} timed, median",
+        "spread_max_minus_min": spread,
     }
     print(json.dumps(out))
 

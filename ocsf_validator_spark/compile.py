@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ocsf_validator_spark.spec import (
     Constraint,
     Deprecated,
+    Glob,
     InEnum,
     MapKeysIn,
     MaxLen,
@@ -101,6 +102,20 @@ def compile_regex(c: Regex) -> RowLeg:
     return pred, reason
 
 
+def compile_glob(c: Glob) -> RowLeg:
+    """Glob conformance → LIKE (reference GlobMatcher, matchers.py:56-62).
+    LIKE stays codegen'd — cheaper than rlike for the wildcard-only
+    patterns the reference's matchers use."""
+    col = F.col(c.column)
+    pred = _scoped(col.isNotNull() & ~col.like(glob_to_like(c.glob)), c)
+    reason = F.concat(
+        F.lit(f"{c.column} value "),
+        _quoted(col),
+        F.lit(f" does not match glob {c.glob}"),
+    )
+    return pred, reason
+
+
 def compile_max_len(c: MaxLen) -> RowLeg:
     col = F.col(c.column)
     pred = _scoped(col.isNotNull() & (F.length(col) > F.lit(c.max_len)), c)
@@ -156,6 +171,7 @@ _COMPILERS: dict[type, Callable] = {
     Deprecated: compile_deprecated,
     TypeCast: compile_type_cast,
     Regex: compile_regex,
+    Glob: compile_glob,
     MaxLen: compile_max_len,
     Range: compile_range,
     MapKeysIn: compile_map_keys_in,

@@ -47,7 +47,12 @@ def exact_duplicates(
     bytes per row instead of full texts. At 10^12 docs the chance of any
     128-bit collision is ~1e-15; ``verify=True`` adds a belt-and-braces
     text-equality recheck of the survivor pairs via broadcast joins
-    (only sensible when the duplicate set is broadcast-small)."""
+    (only sensible when the duplicate set is broadcast-small).
+
+    Oracle-parity note: the DuckDB oracle groups by the RAW text, so the
+    correctness gate relies on collision-freeness of the 128-bit key —
+    a deliberate trade (adversarial xxhash64 collisions would diverge;
+    turn on ``verify`` when that matters more than the shuffle width)."""
     key = [
         F.xxhash64(F.col(text_col)).alias("_h1"),
         F.xxhash64(F.lit(1), F.col(text_col)).alias("_h2"),

@@ -130,6 +130,17 @@ class Regex(Constraint):
 
 
 @dataclass(frozen=True)
+class Glob(Constraint):
+    """Glob-pattern conformance (reference GlobMatcher,
+    matchers.py:56-62): '*' and '?' wildcards, compiled to SQL LIKE via
+    compile.glob_to_like — stays in whole-stage codegen, no regex
+    engine in the hot path."""
+
+    glob: str = "*"
+    KIND = "glob"
+
+
+@dataclass(frozen=True)
 class MaxLen(Constraint):
     """OcsfAttr.max_len (reference types.py:68)."""
 
@@ -255,7 +266,9 @@ class EnumCoverage(Constraint):
     KIND = "coverage"
 
 
-ROW_LEVEL = (NotNull, InEnum, Deprecated, TypeCast, Regex, MaxLen, Range, MapKeysIn)
+ROW_LEVEL = (
+    NotNull, InEnum, Deprecated, TypeCast, Regex, Glob, MaxLen, Range, MapKeysIn
+)
 GROUP_LEVEL = (Unique, TurnOrdering, Monotonic)
 DATASET_LEVEL = (AllowedColumns, EnumCoverage)
 RESIDUAL_LEVEL = (PandasCheck,)

@@ -60,6 +60,11 @@ def stream_transcripts(
     return spark.readStream.schema(schema).parquet(path)
 
 
+CANONICAL_COLS = ("constraint_id", "conv_id", "turn_idx", "reason", "severity")
+
+STATEFUL_BATCH_ID = -1  # partition value of the cross-batch stateful leg
+
+
 def validate_stream(
     sdf: DataFrame,
     violations_out: str,
@@ -68,6 +73,7 @@ def validate_stream(
     manifest_dir: str | None = None,
     available_now: bool = True,
     on_batch: Callable[[int, int, int], None] | None = None,
+    stateful_ordering: bool = False,
 ):
     """Run the constraint suite on each micro-batch via foreachBatch.
 
@@ -75,13 +81,29 @@ def validate_stream(
     micro-batch is meaningless — absence in 10k rows is not absence in
     the table); everything else is the batch engine unchanged.
 
-    Returns the StreamingQuery; with ``available_now`` the caller can
-    ``awaitTermination()`` for a drain-and-stop run (used by tests and
-    backfills)."""
+    Sink layout: violations land under ``batch_id=<n>`` partition
+    directories (idempotent replay), so reading ``violations_out``
+    yields an extra int ``batch_id`` partition column. Use
+    ``read_violations`` to get the canonical batch-runner schema back.
+
+    ``stateful_ordering=True`` ALSO starts the cross-batch stateful leg
+    (``stateful_ordering_violations``: gaps / duplicates / ts
+    regressions that STRADDLE micro-batches, which the per-batch window
+    checks cannot see) writing into the same sink under
+    ``batch_id=-1``, and returns ``(batch_query, stateful_query)``
+    instead of a single query.
+
+    Returns the StreamingQuery (or the pair); with ``available_now``
+    the caller can ``awaitTermination()`` for a drain-and-stop run
+    (used by tests and backfills)."""
     suite = suite or transcript_suite()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
+        if on_batch:
+            # the callback needs the batch row count; cache so that
+            # count comes from memory instead of a second source read
+            batch_df = batch_df.cache()
         viol = all_violations(batch_df, suite, include_coverage=False)
         viol.cache()
         n_viol = viol.count()
@@ -107,6 +129,7 @@ def validate_stream(
                 json.dump(line, f)
         if on_batch:
             on_batch(int(batch_id), batch_df.count(), int(n_viol))
+            batch_df.unpersist()
 
     writer = (
         sdf.writeStream.foreachBatch(_process)
@@ -115,7 +138,32 @@ def validate_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    q = writer.start()
+    if not stateful_ordering:
+        return q
+    state_writer = (
+        stateful_ordering_violations(sdf)
+        .select(*CANONICAL_COLS)
+        .writeStream.format("parquet")
+        .option(
+            "path",
+            os.path.join(violations_out, f"batch_id={STATEFUL_BATCH_ID}"),
+        )
+        .option("checkpointLocation", checkpoint_dir.rstrip("/") + "_state")
+        .outputMode("append")
+    )
+    if available_now:
+        state_writer = state_writer.trigger(availableNow=True)
+    return q, state_writer.start()
+
+
+def read_violations(spark: SparkSession, violations_out: str) -> DataFrame:
+    """Read a streaming violations sink back in the CANONICAL batch
+    schema. The (batch_id)-keyed layout adds an int ``batch_id``
+    partition column (−1 = the cross-batch stateful leg); this selects
+    the canonical violation columns so the result unions cleanly with
+    the batch runner's flat append-mode parquet output."""
+    return spark.read.parquet(violations_out).select(*CANONICAL_COLS)
 
 
 def cross_batch_duplicates(

@@ -308,3 +308,66 @@ def test_iceberg_identifier_quoting():
     for bad in ("x; DROP TABLE y", "a b", "tab`le", ""):
         with pytest.raises(ValueError):
             _quoted_table(bad)
+
+
+def test_validate_stream_with_stateful_ordering(spark, tmp_path):
+    """Composed pipeline (round-3): the cross-batch stateful leg runs
+    alongside the per-batch suite and lands in the SAME sink under
+    batch_id=-1 with the canonical schema. A duplicate that straddles
+    micro-batches must appear exactly once in the stateful partition."""
+    root = str(tmp_path / "landing_state")
+
+    def _mk(rows):
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts string",
+        )
+        return df.withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1)
+
+    b1 = [
+        ("cx", 0, "user", "a", None, "2026-01-01 00:00:00"),
+        ("cx", 1, "user", "b", None, "2026-01-01 00:00:01"),
+        ("cx", 2, "user", "c", None, "2026-01-01 00:00:02"),
+    ]
+    b2 = [b1[1]]  # re-delivery of turn 1 in a LATER batch
+    # land as FLAT files (the file stream source does not descend into
+    # non-partition subdirs); names + mtimes order b1 before b2
+    import glob as g
+    import shutil
+    import time as t
+
+    os.makedirs(root)
+    for name, rows in (("a_batch1", b1), ("b_batch2", b2)):
+        staging = str(tmp_path / f"stage_{name}")
+        _mk(rows).write.parquet(staging)
+        part = g.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(root, f"{name}.parquet"))
+        t.sleep(1.1)  # distinct mtimes for deterministic batch order
+
+    sdf = (
+        spark.readStream.schema(st.TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", "1")  # force one file per batch
+        .parquet(root)
+    )
+    viol_out = str(tmp_path / "viol_state")
+    q, sq = st.validate_stream(
+        sdf,
+        violations_out=viol_out,
+        checkpoint_dir=str(tmp_path / "ckpt_state"),
+        stateful_ordering=True,
+    )
+    q.awaitTermination(120)
+    sq.awaitTermination(120)
+
+    allv = spark.read.parquet(viol_out)
+    assert "batch_id" in allv.columns
+    stateful = allv.filter(F.col("batch_id") == st.STATEFUL_BATCH_ID)
+    cross = stateful.filter(
+        (F.col("constraint_id") == "order.turn_idx") & (F.col("turn_idx") == 1)
+    ).collect()
+    assert len(cross) == 1, stateful.collect()
+    assert "already past" in cross[0].reason
+    # canonical read unions cleanly with a batch-runner-shaped frame
+    canon = st.read_violations(spark, viol_out)
+    assert canon.columns == list(st.CANONICAL_COLS)

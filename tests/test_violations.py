@@ -128,3 +128,37 @@ def test_fused_plan_shape_one_exchange_one_sort(spark, transcripts):
     assert n_exchange == 1, plan
     assert n_sort == 1, plan
     assert n_window == 2, plan
+
+
+def test_glob_constraint(spark):
+    """F2: glob -> LIKE compilation with wildcard and escape semantics
+    (reference GlobMatcher, matchers.py:56-62)."""
+    from ocsf_validator_spark.spec import ConstraintSet, Glob
+    from ocsf_validator_spark.violations import row_violations
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user_a"),
+            ("c1", 1, "user_b"),
+            ("c1", 2, "admin_x"),     # violates user_*
+            ("c1", 3, "user"),        # violates user_? (needs 6 chars)
+            ("c1", 4, "100%"),        # literal % must not be a wildcard
+        ],
+        "conv_id string, turn_idx int, role string",
+    )
+    suite = ConstraintSet(
+        name="g", constraints=[Glob(column="role", glob="user*")]
+    )
+    bad = {r.turn_idx for r in row_violations(df, suite).collect()}
+    assert bad == {2, 4}
+    suite_q = ConstraintSet(
+        name="g2", constraints=[Glob(column="role", glob="user_?")]
+    )
+    bad_q = {r.turn_idx for r in row_violations(df, suite_q).collect()}
+    assert bad_q == {2, 3, 4}
+    # literal % in the DATA never matches a glob without wildcards
+    suite_pct = ConstraintSet(
+        name="g3", constraints=[Glob(column="role", glob="100%")]
+    )
+    ok_pct = {r.turn_idx for r in row_violations(df, suite_pct).collect()}
+    assert 4 not in ok_pct  # "100%" satisfies glob "100%" (escaped LIKE)
