@@ -899,8 +899,11 @@ WHERE d.doc_id <> m.keep_id
          j -> array_to_string(list_slice(string_split(text, ' '), j, j + 4), ' ')
        )) AS u(s)
 )"""
+    # hash i = word (i % 4) of md5(shingle # i//4) — mirror of
+    # dedup.minhash_signatures' packed-md5 family
     minhash_m = lambda i: (
-        f"MIN(('0x' || substr(md5(sh || '#' || {i}), 1, 8))::BIGINT) AS m{i}"
+        f"MIN(('0x' || substr(md5(sh || '#' || {i // 4}), "
+        f"{1 + 8 * (i % 4)}, 8))::BIGINT) AS m{i}"
     )
 
     sqls["minhash_signatures"] = f"""
