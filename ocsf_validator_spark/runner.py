@@ -131,24 +131,33 @@ def run_validation(
         for c in suite.dataset_level()
         if isinstance(c, EnumCoverage) and c.column in df.columns
     ]
-    cov_aggs = {
-        f"_cov{i}": F.collect_set(
-            F.when(F.col(c.column).isin(*c.values), F.col(c.column))
+    # coverage as ONE int flag per (constraint, enum value) —
+    # max-mergeable pure-codegen aggregates (collect_set here would
+    # force the stats scan onto the sort-based object-aggregation path;
+    # see bucketed_probe_stats docstring)
+    cov_flags = {
+        f"_cov{i}_{j}": F.max(
+            F.when(F.col(c.column) == F.lit(v), F.lit(1)).otherwise(F.lit(0))
         )
         for i, c in enumerate(cov_cs)
+        for j, v in enumerate(c.values)
     }
     bucket_stats = bucketed_probe_stats(
         df,
         conv_col=conv_col,
         num_buckets=num_buckets,
-        cov_aggs=cov_aggs,
+        max_aggs=cov_flags,
         probe_floor=skew_min_rows if detect_skew else None,
     ).collect()
     lap("stats")
     n_rows = sum(r.n_rows for r in bucket_stats)
     observed = [int(r.bucket) for r in bucket_stats]
     observed_enums = {
-        c.column: {v for r in bucket_stats for v in (r[f"_cov{i}"] or [])}
+        c.column: {
+            v
+            for j, v in enumerate(c.values)
+            if any(r[f"_cov{i}_{j}"] == 1 for r in bucket_stats)
+        }
         for i, c in enumerate(cov_cs)
     }
     if n_rows == 0 and skipped > 0:

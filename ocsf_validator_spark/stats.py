@@ -94,17 +94,17 @@ def bucketed_probe_stats(
     df: DataFrame,
     conv_col: str = "conv_id",
     num_buckets: int = DEFAULT_BUCKETS,
-    cov_aggs: dict | None = None,
+    max_aggs: dict | None = None,
     probe_floor: int | None = 1_000_000,
 ) -> DataFrame:
-    """Per-bucket row counts + piggybacked coverage observations + the
-    SKEW PROBE, all in ONE scan of the input — a two-level aggregation:
+    """Per-bucket row counts + piggybacked flag observations + the SKEW
+    PROBE, all in ONE scan of the input — a two-level aggregation:
 
-      level 1: groupBy(conv_id) → per-conversation row count and the
-               bounded enum-observation partials (map-side combine, so
-               the shuffle carries ~n_convs tiny rows, not n_rows);
-      level 2: groupBy(bucket)  → sum the counts, merge the observation
-               sets, and collect the conversations whose count reaches
+      level 1: groupBy(conv_id) → per-conversation row count plus the
+               caller's ``max_aggs`` (map-side combine, so the shuffle
+               carries ~n_convs tiny rows, not n_rows);
+      level 2: groupBy(bucket)  → sum the counts, re-max the flags, and
+               collect the conversations whose count reaches
                ``probe_floor`` as (n, conv) structs.
 
     This replaces the runner's former THIRD full scan (a separate
@@ -116,19 +116,30 @@ def bucketed_probe_stats(
     the already-bounded list — at most n_rows/probe_floor structs total).
     ``probe_floor=None`` skips the probe column.
 
-    Output: (bucket int, n_rows long, <cov alias arrays...>,
+    ``max_aggs`` ({alias: aggregate Column}) MUST be max-mergeable
+    scalars (level 2 re-aggregates each alias with ``max``): e.g. the
+    runner's enum-coverage probes are one ``max(when(col == v, 1), 0)``
+    int flag PER ENUM VALUE. Flag columns — never collect_set — because
+    any object-typed aggregate (collect_set/collect_list) forces
+    ObjectHashAggregateExec at level 1, which falls back to SORT-BASED
+    aggregation past spark.sql.objectHashAggregate.sortBased.
+    fallbackThreshold (default 128) groups: with millions of
+    conversation groups that turns the stats scan into a full dataset
+    sort (measured 25s → 175s on 64M rows at local[2]). The level-2
+    probe collect_list is safe: level 2 sees one row per conversation
+    (~n_rows/20), grouped into NB buckets.
+
+    Output: (bucket int, n_rows long, <max_aggs aliases...>,
     _skew array<struct<n:long, conv>> sorted desc) — one row per bucket.
     """
-    cov_aggs = cov_aggs or {}
+    max_aggs = max_aggs or {}
     l1 = df.groupBy(conv_col).agg(
         F.count(F.lit(1)).alias("_n"),
-        *[e.alias(f"__p_{a}") for a, e in cov_aggs.items()],
+        *[e.alias(a) for a, e in max_aggs.items()],
     )
     aggs = [F.sum("_n").alias("n_rows")]
-    for a in cov_aggs:
-        aggs.append(
-            F.array_distinct(F.flatten(F.collect_list(f"__p_{a}"))).alias(a)
-        )
+    for a in max_aggs:
+        aggs.append(F.max(a).alias(a))
     if probe_floor is not None:
         aggs.append(
             F.sort_array(
