@@ -83,3 +83,51 @@ def test_histogram_counts(samples):
     ref, _, _ = samples
     h = histogram(ref, "length(text)", "floor(_v / 16)")
     assert sum(r.cnt for r in h.collect()) == ref.count()
+
+
+def test_psi_split_matches_two_df_psi(spark):
+    """psi_split (ONE scan: groupBy(bin) with conditional counts) must
+    equal psi() over the two filtered halves of the same table."""
+    from ocsf_validator_spark.drift import psi_split
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20000).select(
+        F.col("id"), (F.col("id") % 7 * 3 + F.col("id") % 13).alias("v")
+    )
+    two_scan = psi(
+        df.filter(F.col("id") % 2 == 0),
+        df.filter(F.col("id") % 2 == 1),
+        "v",
+        "floor(_v / 4)",
+    )
+    one_scan = psi_split(df, "id % 2 = 0", "v", "floor(_v / 4)")
+    assert math.isclose(two_scan, one_scan, rel_tol=1e-12)
+    # explicit ref_pred: rows matching neither predicate are ignored
+    part = psi_split(df, "id % 3 = 0", "v", "floor(_v / 4)", ref_pred="id % 3 = 1")
+    assert not math.isnan(part)
+
+
+def test_psi_split_single_scan_plan(spark):
+    """The one-scan contract: a single source appears in the plan."""
+    from ocsf_validator_spark.drift import _psi_of_counts  # noqa: F401
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    staged = (
+        df.select(
+            F.expr("v").alias("_v"),
+            F.expr("id % 2 = 0").alias("_is_cur"),
+            F.expr("NOT (id % 2 = 0)").alias("_is_ref"),
+        )
+        .filter(F.col("_v").isNotNull() & (F.col("_is_cur") | F.col("_is_ref")))
+        .select("_is_cur", "_is_ref", F.expr("floor(_v / 2)").cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.col("_is_cur").cast("long")).alias("c_cnt"),
+            F.sum(F.col("_is_ref").cast("long")).alias("r_cnt"),
+        )
+    )
+    plan = staged._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert plan.count("Range (0, 100") == 1, plan

@@ -88,3 +88,55 @@ def test_strict_threshold(transcripts):
     # under --strict, WARNING-level deprecation now fails (reference
     # runner.py:135-139 strict mode)
     assert not summary["deprecated.role"]["pass"]
+
+
+def test_bucketed_probe_stats_fused(spark):
+    """Direct contract of the fused stats+probe aggregation: per-bucket
+    counts sum to the table, max-merged flags observe exactly the
+    present values, and the probe collects exactly the conversations at
+    or above the floor with their exact counts."""
+    from pyspark.sql import functions as F
+
+    from ocsf_validator_spark.stats import bucket_col, bucketed_probe_stats
+
+    rows = (
+        [("big", "click") for _ in range(500)]
+        + [("mid", "view") for _ in range(90)]
+        + [("s1", "click"), ("s2", "purchase"), ("s3", "click")]
+    )
+    df = spark.createDataFrame(rows, "conv_id string, role string")
+    flags = {
+        f"_f{j}": F.max(
+            F.when(F.col("role") == F.lit(v), F.lit(1)).otherwise(F.lit(0))
+        )
+        for j, v in enumerate(("click", "view", "purchase", "refund"))
+    }
+    out = bucketed_probe_stats(
+        df, num_buckets=4, max_aggs=flags, probe_floor=90
+    ).collect()
+    assert sum(r.n_rows for r in out) == len(rows)
+    seen = {
+        v
+        for j, v in enumerate(("click", "view", "purchase", "refund"))
+        if any(r[f"_f{j}"] == 1 for r in out)
+    }
+    assert seen == {"click", "view", "purchase"}
+    heavy = {s.conv: s.n for r in out for s in (r._skew or [])}
+    assert heavy == {"big": 500, "mid": 90}
+    # plan contract: the only object-typed aggregation (the probe's
+    # collect_list) is keyed by BUCKET — level 1 (conversation-keyed,
+    # millions of groups) must stay pure codegen HashAggregate, because
+    # a conv-keyed ObjectHashAggregate falls back to sort-based
+    # aggregation past 128 groups (the round-3 175s regression)
+    plan = (
+        bucketed_probe_stats(df, num_buckets=4, max_aggs=flags, probe_floor=90)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortAggregate" not in plan, plan
+    import re
+
+    for m in re.finditer(r"ObjectHashAggregate\(keys=\[(\w+)", plan):
+        assert m.group(1) == "bucket", plan
+    assert "ObjectHashAggregate" in plan  # the probe leg exists
