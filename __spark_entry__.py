@@ -284,6 +284,23 @@ def q_psi_value_drift(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame([(round(val, 4),)], "psi double")
 
 
+def q_psi_by_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-bucket PSI (the partitioned drift path): even/odd event split
+    inside each md5(user_id) bucket, one scan, portable bucket+bin math
+    so DuckDB replays it exactly."""
+    ev = _t(spark, sf, "events")
+    out = drift.psi_split_by_bucket(
+        ev,
+        "event_id % 2 = 0",
+        "value",
+        "floor(_v / 10)",
+        bucket_expr=md5_bucket_col("user_id", 8),
+    )
+    return out.select(
+        "bucket", "n_cur", "n_ref", F.round("psi", 6).alias("psi"), "drifted"
+    )
+
+
 def q_ks_click_view(spark: SparkSession, sf: str) -> DataFrame:
     ev = _t(spark, sf, "events")
     val = drift.ks_distance(
@@ -628,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "length_histogram_documents": q_length_histogram_documents,
         "psi_value_drift": q_psi_value_drift,
+        "psi_by_bucket": q_psi_by_bucket,
         "ks_click_view": q_ks_click_view,
         "ks_by_bucket_textlen": q_ks_by_bucket_textlen,
         "dedup_exact": q_dedup_exact,
@@ -868,6 +886,28 @@ tot AS (SELECT CAST(SUM(cc) AS DOUBLE) AS ct, CAST(SUM(rc) AS DOUBLE) AS rt FROM
 SELECT ROUND(SUM((cc / ct - rc / rt)
         * (LN(GREATEST(cc / ct, 1e-6)) - LN(GREATEST(rc / rt, 1e-6)))), 4) AS psi
 FROM j, tot
+"""
+
+    sqls["psi_by_bucket"] = """
+WITH d AS (
+  SELECT CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 8) AS INTEGER) AS bucket,
+         CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+         (event_id % 2 = 0) AS is_cur
+  FROM events WHERE value IS NOT NULL),
+h AS (SELECT bucket, bin,
+        SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS c_cnt,
+        SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS r_cnt
+      FROM d GROUP BY 1, 2),
+t AS (SELECT bucket, SUM(c_cnt) AS ct, SUM(r_cnt) AS rt FROM h GROUP BY 1)
+SELECT h.bucket, CAST(t.ct AS BIGINT) AS n_cur, CAST(t.rt AS BIGINT) AS n_ref,
+  ROUND(SUM((h.c_cnt / CAST(t.ct AS DOUBLE) - h.r_cnt / CAST(t.rt AS DOUBLE))
+    * (LN(GREATEST(h.c_cnt / CAST(t.ct AS DOUBLE), 1e-6))
+       - LN(GREATEST(h.r_cnt / CAST(t.rt AS DOUBLE), 1e-6)))), 6) AS psi,
+  SUM((h.c_cnt / CAST(t.ct AS DOUBLE) - h.r_cnt / CAST(t.rt AS DOUBLE))
+    * (LN(GREATEST(h.c_cnt / CAST(t.ct AS DOUBLE), 1e-6))
+       - LN(GREATEST(h.r_cnt / CAST(t.rt AS DOUBLE), 1e-6)))) >= 0.2 AS drifted
+FROM h JOIN t USING (bucket)
+GROUP BY h.bucket, t.ct, t.rt
 """
 
     sqls["ks_click_view"] = """

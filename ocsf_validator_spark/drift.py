@@ -147,6 +147,90 @@ def psi_split(
     )
 
 
+def psi_split_by_bucket(
+    df: DataFrame,
+    cur_pred: str,
+    value_expr: str,
+    bin_expr: str,
+    bucket_expr=None,
+    conv_col: str = "conv_id",
+    num_buckets: int = 64,
+    ref_pred: str | None = None,
+    epsilon: float = 1e-6,
+    psi_threshold: float = PSI_SIGNIFICANT,
+) -> DataFrame:
+    """Per-bucket PSI between two slices of the same table — the
+    PARTITIONED drift path (north star: per-partition checks). One scan:
+    groupBy(bucket, bin) with conditional counts, a window over the
+    bucket to attach the per-bucket totals, then one aggregation per
+    bucket for the PSI sum. Everything is column algebra; output is one
+    row per bucket — at 10^12 turns this is NB independent reductions
+    over a histogram that is already tiny after the first map-side
+    combine.
+
+    Returns (bucket int, n_cur long, n_ref long, psi double,
+    drifted boolean)."""
+    rp = f"NOT ({cur_pred})" if ref_pred is None else ref_pred
+    if bucket_expr is None:
+        bucket_expr = F.pmod(
+            F.xxhash64(F.col(conv_col)), F.lit(num_buckets)
+        ).cast("int")
+    staged = (
+        df.select(
+            bucket_expr.alias("bucket"),
+            F.expr(value_expr).alias("_v"),
+            F.expr(cur_pred).alias("_is_cur"),
+            F.expr(rp).alias("_is_ref"),
+        )
+        .filter(F.col("_v").isNotNull() & (F.col("_is_cur") | F.col("_is_ref")))
+        .select(
+            "bucket",
+            "_is_cur",
+            "_is_ref",
+            F.expr(bin_expr).cast("bigint").alias("bin"),
+        )
+    )
+    hist = staged.groupBy("bucket", "bin").agg(
+        F.sum(F.col("_is_cur").cast("long")).alias("c_cnt"),
+        F.sum(F.col("_is_ref").cast("long")).alias("r_cnt"),
+    )
+    w = Window.partitionBy("bucket")
+    tot = hist.select(
+        "bucket",
+        "c_cnt",
+        "r_cnt",
+        F.sum("c_cnt").over(w).alias("_ct"),
+        F.sum("r_cnt").over(w).alias("_rt"),
+    )
+    # try_divide: a bucket whose cur or ref side is EMPTY must yield a
+    # NULL psi (flagged drifted below), not an ANSI divide-by-zero that
+    # kills the whole job
+    p = F.try_divide(F.col("c_cnt"), F.col("_ct"))
+    q = F.try_divide(F.col("r_cnt"), F.col("_rt"))
+    term = (p - q) * (
+        F.log(F.greatest(p, F.lit(epsilon)))
+        - F.log(F.greatest(q, F.lit(epsilon)))
+    )
+    return (
+        tot.groupBy("bucket")
+        .agg(
+            F.sum("c_cnt").alias("n_cur"),
+            F.sum("r_cnt").alias("n_ref"),
+            F.sum(term).alias("psi"),
+        )
+        .withColumn(
+            "psi",
+            F.when(
+                (F.col("n_cur") > 0) & (F.col("n_ref") > 0), F.col("psi")
+            ),
+        )
+        .withColumn(
+            "drifted",
+            F.coalesce(F.col("psi") >= F.lit(psi_threshold), F.lit(True)),
+        )
+    )
+
+
 def ks_distance(a: DataFrame, b: DataFrame, value_expr: str) -> float:
     """Exact two-sample KS D via a RANGE-framed cumulative window —
     the SQL-expressible formulation (usable 1:1 as the DuckDB oracle).

@@ -131,3 +131,39 @@ def test_psi_split_single_scan_plan(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert plan.count("Range (0, 100") == 1, plan
+
+
+def test_psi_split_by_bucket_matches_per_bucket_psi(spark):
+    """Each bucket's PSI from the one-scan partitioned formulation must
+    equal psi_split run on that bucket's rows alone."""
+    from ocsf_validator_spark.drift import psi_split, psi_split_by_bucket
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 30000).select(
+        F.col("id"),
+        ((F.col("id") % 7) % 4).cast("int").alias("bucket_src"),
+        ((F.col("id") * 7) % 23).alias("v"),
+    )
+    out = {
+        r.bucket: r.psi
+        for r in psi_split_by_bucket(
+            df,
+            "id % 2 = 0",
+            "v",
+            "floor(_v / 3)",
+            bucket_expr=F.col("bucket_src"),
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    for b in range(4):
+        solo = psi_split(
+            df.filter(F.col("bucket_src") == b), "id % 2 = 0", "v", "floor(_v / 3)"
+        )
+        assert math.isclose(out[b], solo, rel_tol=1e-9), (b, out[b], solo)
+    # a bucket with an empty side degrades to NULL psi + drifted=True,
+    # never an ANSI divide-by-zero job failure
+    rows = psi_split_by_bucket(
+        df, "id % 2 = 0", "v", "floor(_v / 3)",
+        bucket_expr=(F.col("id") % 2).cast("int"),  # bucket == side
+    ).collect()
+    assert all(r.psi is None and r.drifted for r in rows)
