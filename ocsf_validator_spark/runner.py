@@ -273,6 +273,47 @@ def run_validation(
     )
 
 
+def stream_main(spark: SparkSession, args) -> int:
+    """--stream: drain a landing directory through the streaming suite
+    (validate_stream, availableNow) and exit with the batch contract:
+    0 = clean, 1 = ERROR/FATAL violations found in this drain's batches
+    (coverage is excluded per micro-batch by design). The exit verdict
+    reads back only the sink partitions this drain wrote."""
+    from pyspark.sql import functions as F
+
+    from ocsf_validator_spark.streaming import (
+        STATEFUL_BATCH_ID,
+        stream_transcripts,
+        validate_stream,
+    )
+
+    batches: list[tuple[int, int, int]] = []
+    started = validate_stream(
+        stream_transcripts(spark, args.input),
+        violations_out=args.violations_out,
+        checkpoint_dir=args.checkpoint,
+        manifest_dir=args.checkpoint + "_batches",
+        on_batch=lambda bid, rows, nv: batches.append((bid, rows, nv)),
+        stateful_ordering=args.stateful_ordering,
+    )
+    queries = started if isinstance(started, tuple) else (started,)
+    for q in queries:
+        q.awaitTermination()
+    for bid, rows, nv in batches:
+        print(f"[batch {bid}] {rows} turns, {nv} violations")
+    if not batches:
+        print("stream: nothing pending")
+        return 0
+    drained = [bid for bid, _, _ in batches]
+    if args.stateful_ordering:
+        drained.append(STATEFUL_BATCH_ID)
+    sunk = spark.read.parquet(args.violations_out).filter(
+        F.col("batch_id").isin(drained)
+        & F.col("severity").isin("ERROR", "FATAL")
+    )
+    return 1 if sunk.limit(1).count() > 0 else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="PySpark transcript validator")
     src = p.add_mutually_exclusive_group(required=True)
@@ -295,11 +336,31 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--violations-out")
     p.add_argument("--verdicts-out")
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="treat --input as a streaming landing directory: drain all "
+        "available files through the foreachBatch suite (availableNow) "
+        "and stop; requires --violations-out and --checkpoint",
+    )
+    p.add_argument(
+        "--stateful-ordering",
+        action="store_true",
+        help="with --stream: also run the cross-batch stateful ordering "
+        "leg into the same sink (batch_id=-1)",
+    )
     args = p.parse_args(argv)
 
     from ocsf_validator_spark.session import get_spark
 
     spark = get_spark("ocsf-validator-runner", cores=args.cores)
+
+    if args.stream:
+        if not (args.input and args.violations_out and args.checkpoint):
+            print("[FATAL] --stream requires --input, --violations-out, --checkpoint")
+            return 2
+        return stream_main(spark, args)
+
     if args.input:
         from ocsf_validator_spark.sources import load_table
 

@@ -171,3 +171,30 @@ def test_cli_input_records_source_snapshot(spark, tmp_path):
     assert handle.format == "parquet"
     entries = ckpt.read_entries(manifest)
     assert entries and all(e.snapshot_id == handle.snapshot_id for e in entries)
+
+
+def test_cli_stream_mode(spark, tmp_path):
+    """--stream drains a landing dir through the streaming suite and
+    exits with the batch contract (1 = ERROR violations found)."""
+    from pyspark.sql import functions as F
+
+    from ocsf_validator_spark.runner import main
+
+    root = str(tmp_path / "landing")
+    synth_transcripts(spark, n_turns=3000, seed=42).write.parquet(root)
+    viol = str(tmp_path / "sviol")
+    code = main([
+        "--input", root, "--stream",
+        "--violations-out", viol,
+        "--checkpoint", str(tmp_path / "sckpt"),
+    ])
+    assert code == 1  # synth injects ERROR-level defects
+    written = spark.read.parquet(viol)
+    assert written.filter(F.col("severity") == "ERROR").count() > 0
+    # drained checkpoint: a second drain with no new files exits 0
+    code2 = main([
+        "--input", root, "--stream",
+        "--violations-out", viol,
+        "--checkpoint", str(tmp_path / "sckpt"),
+    ])
+    assert code2 == 0
