@@ -719,14 +719,19 @@ WITH t AS (
          LAG(turn_idx) OVER ord AS prev_idx,
          LAG(ts) OVER ord AS prev_ts,
          ROW_NUMBER() OVER grp AS occ,
-         FIRST_VALUE(CAST(ts AS VARCHAR) || '|' || role || '|' || text)
+         -- engine caps string tie columns at TIE_DISPLAY_LEN=256 before
+         -- the conv exchange (violations.py); mirror display AND order
+         FIRST_VALUE(CAST(ts AS VARCHAR) || '|' || substr(role, 1, 256)
+                     || '|' || substr(text, 1, 256))
            OVER (PARTITION BY conv_id, turn_idx
-                 ORDER BY ts, role, text
+                 ORDER BY ts, substr(role, 1, 256), substr(text, 1, 256)
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
            AS first_seen
   FROM t
-  WINDOW ord AS (PARTITION BY conv_id ORDER BY turn_idx, ts, role, text),
-         grp AS (PARTITION BY conv_id, turn_idx ORDER BY ts, role, text)
+  WINDOW ord AS (PARTITION BY conv_id
+                 ORDER BY turn_idx, ts, substr(role, 1, 256), substr(text, 1, 256)),
+         grp AS (PARTITION BY conv_id, turn_idx
+                 ORDER BY ts, substr(role, 1, 256), substr(text, 1, 256))
 )
 SELECT 'unique.conv_turn' AS constraint_id, conv_id, turn_idx,
        'duplicate key (' || conv_id || ',' || turn_idx || ') occurrence '

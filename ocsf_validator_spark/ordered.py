@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ocsf_validator_spark.spec import Monotonic, TurnOrdering, Unique
+from ocsf_validator_spark.violations import _tie_display
 
 def _violation_ddl(part: str, idx: str) -> str:
     return (
@@ -157,8 +158,19 @@ def scalable_group_violations(
     # otherwise re-scan the source (for the runner's skew route that is
     # a second full read of the input just to draw ~P*20 sample rows).
     pre = df.select(*need).persist(StorageLevel.MEMORY_AND_DISK)
+    # same bounded-tie discipline as the fused path (violations.py
+    # TIE_DISPLAY_LEN): string tie columns are capped map-side before the
+    # range exchange, so a transcript's full `text` never crosses it —
+    # rows tying on the capped prefix display the same peer either way.
+    mono_names = {m[1] for m in mono}
+    narrow_bounded = [
+        _tie_display(F.col(c), pre.schema[c].dataType).alias(c)
+        if c in ties and c not in mono_names
+        else F.col(c)
+        for c in narrow
+    ]
     staged = (
-        pre.select(*narrow)
+        pre.select(*narrow_bounded)
         # same null ordering as the sort below (asc_nulls_last on ties),
         # else null-tie rows of a boundary-straddling duplicate group can
         # land out of traversal order and skew occurrence ranks

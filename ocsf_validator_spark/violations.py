@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -46,6 +46,25 @@ from ocsf_validator_spark.spec import (
 )
 
 DEFAULT_KEYS = ("conv_id", "turn_idx")
+
+# Duplicate-key reasons display the first-seen peer's tie values (the
+# reference's collision map names the kept peer, validators.py:236-262).
+# String tie columns are capped at this many characters BEFORE the
+# conversation exchange: at transcript scale `text` is the whole shuffle
+# payload, and an unbounded peer string in a reason row is useless past a
+# screenful anyway. Truncation is applied identically in the fused path,
+# the skew (ordered.py) path, the standalone unique path, and the DuckDB
+# oracles, so verdicts stay engine-exact: rows that tie on the truncated
+# prefix display the same peer string whichever of them wins the rank.
+TIE_DISPLAY_LEN = 256
+
+
+def _tie_display(col: Column, dt: T.DataType) -> Column:
+    """Bounded display/sort form of a tie-break column (strings capped at
+    TIE_DISPLAY_LEN; other types are already fixed-width)."""
+    if isinstance(dt, T.StringType):
+        return F.substring(col, 1, TIE_DISPLAY_LEN)
+    return col
 
 
 def _violation_schema(df: DataFrame, keys: Sequence[str]) -> T.StructType:
@@ -145,7 +164,17 @@ def unique_violations(
     w = Window.partitionBy(*kcols).orderBy(*order)
     ranked = dups.withColumn("_rn", F.row_number().over(w))
     first_seen = (
-        F.first(F.concat_ws("|", *[F.col(o).cast("string") for o in c.first_seen_order]))
+        F.first(
+            F.concat_ws(
+                "|",
+                *[
+                    _tie_display(
+                        F.col(o), df.schema[o].dataType
+                    ).cast("string")
+                    for o in c.first_seen_order
+                ],
+            )
+        )
         .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
         if c.first_seen_order
         else F.lit("")
@@ -292,14 +321,48 @@ def fused_group_violations(
     a pathological conversation (synth's 5%-skew conv) makes one task
     ~2x average at 32 slots — acceptable; beyond that the pass/fail
     signal can fall back to the salted no-window formulation in
-    stats.conversation_stats."""
+    stats.conversation_stats.
+
+    Shuffle-width note (the 100 TB design point): the conv_id exchange
+    carries ONLY (keys, bounded tie columns, monotonic columns, and a
+    defect-proportional array of row-violation structs). Row-level legs
+    are evaluated MAP-SIDE before the exchange — their structs ride the
+    shuffle only for violating rows — and string tie columns are capped
+    at TIE_DISPLAY_LEN, so full `text` payloads never cross the
+    exchange (ordered.py's skew path applies the same discipline for
+    the same reason, ordered.py:147-152)."""
     part, idx = keys[0], keys[1]
+    entry_t = "struct<constraint_id:string,reason:string,severity:string>"
+    mono_cols = [c.column for c in cs if isinstance(c, Monotonic)]
+    # ---- map-side stage: keys + bounded ties + mono columns + the row
+    # family's violation array, all computed BEFORE the exchange --------
+    pre_cols = [F.col(k) for k in keys]
+    for t in ties:
+        if t in keys:
+            continue
+        if t in mono_cols:
+            # a Monotonic column doubling as a tie must keep its full
+            # value — prefix comparison would change mono semantics
+            pre_cols.append(F.col(t))
+        else:
+            pre_cols.append(
+                _tie_display(F.col(t), df.schema[t].dataType).alias(t)
+            )
+    pre_cols += [
+        F.col(m) for m in mono_cols if m not in keys and m not in ties
+    ]
+    if row_cs:
+        row_arr = F.array_compact(
+            F.array(*[violation_entry(c).cast(entry_t) for c in row_cs])
+        )
+        pre_cols.append(row_arr.alias("_rv"))
+    pre = df.select(*pre_cols)
+    # ---- reduce-side windows, over the bounded columns only ------------
     tie_order = [F.col(t).asc_nulls_last() for t in ties]
     w = Window.partitionBy(part).orderBy(F.col(idx).asc(), *tie_order)
     w2 = Window.partitionBy(part, idx).orderBy(*tie_order)
     prev_idx = F.lag(F.col(idx)).over(w)
     cols: dict = {"_prev_idx": prev_idx}
-    mono_cols = [c.column for c in cs if isinstance(c, Monotonic)]
     for m in mono_cols:
         cols[f"_prev_{m}"] = F.lag(F.col(m)).over(w)
     has_unique = any(isinstance(c, Unique) for c in cs)
@@ -309,22 +372,9 @@ def fused_group_violations(
         )
         cols["_occ"] = F.row_number().over(w2)
         cols["_first"] = F.first(first_seen_str).over(w2)
-    # row_cs may reference any input column (incl. `where` scopes), so
-    # carry the full row through the shuffle; for the transcript shape
-    # that is 6 narrow columns.
-    carry = (
-        list(df.columns)
-        if row_cs
-        else [
-            *keys,
-            *(t for t in ties if t not in keys),
-            *(m for m in mono_cols if m not in keys and m not in ties),
-        ]
-    )
-    staged = df.select(*carry, *[v.alias(k) for k, v in cols.items()])
+    staged = pre.select(*pre.columns, *[v.alias(k) for k, v in cols.items()])
     occ = F.col("_occ") if has_unique else F.lit(1)
-    entry_t = "struct<constraint_id:string,reason:string,severity:string>"
-    legs = [violation_entry(c).cast(entry_t) for c in row_cs]
+    legs = []
     key_repr = F.concat_ws(",", *[F.col(k).cast("string") for k in keys])
     for c in cs:
         if isinstance(c, Unique):
@@ -398,7 +448,12 @@ def fused_group_violations(
                     ),
                 ).cast(entry_t)
             )
-    entries = F.array_compact(F.array(*legs))
+    group_arr = F.array_compact(F.array(*legs)) if legs else F.array().cast(
+        f"array<{entry_t}>"
+    )
+    entries = (
+        F.concat(F.col("_rv"), group_arr) if row_cs else group_arr
+    )
     return staged.select(*keys, F.explode(entries).alias("_v")).select(
         F.col("_v.constraint_id").alias("constraint_id"),
         *keys,

@@ -128,6 +128,65 @@ def test_fused_plan_shape_one_exchange_one_sort(spark, transcripts):
     assert n_exchange == 1, plan
     assert n_sort == 1, plan
     assert n_window == 2, plan
+    # Shuffle-width contract: the map-side Project (BELOW the exchange in
+    # the tree, i.e. after the Exchange line in root-first explain text)
+    # computes both the bounded tie columns and the row-leg violation
+    # array — so full text payloads and row-only columns never cross.
+    below = plan.split("Exchange", 1)[1]
+    assert "substring(text" in below, plan
+    assert "_rv" in below, plan
+    # and nothing ABOVE the exchange re-computes row legs
+    above = plan.split("Exchange", 1)[0]
+    assert "substring(text" not in above, plan
+
+
+def test_tie_display_truncation_all_paths(spark):
+    """Duplicate-key peer display is capped at TIE_DISPLAY_LEN in the
+    fused, standalone, and skew (ordered.py) paths identically — the
+    bounded-shuffle semantics that keeps transcript text out of the
+    conversation exchange."""
+    from ocsf_validator_spark.ordered import scalable_group_violations
+    from ocsf_validator_spark.spec import ConstraintSet, Unique
+    from ocsf_validator_spark.violations import (
+        TIE_DISPLAY_LEN,
+        _fusable,
+        fused_group_violations,
+        unique_violations,
+    )
+
+    long_a = "x" * 280 + "AAA"  # equal 256-prefix, differ past the cap
+    long_b = "x" * 280 + "BBB"
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "u", long_a, None),
+            ("c1", 0, "u", long_b, None),
+            ("c1", 1, "u", "short", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, ts timestamp",
+    )
+    uniq = Unique(
+        column="conv_turn",
+        keys=("conv_id", "turn_idx"),
+        first_seen_order=("ts", "role", "text"),
+    )
+    suite = ConstraintSet(name="u", constraints=[uniq])
+    cs, ties = _fusable(suite, df, ("conv_id", "turn_idx"))
+
+    def reasons(out):
+        return sorted(
+            r.reason
+            for r in out.collect()
+            if r.constraint_id == "unique.conv_turn"
+        )
+
+    fused = reasons(fused_group_violations(df, cs, ties, ("conv_id", "turn_idx")))
+    alone = reasons(unique_violations(df, uniq))
+    skew = reasons(scalable_group_violations(df, cs, ties, num_partitions=3))
+    assert fused == alone == skew
+    assert len(fused) == 1
+    # peer text in the reason is the capped prefix, not the 283-char body
+    assert "x" * 10 in fused[0] and "AAA" not in fused[0] and "BBB" not in fused[0]
+    assert len(fused[0]) < TIE_DISPLAY_LEN + 100
 
 
 def test_glob_constraint(spark):
