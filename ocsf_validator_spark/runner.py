@@ -278,7 +278,14 @@ def stream_main(spark: SparkSession, args) -> int:
     (validate_stream, availableNow) and exit with the batch contract:
     0 = clean, 1 = ERROR/FATAL violations found in this drain's batches
     (coverage is excluded per micro-batch by design). The exit verdict
-    reads back only the sink partitions this drain wrote."""
+    reads back only the sink rows THIS drain wrote: batch partitions by
+    this drain's batch ids, and the stateful leg — which APPENDS across
+    drains into batch_id=-1 — by the drain_id stamped on its rows, so a
+    later clean drain does not re-fail on an earlier drain's stateful
+    findings."""
+    import os
+    import uuid
+
     from pyspark.sql import functions as F
 
     from ocsf_validator_spark.streaming import (
@@ -287,6 +294,7 @@ def stream_main(spark: SparkSession, args) -> int:
         validate_stream,
     )
 
+    drain_id = uuid.uuid4().hex[:12]
     batches: list[tuple[int, int, int]] = []
     started = validate_stream(
         stream_transcripts(spark, args.input),
@@ -295,23 +303,43 @@ def stream_main(spark: SparkSession, args) -> int:
         manifest_dir=args.checkpoint + "_batches",
         on_batch=lambda bid, rows, nv: batches.append((bid, rows, nv)),
         stateful_ordering=args.stateful_ordering,
+        drain_id=drain_id,
     )
     queries = started if isinstance(started, tuple) else (started,)
     for q in queries:
         q.awaitTermination()
     for bid, rows, nv in batches:
         print(f"[batch {bid}] {rows} turns, {nv} violations")
-    if not batches:
+    if not batches and not args.stateful_ordering:
         print("stream: nothing pending")
         return 0
-    drained = [bid for bid, _, _ in batches]
-    if args.stateful_ordering:
-        drained.append(STATEFUL_BATCH_ID)
-    sunk = spark.read.parquet(args.violations_out).filter(
-        F.col("batch_id").isin(drained)
-        & F.col("severity").isin("ERROR", "FATAL")
-    )
-    return 1 if sunk.limit(1).count() > 0 else 0
+    bad = False
+    if batches:
+        drained = [bid for bid, _, _ in batches]
+        sunk = spark.read.parquet(args.violations_out).filter(
+            F.col("batch_id").isin(drained)
+            & F.col("severity").isin("ERROR", "FATAL")
+        )
+        bad = sunk.limit(1).count() > 0
+    if not bad and args.stateful_ordering:
+        state_dir = os.path.join(
+            args.violations_out, f"batch_id={STATEFUL_BATCH_ID}"
+        )
+        try:
+            state = spark.read.parquet(state_dir)
+        except Exception:
+            state = None  # leg emitted nothing yet — no directory
+        if state is not None:
+            bad = (
+                state.filter(
+                    (F.col("drain_id") == drain_id)
+                    & F.col("severity").isin("ERROR", "FATAL")
+                )
+                .limit(1)
+                .count()
+                > 0
+            )
+    return 1 if bad else 0
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -64,6 +64,29 @@ CANONICAL_COLS = ("constraint_id", "conv_id", "turn_idx", "reason", "severity")
 
 STATEFUL_BATCH_ID = -1  # partition value of the cross-batch stateful leg
 
+_INTERVAL_UNITS_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _interval_ms(interval: str) -> int:
+    """Parse a Spark-style interval string ('2 hours', '30 minutes')
+    into milliseconds — used for event-time timeout arithmetic."""
+    import re
+
+    total = 0
+    for num, unit in re.findall(
+        r"(\d+)\s*(millisecond|second|minute|hour|day)s?", interval.strip()
+    ):
+        total += int(num) * _INTERVAL_UNITS_MS[unit]
+    if total <= 0:
+        raise ValueError(f"unparseable interval: {interval!r}")
+    return total
+
 
 def validate_stream(
     sdf: DataFrame,
@@ -74,6 +97,9 @@ def validate_stream(
     available_now: bool = True,
     on_batch: Callable[[int, int, int], None] | None = None,
     stateful_ordering: bool = False,
+    drain_id: str | None = None,
+    stateful_watermark: str = "1 hour",
+    stateful_idle_timeout: str | None = "2 hours",
 ):
     """Run the constraint suite on each micro-batch via foreachBatch.
 
@@ -91,7 +117,12 @@ def validate_stream(
     regressions that STRADDLE micro-batches, which the per-batch window
     checks cannot see) writing into the same sink under
     ``batch_id=-1``, and returns ``(batch_query, stateful_query)``
-    instead of a single query.
+    instead of a single query. Its state is bounded by
+    ``stateful_watermark`` + ``stateful_idle_timeout`` (event-time
+    eviction — see stateful_ordering_violations). The stateful leg is
+    APPEND-only across drains; ``drain_id`` (when given) is stamped on
+    its rows so a caller can scope a verdict to the rows THIS drain
+    produced instead of re-counting earlier drains' findings.
 
     Returns the StreamingQuery (or the pair); with ``available_now``
     the caller can ``awaitTermination()`` for a drain-and-stop run
@@ -141,10 +172,15 @@ def validate_stream(
     q = writer.start()
     if not stateful_ordering:
         return q
+    leg = stateful_ordering_violations(
+        sdf,
+        watermark=stateful_watermark,
+        idle_timeout=stateful_idle_timeout,
+    ).select(*CANONICAL_COLS)
+    if drain_id is not None:
+        leg = leg.withColumn("drain_id", F.lit(str(drain_id)))
     state_writer = (
-        stateful_ordering_violations(sdf)
-        .select(*CANONICAL_COLS)
-        .writeStream.format("parquet")
+        leg.writeStream.format("parquet")
         .option(
             "path",
             os.path.join(violations_out, f"batch_id={STATEFUL_BATCH_ID}"),
@@ -185,6 +221,8 @@ def stateful_ordering_violations(
     sdf: DataFrame,
     keys: tuple[str, str] = ("conv_id", "turn_idx"),
     ts_col: str = "ts",
+    watermark: str = "1 hour",
+    idle_timeout: str | None = "2 hours",
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: dense
     turn ordering + ts monotonicity ACROSS micro-batches. Per-group
@@ -195,17 +233,38 @@ def stateful_ordering_violations(
     instead of a window frame).
 
     Output: (conv_id, turn_idx, constraint_id, reason, severity),
-    append mode (violations are final facts). State is two scalars per live conversation — bounded
-    by the number of open conversations, not by turns."""
+    append mode (violations are final facts).
+
+    State lifetime: two scalars per conversation, EVICTED by an
+    event-time timeout once the watermark passes the conversation's last
+    event by ``idle_timeout`` — without eviction, a long-lived stream
+    over churning conversations grows state monotonically (at 10^10
+    conversations that is a state-store OOM; mirrors how
+    cross_batch_duplicates bounds its dedup state by the watermark).
+    Documented blind-spot contract, same as cross_batch_duplicates:
+    rows later than ``watermark`` are dropped before the operator, and a
+    conversation RESUMING after eviction is validated from fresh state
+    (its first post-eviction row reports a turn_idx gap from 0 — a
+    conservative over-report; the nightly batch run is ground truth).
+    Size ``idle_timeout`` above the longest plausible conversation idle
+    gap. ``idle_timeout=None`` restores unbounded NoTimeout state for
+    bounded backfills where eviction is undesirable."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     part, idx = keys
+    bounded = idle_timeout is not None
+    horizon_ms = _interval_ms(idle_timeout) if bounded else 0
 
     def check(key, pdfs, state: GroupState):
         import numpy as np
 
+        if bounded and state.hasTimedOut:
+            # idle past the horizon: drop the conversation's state (a
+            # later resume re-validates from scratch — see docstring)
+            state.remove()
+            return
         if state.exists:
             last_idx, last_us = state.get
         else:
@@ -264,12 +323,20 @@ def stateful_ordering_violations(
                 vmax = int(us[valid].max())
                 last_us = vmax if last_us is None else max(last_us, vmax)
         state.update((last_idx, last_us))
+        if bounded:
+            # evict once the watermark passes the conversation's last
+            # event (or the current watermark, for late-ish data) by the
+            # idle horizon; must be strictly beyond the watermark
+            wm = state.getCurrentWatermarkMs()
+            last_ms = (last_us // 1000) if last_us is not None else 0
+            state.setTimeoutTimestamp(max(wm, last_ms) + horizon_ms)
         if out:
             yield pd.DataFrame(
                 out, columns=[part, idx, "constraint_id", "reason", "severity"]
             )
 
-    return sdf.groupBy(part).applyInPandasWithState(
+    src = sdf.withWatermark(ts_col, watermark) if bounded else sdf
+    return src.groupBy(part).applyInPandasWithState(
         check,
         outputStructType=(
             f"{part} string, {idx} int, constraint_id string, "
@@ -277,7 +344,11 @@ def stateful_ordering_violations(
         ),
         stateStructType="last_idx int, last_us long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if bounded
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -198,3 +198,61 @@ def test_cli_stream_mode(spark, tmp_path):
         "--checkpoint", str(tmp_path / "sckpt"),
     ])
     assert code2 == 0
+
+
+def test_cli_stream_stateful_redrain_scoped(spark, tmp_path):
+    """Advisor regression (round 3): the stateful leg APPENDS across
+    drains into batch_id=-1, so a later clean drain must not re-read an
+    earlier drain's stateful ERROR rows into its exit verdict. The fix
+    stamps a drain_id on stateful rows and scopes the verdict to it."""
+    import glob as g
+    import shutil
+    import time as t
+
+    from pyspark.sql import functions as F
+
+    from ocsf_validator_spark.runner import main
+    from ocsf_validator_spark.streaming import STATEFUL_BATCH_ID
+
+    def _land(root, rows, name):
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        staging = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(staging)
+        part = g.glob(os.path.join(staging, "part-*.parquet"))[0]
+        os.makedirs(root, exist_ok=True)
+        shutil.copy(part, os.path.join(root, f"{name}.parquet"))
+        t.sleep(1.1)
+
+    root = str(tmp_path / "landing2")
+    # drain 1: a cross-batch duplicate -> stateful ERROR, exit 1
+    _land(root, [
+        ("c1", 0, "user", "a", None, "2026-01-01 00:00:00"),
+        ("c1", 1, "user", "b", None, "2026-01-01 00:00:01"),
+    ], "a_first")
+    _land(root, [
+        ("c1", 1, "user", "dup", None, "2026-01-01 00:00:02"),
+    ], "b_second")
+    viol = str(tmp_path / "sviol2")
+    ck = str(tmp_path / "sckpt2")
+    argv = [
+        "--input", root, "--stream", "--stateful-ordering",
+        "--violations-out", viol, "--checkpoint", ck,
+    ]
+    assert main(argv) == 1
+    state = spark.read.parquet(
+        os.path.join(viol, f"batch_id={STATEFUL_BATCH_ID}")
+    )
+    assert "drain_id" in state.columns
+    assert state.filter(F.col("severity") == "ERROR").count() >= 1
+    # drain 2: a CLEAN fresh conversation (complete within its batch, so
+    # the per-batch leg passes) — before the drain_id scope the exit
+    # verdict re-read drain 1's appended stateful ERROR and exited 1
+    _land(root, [
+        ("c2", 0, "user", "c", None, "2026-01-01 00:00:03"),
+        ("c2", 1, "user", "d", None, "2026-01-01 00:00:04"),
+    ], "c_third")
+    assert main(argv) == 0

@@ -151,6 +151,36 @@ def test_load_table_parquet_fallback(spark, tmp_path):
     assert iceberg_available(spark) in (True, False)
 
 
+def test_write_violations_format_routing(spark, tmp_path):
+    """write_violations routes fmt='iceberg' through the writeTo (v2,
+    atomic snapshot commit) API and everything else through the parquet
+    file committer. No Iceberg runtime is present here, so the iceberg
+    branch must surface the catalog failure — NOT silently fall through
+    to a parquet write of a path named like a table identifier."""
+    import pytest
+
+    from ocsf_validator_spark.sources import write_violations
+
+    v = spark.createDataFrame(
+        [("unique.conv_turn", "c1", 0, "dup", "ERROR")],
+        "constraint_id string, conv_id string, turn_idx int, "
+        "reason string, severity string",
+    )
+    out = str(tmp_path / "viol_parquet")
+    write_violations(v, out)  # default parquet branch
+    assert spark.read.parquet(out).count() == 1
+    write_violations(v, out)  # append mode appends
+    assert spark.read.parquet(out).count() == 2
+    with pytest.raises(Exception) as ei:
+        write_violations(v, "no_such_catalog.db.violations", fmt="iceberg")
+    # v2 writeTo path: failure names the missing table/catalog
+    assert "no_such_catalog" in str(ei.value) or "TABLE_OR_VIEW" in str(
+        ei.value
+    )
+    # and no parquet directory materialized under that identifier
+    assert not os.path.exists("no_such_catalog.db.violations")
+
+
 def test_list_partitions_parquet(spark, tmp_path):
     """S6: source file/partition listing without reading data."""
     from ocsf_validator_spark import sources
@@ -308,6 +338,94 @@ def test_iceberg_identifier_quoting():
     for bad in ("x; DROP TABLE y", "a b", "tab`le", ""):
         with pytest.raises(ValueError):
             _quoted_table(bad)
+
+
+def test_stateful_ordering_idle_state_eviction(spark, tmp_path):
+    """Event-time timeout bounds the stateful leg's store: once the
+    watermark passes an idle conversation's last event by the idle
+    horizon, its state is evicted. A row arriving AFTER eviction is
+    validated from fresh state per the documented blind-spot contract
+    (reports a gap from 0, not from the forgotten carry) — proving the
+    state was actually dropped. With idle_timeout=None the same
+    sequence keeps the carry and reports the gap from the true last
+    turn."""
+    from ocsf_validator_spark import streaming as st
+
+    def land(root, batches):
+        os.makedirs(root)
+        import time as t
+
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                rows, st.TRANSCRIPT_DDL.replace("timestamp", "string")
+            )
+            df.withColumn("ts", df.ts.cast("timestamp")).coalesce(
+                1
+            ).write.parquet(f"{root}/b{i}", mode="overwrite")
+            t.sleep(1.1)  # distinct mtimes: deterministic batch order
+
+    batches = [
+        [  # b0: conv A active, conv B starts
+            ("cA", 0, "user", "a", None, "2026-01-01 00:00:00"),
+            ("cA", 1, "user", "b", None, "2026-01-01 00:00:01"),
+            ("cB", 0, "user", "x", None, "2026-01-01 00:00:00"),
+        ],
+        [  # b1: only B; event time jumps 12h -> watermark will pass
+            ("cB", 1, "user", "y", None, "2026-01-01 12:00:00"),
+        ],
+        [  # b2: watermark (11:00) now exceeds A's timeout (02:00) ->
+            # A's state evicts during this batch
+            ("cB", 2, "user", "z", None, "2026-01-01 12:01:00"),
+        ],
+        [  # b3: A resumes AFTER eviction
+            ("cA", 5, "user", "resumed", None, "2026-01-01 12:30:00"),
+        ],
+    ]
+
+    def run(root, out, ck, idle_timeout):
+        sdf = (
+            spark.readStream.schema(st.TRANSCRIPT_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(root + "/b*")
+        )
+        q = (
+            st.stateful_ordering_violations(
+                sdf, watermark="1 hour", idle_timeout=idle_timeout
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.conv_id, r.turn_idx): r.reason
+            for r in spark.read.parquet(out).collect()
+            if r.constraint_id == "order.turn_idx"
+        }
+
+    land(str(tmp_path / "in_evict"), batches)
+    evicted = run(
+        str(tmp_path / "in_evict"),
+        str(tmp_path / "out_evict"),
+        str(tmp_path / "ck_evict"),
+        "2 hours",
+    )
+    # fresh state after eviction: gap measured from 0, not carry 1
+    assert ("cA", 5) in evicted, evicted
+    assert "expected 0 got 5" in evicted[("cA", 5)]
+
+    land(str(tmp_path / "in_keep"), batches)
+    kept = run(
+        str(tmp_path / "in_keep"),
+        str(tmp_path / "out_keep"),
+        str(tmp_path / "ck_keep"),
+        None,  # unbounded NoTimeout: carry survives the idle gap
+    )
+    assert ("cA", 5) in kept, kept
+    assert "expected 2 got 5" in kept[("cA", 5)]
 
 
 def test_validate_stream_with_stateful_ordering(spark, tmp_path):
