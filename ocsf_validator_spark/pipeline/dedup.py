@@ -144,7 +144,21 @@ def lsh_candidate_pairs(
     (band, key, id). Output stays proportional to collisions; a hot
     band key yields the same O(m²) pairs either way, but the list for
     one key must fit an executor (LSH bands are sized to keep buckets
-    small — if a corpus has a mega-bucket, the band is too coarse)."""
+    small — if a corpus has a mega-bucket, the band is too coarse).
+
+    Object-agg caveat: collect_list plans as ObjectHashAggregateExec,
+    which falls back to SORT-BASED aggregation once a task exceeds
+    ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold``
+    in-memory groups (default 128) — and (band, key) group count is
+    n_docs × n_bands, so the fallback ALWAYS engages at scale. Unlike
+    the high-cardinality stats-scan pathology this repo engineered
+    around (stats.bucketed_probe_stats), that is acceptable HERE:
+    sort-based object agg ≈ the sort the pair self-join formulation
+    paid anyway, and the measured sf0.1 cost (500k docs, fallback on)
+    matches the hash path within noise because each group is touched
+    once (no multi-pass re-probe). Raise the threshold per-job only if
+    profiling shows the sort dominating; it trades executor heap for
+    the sort."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -189,22 +203,46 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Pairwise word-k-gram Jaccard within blocking-key groups —
     (a_id, b_id, jaccard). The inverted-index formulation: explode
-    shingles, self-join on (block, shingle) to count the intersection,
-    then join per-doc shingle counts for the union size. Blocking bounds
-    the candidate set; without it this is a full O(n²)."""
+    shingles, self-join to count the intersection, then join per-doc
+    shingle counts for the union size. Blocking bounds the candidate
+    set; without it this is a full O(n²).
+
+    Scale shape: the raw ~k-word shingle string is replaced by its
+    64-bit xxhash64 IMMEDIATELY after the explode, so the self-join
+    shuffles 8-byte keys instead of text (the exact_duplicates content-
+    key trade: the oracle compares raw shingles, so correctness rides on
+    64-bit collision-freeness — ~1e-9 at a billion distinct shingles
+    per block). ``max_doc_freq`` drops shingles that appear in more
+    than that many documents of a block (stopword-shingle removal):
+    a shingle shared by m docs emits m² join rows, so one hot shingle
+    in a big block is quadratic — the cap bounds every shingle's
+    contribution at max_doc_freq². Capped shingles leave the universe
+    entirely (both intersection AND per-doc sizes), which any oracle
+    must mirror."""
     sh = df.select(
         *block_cols,
         F.col(id_col),
         F.explode(shingle_col(text_col, k)).alias("_sh"),
-    )
+    ).select(*block_cols, id_col, F.xxhash64("_sh").alias("_h"))
+    if max_doc_freq is not None:
+        # shingles are distinct per doc, so count(*) per (block, hash)
+        # IS the doc frequency; semi join keeps only sub-cap shingles
+        ok = (
+            sh.groupBy(*block_cols, "_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select(*block_cols, "_h")
+        )
+        sh = sh.join(ok, [*block_cols, "_h"], "semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
-    a = sh.select(*block_cols, F.col(id_col).alias("a_id"), "_sh")
-    b = sh.select(*block_cols, F.col(id_col).alias("b_id"), "_sh")
+    a = sh.select(*block_cols, F.col(id_col).alias("a_id"), "_h")
+    b = sh.select(*block_cols, F.col(id_col).alias("b_id"), "_h")
     common = (
-        a.join(b, [*block_cols, "_sh"])
+        a.join(b, [*block_cols, "_h"])
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("_common"))
@@ -222,15 +260,29 @@ def jaccard_pairs(
 
 def simhash_col(text_col: str = "text", bits: int = 16):
     """SimHash fingerprint of the whitespace-token multiset — one pure
-    column expression (nested aggregate over the token array), zero
-    shuffle. ``bits`` ≤ 32 keeps the oracle SQL tractable."""
+    column expression, zero shuffle. ``bits`` ≤ 32 keeps the oracle SQL
+    tractable.
+
+    Each token is md5-hashed exactly ONCE: the token array maps to a
+    hash array first (``transform``, evaluated a single time as the
+    fold's input), then one fold accumulates the per-bit ±1 counts in an
+    array accumulator. The earlier bits-outer/tokens-inner nesting
+    re-evaluated md5(token) inside the per-bit lambda — ``bits``×
+    redundant hashing that Catalyst cannot CSE across lambda scopes.
+    Integer-identical fingerprints, so the DuckDB oracle (which replays
+    the per-bit formula) is unchanged."""
     tok = f"split({text_col}, ' ')"
     h = _MD5_HASH.format(x="t")
-    # per bit b: sign-sum over tokens of bit b of h(t); fingerprint bit set if > 0
+    hashes = f"transform({tok}, t -> {h})"
+    counts = (
+        f"aggregate({hashes}, array_repeat(0L, {bits}), (acc, hv) -> "
+        f"zip_with(acc, sequence(0, {bits - 1}), (a, b) -> "
+        f"a + if((hv div shiftleft(1L, b)) % 2 = 1, 1L, -1L)))"
+    )
+    # bit b of the fingerprint is set iff its signed count is positive
     return F.expr(
-        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, b) -> acc + "
-        f"if(aggregate({tok}, 0L, (s, t) -> s + if(({h} div shiftleft(1L, b)) % 2 = 1, 1L, -1L)) > 0,"
-        f" shiftleft(1L, b), 0L))"
+        f"aggregate(zip_with({counts}, sequence(0, {bits - 1}), "
+        f"(c, b) -> if(c > 0, shiftleft(1L, b), 0L)), 0L, (s, v) -> s + v)"
     )
 
 

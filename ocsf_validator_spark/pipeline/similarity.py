@@ -63,27 +63,74 @@ def cosine_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def hyperplane_components(
+    dim: int = 64, n_planes: int = 8, seed: int = 42
+) -> list[list[float]]:
+    """The ``n_planes × dim`` random-hyperplane components, computed
+    DRIVER-SIDE with hashlib: component (p, i) =
+    md5(f"{seed}_{p}_{i}") first-8-hex-digits / 2^32 − 0.5 — the exact
+    value the previous in-plan SQL derivation produced
+    (``conv(substring(md5(concat(seed,'_',p,'_',i)),1,8),16,10)``), so
+    every oracle that replays the md5 derivation in SQL is untouched.
+    Division by 2^32 and the 0.5 shift are exact in binary64, hence
+    bit-identical across Python, Spark, and DuckDB."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}_{p}_{i}".encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+            - 0.5
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_bucket_col(
     vec_col: str = "embedding", dim: int = 64, n_planes: int = 8, seed: int = 42
 ) -> Column:
     """Random-hyperplane LSH bucket id in [0, 2^n_planes): sign bits of
     dot products with ``n_planes`` deterministic pseudo-random planes.
-    Plane components derive from md5(seed, plane, dim-index) → uniform
-    in [-0.5, 0.5): fully reproducible, no RNG state, portable SQL.
+    Planes are row-independent CONSTANTS, so they are precomputed on the
+    driver and embedded as array literals — the per-row cost is
+    n_planes fold dot products (the earlier in-plan md5 derivation
+    hashed dim × n_planes times PER ROW because the lambda variable
+    blocked constant folding — 512 md5 calls/row at the defaults).
     ``n_planes=0`` puts every row in bucket 0 (the exact/no-blocking
     degenerate case, useful as a brute-force baseline)."""
     if n_planes == 0:
         return F.lit(0).cast("int")
-    terms = []
-    for p in range(n_planes):
-        comp = (
-            f"transform(sequence(0, {dim - 1}), i -> "
-            f"cast(conv(substring(md5(concat('{seed}', '_', '{p}', '_', i)), 1, 8), 16, 10) as double)"
-            f" / 4294967296.0 - 0.5)"
+    vec = F.expr(_dbl(vec_col))
+    total = F.lit(0)
+    for p, comps in enumerate(hyperplane_components(dim, n_planes, seed)):
+        plane = F.array(*[F.lit(c) for c in comps])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, v: s + v,
         )
-        dot = dot_expr(_dbl(vec_col), comp)
-        terms.append(f"if({dot} > 0, {1 << p}, 0)")
-    return F.expr(" + ".join(terms)).cast("int")
+        total = total + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return total.cast("int")
+
+
+def hyperplane_bucket_py(
+    vec: list[float], dim: int = 64, n_planes: int = 8, seed: int = 42
+) -> int:
+    """Bucket id of one vector, computed in plain Python — the driver's
+    probe never needs a Spark job. The fold is a sequential
+    left-to-right sum, matching the engine's ``aggregate`` fold order,
+    so the bucket is bit-identical to hyperplane_bucket_col."""
+    if n_planes == 0:
+        return 0
+    bucket = 0
+    for p, comps in enumerate(hyperplane_components(dim, n_planes, seed)):
+        acc = 0.0
+        for x, y in zip([float(v) for v in vec], comps):
+            acc += x * y
+        if acc > 0:
+            bucket |= 1 << p
+    return bucket
 
 
 def lsh_bucket_topk(
@@ -103,19 +150,11 @@ def lsh_bucket_topk(
     OR-of-buckets predicate; at scale each table's bucket is a partition
     key → a probe touches ~T/2^n_planes of the data."""
     seeds = [seed + t for t in range(n_tables)]
-    probe_df = df.sparkSession.createDataFrame(
-        [(probe,)], f"{vec_col} array<double>"
-    ).select(
-        *[
-            hyperplane_bucket_col(vec_col, dim, n_planes, s).alias(f"_b{t}")
-            for t, s in enumerate(seeds)
-        ]
-    )
-    probe_buckets = probe_df.collect()[0]
     pred = None
-    for t, s in enumerate(seeds):
+    for s in seeds:
+        # probe's bucket is a pure driver-side dot product — no Spark job
         leg = hyperplane_bucket_col(vec_col, dim, n_planes, s) == int(
-            probe_buckets[t]
+            hyperplane_bucket_py(probe, dim, n_planes, s)
         )
         pred = leg if pred is None else (pred | leg)
     return cosine_topk(df.filter(pred), probe, k, vec_col, id_col)
@@ -165,6 +204,63 @@ def ivf_centroids(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
+def kmeans_refine(
+    df: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 2,
+    sample_n: int = 1024,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd refinement of IVF coarse centroids — deterministic at any
+    parallelism.
+
+    A hash-sampled centroid set (ivf_centroids) gives poor recall on
+    CLUSTERED real embeddings (random points rarely sit near modes);
+    a few Lloyd iterations fix that without changing the query shape —
+    the refined centroids feed ivf_assign_col as literals exactly like
+    the unrefined ones.
+
+    Determinism: the refinement runs DRIVER-SIDE over a bounded sample
+    (the ``sample_n`` md5-smallest ids — same seeded-sample trick as
+    ivf_centroids, reproducible at any cluster size), with numpy argmax
+    assignment matching ivf_assign_col's first-max tie rule. An empty
+    cluster keeps its previous centroid. Cross-engine oracle replay of
+    iterated float MEANS is brittle (summation-order sensitivity), so
+    the refined path is pytest-verified for recall (vs brute force on a
+    clustered fixture) rather than DuckDB-replayed; the driver-contract
+    ivf_topk query stays on the md5-replayable unrefined centroids."""
+    import numpy as np
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(h, F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray(
+        [[float(x) for x in r[vec_col]] for r in rows], dtype="float64"
+    )
+    C = np.asarray(centroids, dtype="float64")
+    xn = np.linalg.norm(X, axis=1)
+    xn[xn == 0] = 1.0
+    for _ in range(max(iters, 0)):
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0] = 1.0
+        sims = (X @ C.T) / np.outer(xn, cn)
+        assign = np.argmax(sims, axis=1)
+        C = np.asarray(
+            [
+                X[assign == j].mean(axis=0) if np.any(assign == j) else C[j]
+                for j in range(len(C))
+            ]
+        )
+    return [[float(x) for x in c] for c in C]
+
+
 def ivf_topk(
     df: DataFrame,
     probe: list[float],
@@ -174,15 +270,24 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     centroids: list[list[float]] | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k: score only rows assigned to the
     probe's ``nprobe`` nearest coarse centroids — the inverted-file
     counterpart of lsh_bucket_topk (a probe touches ~nprobe/n_centroids
     of the data; with the assignment as partition key, that is
-    partition pruning, not a filter scan)."""
+    partition pruning, not a filter scan).
+
+    ``refine_iters > 0`` runs that many deterministic Lloyd iterations
+    (kmeans_refine) over the coarse sample before assignment — better
+    recall on clustered data, same plan shape."""
     import numpy as np
 
     cents = centroids or ivf_centroids(df, n_centroids, vec_col, id_col)
+    if refine_iters > 0 and centroids is None:
+        cents = kmeans_refine(
+            df, cents, iters=refine_iters, vec_col=vec_col, id_col=id_col
+        )
     c = np.asarray(cents, dtype="float64")
     p = np.asarray(probe, dtype="float64")
     sims = (c @ p) / (np.linalg.norm(c, axis=1) * np.linalg.norm(p))

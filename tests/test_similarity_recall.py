@@ -153,6 +153,119 @@ def test_lsh_candidate_pairs_single_pass_plan(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_hyperplane_driver_side_matches_sql_derivation(spark):
+    """The driver-side hashlib plane components must be bit-identical to
+    the in-plan SQL derivation they replaced (oracles replay the md5
+    math in SQL, so any drift here breaks hash-exactness)."""
+    planes = similarity.hyperplane_components(dim=4, n_planes=2, seed=42)
+    rows = spark.sql(
+        """
+        SELECT p, transform(sequence(0, 3), i ->
+          cast(conv(substring(md5(concat('42', '_', p, '_', i)), 1, 8), 16, 10) as double)
+          / 4294967296.0 - 0.5) AS comps
+        FROM (SELECT explode(sequence(0, 1)) AS p)
+        """
+    ).collect()
+    sql_planes = [list(r.comps) for r in sorted(rows, key=lambda r: r.p)]
+    assert planes == sql_planes  # exact equality, not approx
+    # bucket of a vector: plain-Python fold == in-plan fold
+    df, probe_np = _vecs(spark, n_base=20, n_dups=0)
+    buckets = {
+        r.vec_id: r.b
+        for r in df.select(
+            "vec_id", similarity.hyperplane_bucket_col("embedding").alias("b")
+        ).collect()
+    }
+    for r in df.select("vec_id", "embedding").collect():
+        assert (
+            similarity.hyperplane_bucket_py(list(r.embedding)) == buckets[r.vec_id]
+        )
+
+
+def test_kmeans_refined_ivf_recall(spark):
+    """Lloyd-refined centroids on CLUSTERED data: recall@10 must not
+    regress vs the raw hash-sample centroids and must clear an absolute
+    bar; refinement is deterministic at any parallelism."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, DIM)) * 3
+    pts = np.vstack(
+        [c + 0.3 * rng.normal(size=(120, DIM)) for c in centers]
+    )
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id bigint, embedding array<double>",
+    )
+    probe = [float(x) for x in pts[0]]
+    rest = df.filter(F.col("vec_id") != 0)
+    exact = {
+        r.vec_id for r in similarity.cosine_topk(rest, probe, k=10).collect()
+    }
+
+    def recall(refine_iters):
+        got = {
+            r.vec_id
+            for r in similarity.ivf_topk(
+                rest, probe, k=10, n_centroids=8, nprobe=2,
+                refine_iters=refine_iters,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0, f"refinement regressed recall: {r2} < {r0}"
+    assert r2 >= 0.9, f"refined ivf recall@10 = {r2}"
+    # determinism across physical layouts
+    base = similarity.ivf_centroids(rest, 8)
+    c1 = similarity.kmeans_refine(rest, base, iters=2)
+    c2 = similarity.kmeans_refine(rest.repartition(17), base, iters=2)
+    assert c1 == c2
+
+
+def test_jaccard_hash_join_and_doc_freq_cap(spark):
+    """Scale formulation of jaccard_pairs: (a) no raw shingle strings
+    cross an Exchange (the join keys on xxhash64), (b) the doc-frequency
+    cap removes stopword shingles from intersection AND union."""
+    rows = [
+        # block A: docs 1,2 share 'p q r s t'-grams; doc 3 unrelated
+        (1, "en", "web", "p q r s t u v"),
+        (2, "en", "web", "p q r s t u w"),
+        (3, "en", "web", "z y x w v u t s r q"),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string"
+    )
+    uncapped = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.jaccard_pairs(
+            d, ("lang", "source"), k=5, threshold=0.1
+        ).collect()
+    }
+    assert (1, 2) in uncapped
+    # cap=2 keeps everything here (each shingle is in <= 2 docs);
+    # cap=1 removes every SHARED shingle -> intersections vanish
+    capped_all = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.jaccard_pairs(
+            d, ("lang", "source"), k=5, threshold=0.1, max_doc_freq=2
+        ).collect()
+    }
+    assert capped_all == uncapped
+    capped_1 = dedup.jaccard_pairs(
+        d, ("lang", "source"), k=5, threshold=0.0, max_doc_freq=1
+    ).collect()
+    assert capped_1 == []
+    # plan audit: no Exchange carries the raw shingle string (_sh)
+    pairs = dedup.jaccard_pairs(d, ("lang", "source"), k=5, max_doc_freq=50)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = pairs._jdf.queryExecution().explainString(mode)
+    for b in plan.split("\n\n"):
+        if ") Exchange" in b.split("\n")[0]:
+            assert "_sh#" not in b, f"raw shingle crossed an exchange:\n{b}"
+            assert "text#" not in b, f"text crossed an exchange:\n{b}"
+
+
 def test_ivf_topk_recall(spark):
     df, probe_np = _vecs(spark)
     probe = [float(x) for x in probe_np]
