@@ -158,10 +158,17 @@ def q_group_violations_scalable(spark: SparkSession, sf: str) -> DataFrame:
     return scalable_group_violations(t, cs, ["ts", "role", "text"])
 
 
-def q_suite_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+def q_suite_verdicts(
+    spark: SparkSession, sf: str, violations: DataFrame | None = None
+) -> DataFrame:
+    """``violations``: optionally reuse a precomputed violations frame
+    (the production runner computes violations ONCE and threads them
+    into the verdict pass — bench.py mirrors that by caching
+    q_suite_violations; the driver's 2-arg call recomputes, keeping the
+    oracle contract self-contained)."""
     t = _transcripts(spark, sf)
     suite = _events_suite()
-    v = all_violations(t, suite)
+    v = violations if violations is not None else all_violations(t, suite)
     # observed buckets from a pruned single-column scan of the base
     # table — not a distinct over the windowed transcript view
     observed = [
@@ -302,12 +309,24 @@ def q_psi_by_bucket(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ks_click_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Headline two-sample KS over DETERMINISTIC bounded samples: each
+    side is the 4,000 md5(event_id)-smallest rows (TakeOrderedAndProject
+    — per-partition heaps, no global sort of the table), so
+    ks_distance's single-partition cumulative window only ever sees
+    ≤8k rows no matter the table size. The md5 ordering replays in
+    DuckDB, keeping the statistic hash-exact; the unsampled scale path
+    is the per-bucket formulation (ks_by_bucket)."""
     ev = _t(spark, sf, "events")
-    val = drift.ks_distance(
-        ev.filter(F.col("event_type") == "click"),
-        ev.filter(F.col("event_type") == "view"),
-        "value",
-    )
+
+    def side(t: str) -> DataFrame:
+        return (
+            ev.filter((F.col("event_type") == t) & F.col("value").isNotNull())
+            .orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+            .limit(4000)
+            .select("value")
+        )
+
+    val = drift.ks_distance(side("click"), side("view"), "value")
     return spark.createDataFrame([(round(val, 6),)], "ks double")
 
 
@@ -359,8 +378,17 @@ def q_simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked shingle-Jaccard with the scale formulation: the self-join
+    keys on 64-bit shingle hashes (raw k-gram strings never cross an
+    exchange) and shingles in > 50 docs of a block are dropped
+    (stopword-shingle cap — bounds any one shingle's join fan-out at
+    50²). The oracle mirrors the cap on raw shingles via QUALIFY."""
     return dedup.jaccard_pairs(
-        _t(spark, sf, "documents"), ("lang", "source"), k=5, threshold=0.5
+        _t(spark, sf, "documents"),
+        ("lang", "source"),
+        k=5,
+        threshold=0.5,
+        max_doc_freq=50,
     ).select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -904,23 +932,36 @@ h AS (SELECT bucket, bin,
         SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS r_cnt
       FROM d GROUP BY 1, 2),
 t AS (SELECT bucket, SUM(c_cnt) AS ct, SUM(r_cnt) AS rt FROM h GROUP BY 1)
+-- empty-side contract mirrors the engine (drift.psi_split_by_bucket's
+-- try_divide + coalesce): a bucket with an empty cur or ref side
+-- yields psi NULL and drifted TRUE
 SELECT h.bucket, CAST(t.ct AS BIGINT) AS n_cur, CAST(t.rt AS BIGINT) AS n_ref,
+  CASE WHEN t.ct = 0 OR t.rt = 0 THEN NULL ELSE
   ROUND(SUM((h.c_cnt / CAST(t.ct AS DOUBLE) - h.r_cnt / CAST(t.rt AS DOUBLE))
     * (LN(GREATEST(h.c_cnt / CAST(t.ct AS DOUBLE), 1e-6))
-       - LN(GREATEST(h.r_cnt / CAST(t.rt AS DOUBLE), 1e-6)))), 6) AS psi,
+       - LN(GREATEST(h.r_cnt / CAST(t.rt AS DOUBLE), 1e-6)))), 6) END AS psi,
+  COALESCE(CASE WHEN t.ct = 0 OR t.rt = 0 THEN NULL ELSE
   SUM((h.c_cnt / CAST(t.ct AS DOUBLE) - h.r_cnt / CAST(t.rt AS DOUBLE))
     * (LN(GREATEST(h.c_cnt / CAST(t.ct AS DOUBLE), 1e-6))
-       - LN(GREATEST(h.r_cnt / CAST(t.rt AS DOUBLE), 1e-6)))) >= 0.2 AS drifted
+       - LN(GREATEST(h.r_cnt / CAST(t.rt AS DOUBLE), 1e-6)))) >= 0.2 END,
+  TRUE) AS drifted
 FROM h JOIN t USING (bucket)
 GROUP BY h.bucket, t.ct, t.rt
 """
 
     sqls["ks_click_view"] = """
-WITH u AS (
-  SELECT value AS v, 1 AS ia, 0 AS ib FROM events
-    WHERE event_type = 'click' AND value IS NOT NULL
+WITH sa AS (
+  SELECT value AS v FROM events
+  WHERE event_type = 'click' AND value IS NOT NULL
+  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 4000),
+sb AS (
+  SELECT value AS v FROM events
+  WHERE event_type = 'view' AND value IS NOT NULL
+  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 4000),
+u AS (
+  SELECT v, 1 AS ia, 0 AS ib FROM sa
   UNION ALL
-  SELECT value, 0, 1 FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+  SELECT v, 0, 1 FROM sb),
 cum AS (SELECT SUM(ia) OVER w AS ca, SUM(ib) OVER w AS cb FROM u
         WINDOW w AS (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
 n AS (SELECT CAST(SUM(ia) AS DOUBLE) AS na, CAST(SUM(ib) AS DOUBLE) AS nb FROM u)
@@ -988,10 +1029,16 @@ FROM documents
 
     sqls["jaccard_pairs"] = f"""
 WITH {shingles},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+-- mirror the engine's max_doc_freq=50 stopword-shingle cap: shingles
+-- appearing in more than 50 docs of a (lang, source) block leave the
+-- universe (both intersection and per-doc sizes)
+capped AS (
+  SELECT * FROM sh
+  QUALIFY COUNT(*) OVER (PARTITION BY lang, source, sh) <= 50),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
-  FROM sh a JOIN sh b
+  FROM capped a JOIN capped b
     ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
    AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
@@ -1121,6 +1168,27 @@ FROM f
     sqls["multimodal_meta"] = """
 SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        sha256(text) AS sha256
+FROM documents
+"""
+
+    # The decode stub's fake feature folds byte values into 8 buckets
+    # (bucket j = bytes at 0-based positions ≡ j mod 8) and divides each
+    # bucket sum by n_bytes; feature_sum re-adds the buckets in order.
+    # For the all-ASCII documents fixture byte i == ascii(char i), so
+    # the whole computation replays in SQL: bucket sums are exact
+    # integers in binary64, and the oracle divides/sums in the SAME
+    # order as the engine (per-bucket division first, then a left-to-
+    # right sum over the 8 buckets) for bit-identical doubles.
+    sqls["multimodal_features"] = """
+SELECT doc_id AS id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  sha256(text) AS sha256,
+  ROUND(list_sum(list_transform(range(0, 8), j ->
+    COALESCE(list_sum(list_transform(
+        range(j + 1, CAST(octet_length(encode(text)) AS BIGINT) + 1, 8),
+        i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS DOUBLE))), 0)
+    / greatest(CAST(octet_length(encode(text)) AS DOUBLE), 1))), 6)
+    AS feature_sum
 FROM documents
 """
 

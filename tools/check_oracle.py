@@ -40,12 +40,19 @@ TABLES = (
 def canon(v) -> str:
     if v is None:
         return "<null>"
+    # array-likes FIRST: a 1-element ndarray has .item() too, and
+    # unwrapping it would canonicalize as a bare scalar while the same
+    # value as a Python list (Spark side) canonicalizes as '[x]'
+    if isinstance(v, (list, tuple)) or v.__class__.__name__ == "ndarray":
+        return "[" + ",".join(canon(x) for x in v) + "]"
     item = getattr(v, "item", None)
-    if item is not None and not isinstance(v, (list, tuple)):
+    if item is not None:
         try:
-            v = v.item()  # numpy scalar -> python scalar
+            v = v.item()  # 0-d numpy scalar -> python scalar
         except Exception:
             pass
+    if v is None:
+        return "<null>"
     if isinstance(v, float):
         return "<null>" if math.isnan(v) else repr(v)
     if isinstance(v, decimal.Decimal):
