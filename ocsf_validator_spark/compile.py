@@ -237,8 +237,29 @@ def undetectable_type_violations(
 
 
 def glob_to_like(glob: str) -> str:
-    """Glob → SQL LIKE translation (reference GlobMatcher,
-    matchers.py:56-62 uses pathlib glob semantics)."""
+    """Glob → SQL LIKE translation — FLAT-STRING, WHOLE-VALUE semantics.
+
+    Deliberate divergence from the reference GlobMatcher it mirrors
+    (matchers.py:56-62, ``Path(value).match(pattern)``): pathlib matches
+    right-anchored on path COMPONENTS ('*' never crosses '/', 'user*'
+    matches 'a/user_x') and supports '[seq]' classes. This translation
+    anchors the whole string and lets '%' cross any character — correct
+    for the flat enum-ish values transcript columns hold. Patterns the
+    translation cannot honor are REJECTED at compile time rather than
+    silently evaluated with different verdicts: '[' (character classes
+    have no LIKE counterpart) and wildcard+'/' combinations (component-
+    anchored matching is not expressible as a single LIKE)."""
+    if "[" in glob:
+        raise ValueError(
+            f"glob pattern {glob!r}: '[seq]' character classes are not "
+            "supported by the LIKE translation (flat-string globs only)"
+        )
+    if "/" in glob and any(w in glob for w in ("*", "?")):
+        raise ValueError(
+            f"glob pattern {glob!r}: wildcard + '/' implies pathlib "
+            "component matching, which the flat-string LIKE translation "
+            "does not honor"
+        )
     out = []
     for ch in glob:
         if ch == "*":

@@ -134,7 +134,9 @@ class Glob(Constraint):
     """Glob-pattern conformance (reference GlobMatcher,
     matchers.py:56-62): '*' and '?' wildcards, compiled to SQL LIKE via
     compile.glob_to_like — stays in whole-stage codegen, no regex
-    engine in the hot path."""
+    engine in the hot path. FLAT-STRING whole-value semantics (NOT
+    pathlib path-component matching); '[seq]' classes and wildcard+'/'
+    patterns are rejected at compile time — see glob_to_like."""
 
     glob: str = "*"
     KIND = "glob"

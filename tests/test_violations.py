@@ -221,3 +221,14 @@ def test_glob_constraint(spark):
     )
     ok_pct = {r.turn_idx for r in row_violations(df, suite_pct).collect()}
     assert 4 not in ok_pct  # "100%" satisfies glob "100%" (escaped LIKE)
+    # patterns the LIKE translation cannot honor are rejected, not
+    # silently evaluated with non-pathlib verdicts (advisor, round 3)
+    import pytest
+
+    from ocsf_validator_spark.compile import glob_to_like
+
+    with pytest.raises(ValueError, match="character classes"):
+        glob_to_like("user[0-9]")
+    with pytest.raises(ValueError, match="component matching"):
+        glob_to_like("logs/*.json")
+    assert glob_to_like("a/b") == "a/b"  # literal '/' stays fine
