@@ -150,6 +150,26 @@ def main() -> None:
     turns_per_sec = synth_turns / validate_sec
     df.unpersist()
 
+    # HOST CALIBRATION: the sandbox VM's effective CPU drifts across
+    # hours (hypervisor throttling — identical code has measured
+    # 1.2-1.35x slower across windows). This fixed, engine-independent
+    # probe (JVM hash loop over range(400M), plan-stable, no IO/shuffle)
+    # gives each round's JSON a denominator: to compare rounds, divide
+    # query times by (host_calibration_sec / reference round's value).
+    from pyspark.sql import functions as F
+
+    cal_runs = []
+    for i in range(n_timed + 1):
+        t0 = time.time()
+        spark.range(2_000_000_000).select(
+            # % 1000 bounds the sum (ANSI mode: raw 64-bit hash sums overflow)
+            F.sum(F.xxhash64("id") % 1000)
+        ).collect()
+        if i > 0:  # first is warmup
+            cal_runs.append(time.time() - t0)
+        drain()
+    host_cal = round(statistics.median(cal_runs), 3)
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -161,6 +181,7 @@ def main() -> None:
         "cpus": cpus,
         "protocol": f"{n_warm} warmups + {n_timed} timed, median",
         "spread_max_minus_min": spread,
+        "host_calibration_sec": host_cal,
     }
     print(json.dumps(out))
 

@@ -154,11 +154,12 @@ def lsh_candidate_pairs(
     the high-cardinality stats-scan pathology this repo engineered
     around (stats.bucketed_probe_stats), that is acceptable HERE:
     sort-based object agg ≈ the sort the pair self-join formulation
-    paid anyway, and the measured sf0.1 cost (500k docs, fallback on)
-    matches the hash path within noise because each group is touched
-    once (no multi-pass re-probe). Raise the threshold per-job only if
-    profiling shows the sort dominating; it trades executor heap for
-    the sort."""
+    paid anyway, and each group is touched once (no multi-pass
+    re-probe). Measured at sf0.1 (500k docs, local[32], warm medians):
+    4.89s with the default threshold (fallback engaged) vs 4.60s with
+    the threshold raised to 1M (pure hash path) — 6%, inside the run
+    spread. Raise the threshold per-job only if profiling shows the
+    sort dominating; it trades executor heap for the sort."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[

@@ -140,6 +140,63 @@ def test_fused_plan_shape_one_exchange_one_sort(spark, transcripts):
     assert "substring(text" not in above, plan
 
 
+def test_fused_suite_zero_exchange_on_bucketed_table(spark, tmp_path):
+    """The 100 TB deployment shape: when the transcript table is
+    BUCKETED by conv_id (Iceberg/warehouse tables routinely are), the
+    fused suite's HashPartitioning(conv_id) requirement is satisfied by
+    the scan itself — Catalyst plans the whole row+window suite with
+    ZERO Exchange: scan → sort-within-bucket → two windows. The one
+    shuffle the flat-file plan pays disappears with the right layout."""
+    from pyspark.sql import functions as F
+
+    from ocsf_validator_spark.spec import transcript_suite
+    from ocsf_validator_spark.violations import _fusable, fused_group_violations
+
+    rows = [
+        (f"c{i % 7}", j, "user", f"t{i}-{j}", None)
+        for i in range(21)
+        for j in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    tbl = "bucketed_transcripts_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        df.write.bucketBy(4, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    try:
+        t = spark.table(tbl)
+        suite = transcript_suite()
+        cs, ties = _fusable(suite, t, ("conv_id", "turn_idx"))
+        fused = fused_group_violations(
+            t, cs, ties, ("conv_id", "turn_idx"), row_cs=suite.row_level()
+        )
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            jvm = spark._jvm
+            mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+            plan = fused._jdf.queryExecution().explainString(mode)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert "Exchange" not in plan, plan
+        assert plan.count(" Window ") + plan.count("WindowExec") == 2, plan
+        # and it still computes the same thing as the flat-file plan
+        flat = fused_group_violations(
+            df, cs, ties, ("conv_id", "turn_idx"), row_cs=suite.row_level()
+        )
+        assert sorted(map(tuple, fused.collect())) == sorted(
+            map(tuple, flat.collect())
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_tie_display_truncation_all_paths(spark):
     """Duplicate-key peer display is capped at TIE_DISPLAY_LEN in the
     fused, standalone, and skew (ordered.py) paths identically — the
