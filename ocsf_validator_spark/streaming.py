@@ -352,6 +352,72 @@ def stateful_ordering_violations(
     )
 
 
+def streaming_psi(
+    sdf: DataFrame,
+    ref_hist: dict[int, int],
+    bin_expr: str,
+    watermark_col: str = "ts",
+    watermark: str = "1 hour",
+    window: str = "10 minutes",
+    threshold: float = 0.2,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-event-time-window PSI of a binned value distribution vs a
+    broadcast REFERENCE histogram — the streaming leg of the drift
+    family (batch single-scan: drift.psi_split; partitioned:
+    drift.psi_split_by_bucket). Same PSI formula and 1e-6 share floor
+    as the batch paths, so thresholds transfer.
+
+    ONE stateful aggregation: the reference bins are a bounded literal
+    set, so per-bin counts are conditional sums inside the single
+    windowed groupBy (a second groupBy(bin) level would be a chained
+    stateful aggregation, which Structured Streaming restricts). Rows
+    binning outside the reference lump into an "other" bin whose
+    reference share is the eps floor. State = one row of per-bin longs
+    per open window, bounded by the watermark.
+
+    Returns (win_start, win_end, n, psi, drifted); append mode — a
+    window's verdict is final once the watermark closes it."""
+    bins = sorted(int(b) for b in ref_hist)
+    rt = float(sum(ref_hist.values())) or 1.0
+    ref_share = {b: max(ref_hist[b] / rt, eps) for b in bins}
+    b_col = F.expr(bin_expr).cast("long")
+    aggs = [
+        F.sum(F.when(b_col == int(b), 1).otherwise(0)).alias(f"_c{b}")
+        for b in bins
+    ]
+    aggs.append(
+        F.sum(
+            F.when(b_col.isin([int(b) for b in bins]) | b_col.isNull(), 0)
+            .otherwise(1)
+        ).alias("_c_other")
+    )
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    win = (
+        sdf.withWatermark(watermark_col, watermark)
+        .groupBy(F.window(F.col(watermark_col), window))
+        .agg(*aggs)
+    )
+    n = F.col("n").cast("double")
+    terms = []
+    for b in bins:
+        cur = F.greatest(F.col(f"_c{b}") / n, F.lit(eps))
+        ref = F.lit(ref_share[b])
+        terms.append((cur - ref) * (F.log(cur) - F.log(ref)))
+    cur_o = F.greatest(F.col("_c_other") / n, F.lit(eps))
+    terms.append((cur_o - F.lit(eps)) * (F.log(cur_o) - F.log(F.lit(eps))))
+    psi = terms[0]
+    for t in terms[1:]:
+        psi = psi + t
+    return win.select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        F.col("n"),
+        psi.alias("psi"),
+        (psi >= F.lit(threshold)).alias("drifted"),
+    )
+
+
 def streaming_turn_stats(
     sdf: DataFrame,
     watermark_col: str = "ts",

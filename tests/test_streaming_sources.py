@@ -340,6 +340,82 @@ def test_iceberg_identifier_quoting():
             _quoted_table(bad)
 
 
+def test_streaming_psi_windows(spark, tmp_path):
+    """Streaming PSI vs a broadcast reference histogram: an in-ref
+    window scores ~0, a shifted window crosses the drift threshold;
+    expected values recomputed with the same formula in pure Python."""
+    import math
+    import time as t
+
+    root = str(tmp_path / "psi_in")
+    os.makedirs(root)
+    # bin_expr = turn_idx % 10; reference bins are {0, 1}
+    # window A (00:00-00:10): 5 rows bin 0, 5 rows bin 1 (matches ref)
+    rows_a = [
+        ("c", i % 2, "user", "x", None, "2026-01-01 00:01:00")
+        for i in range(10)
+    ]
+    # window B (01:00-01:10): 8 rows bin 1 + 2 out-of-ref rows (bin 7)
+    rows_b = [
+        ("c", 1, "user", "x", None, "2026-01-01 01:01:00") for _ in range(8)
+    ] + [("c", 7, "user", "x", None, "2026-01-01 01:02:00")] * 2
+    # flusher batch far in the future closes A and B
+    rows_c = [("c", 0, "user", "x", None, "2026-01-01 09:00:00")]
+    for i, rows in enumerate([rows_a, rows_b, rows_c]):
+        df = spark.createDataFrame(
+            rows, st.TRANSCRIPT_DDL.replace("timestamp", "string")
+        )
+        df.withColumn("ts", df.ts.cast("timestamp")).coalesce(1).write.parquet(
+            f"{root}/b{i}", mode="overwrite"
+        )
+        t.sleep(1.1)
+    sdf = (
+        spark.readStream.schema(st.TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root + "/b*")
+    )
+    out = str(tmp_path / "psi_out")
+    q = (
+        st.streaming_psi(
+            sdf,
+            ref_hist={0: 50, 1: 50},
+            bin_expr="turn_idx % 10",
+            watermark="30 minutes",
+            window="10 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "psi_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.win_start.strftime("%H:%M"): r for r in spark.read.parquet(out).collect()}
+    assert "00:00" in got and "01:00" in got, sorted(got)
+
+    def psi_py(counts, n):
+        eps = 1e-6
+        ref = {0: 0.5, 1: 0.5}
+        s = 0.0
+        for b in (0, 1):
+            cur = max(counts.get(b, 0) / n, eps)
+            s += (cur - ref[b]) * (math.log(cur) - math.log(ref[b]))
+        cur_o = max(counts.get("other", 0) / n, eps)
+        s += (cur_o - eps) * (math.log(cur_o) - math.log(eps))
+        return s
+
+    a = got["00:00"]
+    # A: 10 rows alternating bins 0/1 -> 5/5, psi ~ 0
+    assert a.n == 10 and abs(a.psi - psi_py({0: 5, 1: 5}, 10)) < 1e-9
+    assert not a.drifted
+    b = got["01:00"]
+    # B: 8 rows bin 1 + 2 out-of-ref -> strong shift
+    assert b.n == 10
+    assert abs(b.psi - psi_py({1: 8, "other": 2}, 10)) < 1e-9
+    assert b.drifted
+
+
 def test_stateful_ordering_idle_state_eviction(spark, tmp_path):
     """Event-time timeout bounds the stateful leg's store: once the
     watermark passes an idle conversation's last event by the idle
