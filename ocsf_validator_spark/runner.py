@@ -404,6 +404,22 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         df = handle.df
         snapshot = handle.snapshot_id
+        if handle.format == "table":
+            # bucketed-by-conversation layout = the zero-exchange plan:
+            # the scan itself satisfies the conv-window's partitioning
+            # requirement (see sources.write_bucketed / the plan pin in
+            # tests/test_violations.py). Announce what the planner will
+            # exploit so operators can see the layout was picked up.
+            from ocsf_validator_spark.sources import bucket_spec
+
+            spec = bucket_spec(spark, args.input)
+            if spec and "conv_id" in spec[1]:
+                n_b, b_cols, s_cols = spec
+                print(
+                    f"layout: catalog table bucketed by {','.join(b_cols)} "
+                    f"({n_b} buckets, sorted by {','.join(s_cols) or '-'}) "
+                    "— conversation suite plans with zero Exchange"
+                )
     else:
         from ocsf_validator_spark.synth import synth_transcripts
 

@@ -32,7 +32,7 @@ from ocsf_validator_spark.checkpoint import snapshot_of_path
 class TableHandle:
     df: DataFrame
     snapshot_id: str
-    format: str  # "iceberg" | "parquet"
+    format: str  # "iceberg" | "table" | "parquet"
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -92,13 +92,81 @@ def _route_to_iceberg(spark: SparkSession, location: str) -> bool:
     )
 
 
+def _catalog_table_exists(spark: SparkSession, location: str) -> bool:
+    if not _IDENT_RE.match(location):
+        return False
+    try:
+        return bool(spark.catalog.tableExists(location))
+    except Exception:
+        return False
+
+
+def _describe_extended(spark: SparkSession, table: str) -> dict[str, str]:
+    """col_name -> data_type map of ``DESCRIBE TABLE EXTENDED`` — where
+    the session catalog exposes the physical layout (Num Buckets /
+    Bucket Columns / Sort Columns / Location)."""
+    return {
+        r.col_name: r.data_type
+        for r in spark.sql(
+            f"DESCRIBE TABLE EXTENDED {_quoted_table(table)}"
+        ).collect()
+        if r.col_name
+    }
+
+
+def bucket_spec(
+    spark: SparkSession, table: str
+) -> tuple[int, list[str], list[str]] | None:
+    """(num_buckets, bucket_cols, sort_cols) of a catalog table, or None
+    when the table is unbucketed. This is what the runner probes to
+    announce the zero-exchange plan: a table bucketed by conv_id
+    satisfies the fused suite's HashPartitioning requirement at the
+    scan, so the one shuffle the flat-file plan pays disappears
+    (pinned by tests/test_violations.py::
+    test_fused_suite_zero_exchange_on_bucketed_table)."""
+    info = _describe_extended(spark, table)
+    if "Num Buckets" not in info:
+        return None
+
+    def cols(key: str) -> list[str]:
+        raw = info.get(key, "").strip().strip("[]")
+        return [c.strip().strip("`") for c in raw.split(",") if c.strip()]
+
+    return int(info["Num Buckets"]), cols("Bucket Columns"), cols("Sort Columns")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    num_buckets: int,
+    bucket_cols: tuple[str, ...] = ("conv_id",),
+    sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    mode: str = "overwrite",
+) -> None:
+    """The layout ETL step that buys zero-exchange validation: persist
+    transcripts bucketed by conversation (and sorted by turn within
+    each bucket file) so every subsequent validation run's
+    conv-windowed suite plans with NO Exchange and NO per-partition
+    sort of pre-sorted files. At the 100 TB design point this is the
+    difference between re-shuffling the full table per run and a pure
+    scan — pay the shuffle once at ingest, validate for free forever.
+    Size ``num_buckets`` so a bucket's rows fit one task's memory
+    (≈ total_rows / target_rows_per_task)."""
+    w = df.write.bucketBy(num_buckets, *bucket_cols).format("parquet")
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.mode(mode).saveAsTable(table)
+
+
 def load_table(
     spark: SparkSession,
     location: str,
     snapshot_id: int | None = None,
 ) -> TableHandle:
     """Load transcripts from an Iceberg table name (when the runtime is
-    present and ``location`` is not a filesystem path) or a parquet
+    present and ``location`` is not a filesystem path), a session-
+    catalog table (e.g. one persisted by ``write_bucketed`` — its
+    bucketed layout then flows into the validation plan), or a parquet
     path. ``snapshot_id`` pins an Iceberg time-travel read (resume
     against the exact snapshot a manifest recorded)."""
     if _route_to_iceberg(spark, location):
@@ -109,6 +177,20 @@ def load_table(
         else:
             snap = _iceberg_snapshot_id(spark, location)
         return TableHandle(reader.load(location), snap, "iceberg")
+    if _catalog_table_exists(spark, location):
+        if snapshot_id is not None:
+            raise ValueError(
+                "snapshot_id time travel requires an Iceberg table; "
+                f"{location!r} is a non-Iceberg catalog table"
+            )
+        loc = _describe_extended(spark, location).get("Location", "")
+        path = loc.removeprefix("file:")
+        snap = (
+            snapshot_of_path(path)
+            if path.startswith("/")
+            else f"table:{location}"
+        )
+        return TableHandle(spark.table(location), snap, "table")
     return TableHandle(
         spark.read.parquet(location), snapshot_of_path(location), "parquet"
     )

@@ -173,6 +173,54 @@ def test_cli_input_records_source_snapshot(spark, tmp_path):
     assert entries and all(e.snapshot_id == handle.snapshot_id for e in entries)
 
 
+def test_cli_input_catalog_bucketed_table(spark, tmp_path, capsys):
+    """--input also resolves session-catalog table names: a table
+    persisted via sources.write_bucketed (bucketed by conv_id) routes
+    through spark.table(), the runner announces the zero-exchange
+    layout, and the manifest records the table-location fingerprint.
+    The plan itself (no Exchange on a bucketed scan) is pinned by
+    tests/test_violations.py::test_fused_suite_zero_exchange_on_bucketed_table."""
+    from ocsf_validator_spark.runner import main
+    from ocsf_validator_spark.sources import (
+        bucket_spec,
+        load_table,
+        write_bucketed,
+    )
+
+    df = synth_transcripts(spark, n_turns=2000, seed=42)
+    tbl = "bucketed_transcripts_cli_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_bucketed(df, tbl, num_buckets=4)
+    try:
+        assert bucket_spec(spark, tbl) == (
+            4, ["conv_id"], ["conv_id", "turn_idx"],
+        )
+        handle = load_table(spark, tbl)
+        assert handle.format == "table"
+        assert handle.snapshot_id.startswith("path:")
+        assert handle.df.count() == 2000
+        manifest = str(tmp_path / "manifest_tbl")
+        code = main(["--input", tbl, "--buckets", "8",
+                     "--checkpoint", manifest])
+        assert code == 1  # synthetic defects present, same as flat run
+        assert "zero Exchange" in capsys.readouterr().out
+        entries = ckpt.read_entries(manifest)
+        assert entries
+        assert all(e.snapshot_id == handle.snapshot_id for e in entries)
+        # an unbucketed catalog table must NOT claim the layout
+        plain = "plain_transcripts_cli_test"
+        spark.sql(f"DROP TABLE IF EXISTS {plain}")
+        df.write.format("parquet").saveAsTable(plain)
+        try:
+            assert bucket_spec(spark, plain) is None
+            assert main(["--input", plain, "--buckets", "8"]) == 1
+            assert "zero Exchange" not in capsys.readouterr().out
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {plain}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_cli_stream_mode(spark, tmp_path):
     """--stream drains a landing dir through the streaming suite and
     exits with the batch contract (1 = ERROR violations found)."""
