@@ -121,6 +121,48 @@ def snapshot_of_path(path: str) -> str:
     return f"path:{os.path.abspath(path)}:files={n}:mtime={int(mt)}"
 
 
+def seen_files(manifest_dir: str) -> set[str]:
+    """Paths already validated by previous incremental runs (the
+    parquet-dir analogue of Iceberg's last-validated snapshot id).
+    Stored as ``*.files`` part-files so ``read_entries`` never confuses
+    them with bucket manifests."""
+    out: set[str] = set()
+    if not os.path.isdir(manifest_dir):
+        return out
+    for name in sorted(os.listdir(manifest_dir)):
+        if not name.endswith(".files"):
+            continue
+        with open(os.path.join(manifest_dir, name)) as f:
+            for line in f:
+                if line.strip():
+                    out.add(json.loads(line)["path"])
+    return out
+
+
+def record_files(manifest_dir: str, files: list[dict]) -> str:
+    """Atomically commit the file set an incremental run validated
+    ({path, bytes} rows, temp + rename). Called AFTER the run's bucket
+    manifest is written: a crash in between re-validates the increment
+    (at-least-once), it never skips data."""
+    os.makedirs(manifest_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        for e in files:
+            f.write(json.dumps({"path": e["path"], "bytes": e["bytes"]}) + "\n")
+    final = os.path.join(manifest_dir, f"files-{uuid.uuid4().hex}.files")
+    os.rename(tmp, final)
+    return final
+
+
+def last_snapshot(manifest_dir: str) -> str | None:
+    """snapshot_id of the most recently completed run — the Iceberg
+    incremental route's starting point."""
+    entries = read_entries(manifest_dir)
+    if not entries:
+        return None
+    return max(entries, key=lambda e: e.finished_at).snapshot_id
+
+
 def record_run(
     manifest_dir: str,
     verdict_rows,

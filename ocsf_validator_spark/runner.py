@@ -365,6 +365,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--verdicts-out")
     p.add_argument("--cores", type=int, default=None)
     p.add_argument(
+        "--incremental",
+        action="store_true",
+        help="validate only data appended to --input since the last "
+        "recorded run: Iceberg incremental append scan between the "
+        "manifest's last snapshot and the current one, or (parquet dir) "
+        "only files absent from the manifest's file ledger. Requires "
+        "--checkpoint. Conversations straddling increments are "
+        "order-checked within each increment only (the cross-batch "
+        "analogue is --stream --stateful-ordering)",
+    )
+    p.add_argument(
         "--stream",
         action="store_true",
         help="treat --input as a streaming landing directory: drain all "
@@ -387,9 +398,41 @@ def main(argv: list[str] | None = None) -> int:
         if not (args.input and args.violations_out and args.checkpoint):
             print("[FATAL] --stream requires --input, --violations-out, --checkpoint")
             return 2
+        if args.incremental:
+            print("[FATAL] --incremental and --stream are exclusive modes")
+            return 2
         return stream_main(spark, args)
 
-    if args.input:
+    inc_files: list | None = None
+    if args.incremental:
+        if not (args.input and args.checkpoint):
+            print("[FATAL] --incremental requires --input and --checkpoint")
+            return 2
+        from ocsf_validator_spark.sources import load_increment
+
+        try:
+            inc = load_increment(
+                spark,
+                args.input,
+                seen=ckpt.seen_files(args.checkpoint),
+                since_snapshot=ckpt.last_snapshot(args.checkpoint),
+            )
+        except Exception as e:
+            print(f"[FATAL] cannot read input {args.input}: {e}")
+            return 2
+        if inc is None:
+            print("incremental: nothing new since last validated state")
+            return 0
+        handle, inc_files = inc
+        df = handle.df
+        snapshot = handle.snapshot_id
+        what = (
+            f"{len(inc_files)} new files"
+            if inc_files
+            else "Iceberg snapshot diff"
+        )
+        print(f"incremental: validating {what} ({snapshot})")
+    elif args.input:
         from ocsf_validator_spark.sources import load_table
 
         try:
@@ -461,6 +504,11 @@ def main(argv: list[str] | None = None) -> int:
         violations_out=args.violations_out,
         verdicts_out=args.verdicts_out,
     )
+    if inc_files and res.exit_code != 2:
+        # commit the file ledger only after the bucket manifest landed:
+        # a crash in between re-validates (at-least-once), never skips.
+        # Exit 1 (violations found) still counts as validated.
+        ckpt.record_files(args.checkpoint, inc_files)
     return res.exit_code
 
 

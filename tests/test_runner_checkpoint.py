@@ -221,6 +221,47 @@ def test_cli_input_catalog_bucketed_table(spark, tmp_path, capsys):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_cli_incremental_mode(spark, tmp_path, capsys):
+    """--incremental validates only files appended since the last run:
+    first run covers the initial landing, an unchanged directory is a
+    no-op exit 0, and a second landing is validated alone (manifest
+    row counts prove the first 2000 rows were not rescanned). The file
+    ledger commits only after the bucket manifest (at-least-once)."""
+    from ocsf_validator_spark.runner import main
+
+    root = str(tmp_path / "inc_landing")
+    manifest = str(tmp_path / "inc_manifest")
+    synth_transcripts(spark, n_turns=2000, seed=42).write.parquet(root)
+    argv = ["--input", root, "--incremental",
+            "--checkpoint", manifest, "--buckets", "8"]
+    assert main(argv) == 1  # synthetic defects present
+    out1 = capsys.readouterr().out
+    assert "incremental: validating" in out1
+    entries1 = ckpt.read_entries(manifest)
+    assert sum(e.n_rows for e in entries1) == 2000
+    snaps1 = {e.snapshot_id for e in entries1}
+    assert all(s.startswith("inc:") for s in snaps1)
+
+    # unchanged directory: nothing new, no validation pass
+    assert main(argv) == 0
+    assert "nothing new" in capsys.readouterr().out
+
+    # a second landing is validated ALONE
+    synth_transcripts(spark, n_turns=1000, seed=7).write.mode(
+        "append"
+    ).parquet(root)
+    assert main(argv) == 1
+    entries2 = ckpt.read_entries(manifest)
+    assert sum(e.n_rows for e in entries2) == 3000
+    assert {e.snapshot_id for e in entries2} - snaps1  # new lineage id
+
+    # guard rails: missing --checkpoint / combined with --stream = FATAL
+    assert main(["--input", root, "--incremental"]) == 2
+    assert main(["--input", root, "--incremental", "--stream",
+                 "--violations-out", str(tmp_path / "v"),
+                 "--checkpoint", manifest]) == 2
+
+
 def test_cli_stream_mode(spark, tmp_path):
     """--stream drains a landing dir through the streaming suite and
     exits with the batch contract (1 = ERROR violations found)."""
