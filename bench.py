@@ -148,7 +148,43 @@ def main() -> None:
     timings["validate_synth"] = round(validate_sec, 3)
     spread["validate_synth"] = round(max(runs) - min(runs), 3)
     turns_per_sec = synth_turns / validate_sec
+
+    # layout A/B on the SAME on-disk data (validate_synth above times
+    # pure compute over a cached df; this pair times the deployment
+    # shapes): flat parquet dir — scan + conv_id shuffle — vs the table
+    # bucketed by conv_id, where the fused suite plans with zero
+    # Exchange (sources.write_bucketed). Layout writes are outside the
+    # timed window — the one-time ingest cost the layout amortizes.
+    # NOT in timings: the headline total must stay key-comparable
+    # across rounds — these ride as their own fields.
+    import shutil
+    import tempfile
+
+    from ocsf_validator_spark.sources import write_bucketed
+
+    tbl = "bench_transcripts_bucketed"
+    flat_dir = tempfile.mkdtemp(prefix="bench-flat-") + "/transcripts"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_bucketed(df, tbl, num_buckets=cpus)
+    df.repartition(cpus).write.parquet(flat_dir)
     df.unpersist()
+
+    def timed_validate(vdf) -> float:
+        for _ in range(n_warm):
+            run_validation(spark, vdf, quiet=True)
+            drain()
+        r = []
+        for _ in range(n_timed):
+            t0 = time.time()
+            run_validation(spark, vdf, quiet=True)
+            r.append(time.time() - t0)
+            drain()
+        return statistics.median(r)
+
+    flat_sec = timed_validate(spark.read.parquet(flat_dir))
+    bucketed_sec = timed_validate(spark.table(tbl))
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(os.path.dirname(flat_dir), ignore_errors=True)
 
     # HOST CALIBRATION: the sandbox VM's effective CPU drifts across
     # hours (hypervisor throttling — identical code has measured
@@ -177,6 +213,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "validated_turns_per_sec": round(turns_per_sec, 1),
+        "layout_ab_validate_sec": {
+            "flat_parquet": round(flat_sec, 3),
+            "bucketed_table": round(bucketed_sec, 3),
+        },
+        "validated_turns_per_sec_bucketed": round(
+            synth_turns / bucketed_sec, 1
+        ),
         "synth_turns": synth_turns,
         "cpus": cpus,
         "protocol": f"{n_warm} warmups + {n_timed} timed, median",

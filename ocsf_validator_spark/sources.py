@@ -151,7 +151,15 @@ def write_bucketed(
     difference between re-shuffling the full table per run and a pure
     scan — pay the shuffle once at ingest, validate for free forever.
     Size ``num_buckets`` so a bucket's rows fit one task's memory
-    (≈ total_rows / target_rows_per_task)."""
+    (≈ total_rows / target_rows_per_task).
+
+    The pre-repartition on the bucket columns uses the SAME Murmur3
+    HashPartitioning as bucketBy, so each write task holds exactly one
+    bucket — one file per bucket instead of up to
+    input_partitions × num_buckets splinter files (a 32-partition
+    input bucketed 32 ways would otherwise scatter ~1,000 tiny files
+    whose footer reads dominate every later scan)."""
+    df = df.repartition(num_buckets, *[df[c] for c in bucket_cols])
     w = df.write.bucketBy(num_buckets, *bucket_cols).format("parquet")
     if sort_cols:
         w = w.sortBy(*sort_cols)
