@@ -80,6 +80,7 @@ def run_validation(
     quiet: bool = False,
     detect_skew: bool = True,
     skew_min_rows: int = 1_000_000,
+    max_violation_rows: int | None = None,
 ) -> RunResult:
     suite = suite or transcript_suite()
     threshold = Severity.WARNING if strict else Severity.ERROR
@@ -220,8 +221,18 @@ def run_validation(
     # subset eagerly (stage + Phase A/B + checkpoint) inside this phase
     lap("skew_path")
     if violations_out:
+        from ocsf_validator_spark.violations import cap_violations
+
         viol = viol.cache()
-        viol.write.mode("append").parquet(violations_out)
+        # cap bounds only the browsable DETAIL rows in the sink — the
+        # verdict pass below counts the uncapped (cached) frame, so
+        # pass/fail and violation_count stay exact
+        sink = (
+            cap_violations(viol, max_violation_rows)
+            if max_violation_rows
+            else viol
+        )
+        sink.write.mode("append").parquet(violations_out)
 
     # Phase 4 — verdicts: one groupBy over the (small) violations set
     # joined to the observed-bucket grid; collected ONCE. Report, exit
@@ -362,6 +373,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=DEFAULT_BUCKETS)
     p.add_argument("--checkpoint", help="manifest directory for resume")
     p.add_argument("--violations-out")
+    p.add_argument(
+        "--max-violation-rows",
+        type=int,
+        default=None,
+        metavar="N",
+        help="cap the violation DETAIL rows written per constraint "
+        "(deterministic smallest-N by key order); verdict counts and "
+        "pass/fail stay exact. Guards the sink when a pathological "
+        "constraint fails a large fraction of a huge table",
+    )
     p.add_argument("--verdicts-out")
     p.add_argument("--cores", type=int, default=None)
     p.add_argument(
@@ -503,6 +524,7 @@ def main(argv: list[str] | None = None) -> int:
         snapshot_id=snapshot,
         violations_out=args.violations_out,
         verdicts_out=args.verdicts_out,
+        max_violation_rows=args.max_violation_rows,
     )
     if inc_files and res.exit_code != 2:
         # commit the file ledger only after the bucket manifest landed:

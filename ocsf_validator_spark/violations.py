@@ -715,3 +715,61 @@ def all_violations(
     return main.unionByName(
         dataset_findings(df, suite, keys, include_coverage, observed_enums)
     )
+
+
+def cap_violations(
+    viol: DataFrame,
+    per_constraint: int,
+    keys: Sequence[str] = DEFAULT_KEYS,
+) -> DataFrame:
+    """Deterministic per-constraint cap on violation DETAIL rows for the
+    sink — the 10^12-row guard: one pathological constraint (say a
+    dictionary went stale and ref.role now fails every row) would emit
+    violations proportional to the table, and writing them all makes
+    the ERROR SINK the job's bottleneck. Verdict counts stay exact (the
+    runner counts the uncapped frame); only the browsable detail rows
+    are bounded.
+
+    Result = for each constraint, the globally smallest
+    ``per_constraint`` rows by (keys..., reason) — a total order, so
+    the kept set is reproducible across runs and partitionings (ties
+    beyond the full sort key are byte-identical rows).
+
+    Two stages, because the obvious
+    ``row_number() OVER (PARTITION BY constraint_id)`` funnels EVERY
+    detail row of a hot constraint through one reducer — the exact
+    straggler this module engineers out of the window legs:
+
+    1. map-side: a running top-N per constraint inside each partition
+       (Arrow batches; memory bounded by cap x constraints + one
+       batch, output bounded by cap x partitions x constraints);
+    2. the exact global window over that bounded set.
+    """
+    cols = list(viol.columns)
+    sort_cols = [*(k for k in keys if k in cols), "reason"]
+
+    def local_topn(it):
+        import pandas as pd
+
+        kept: "pd.DataFrame | None" = None
+        for pdf in it:
+            pool = pdf if kept is None else pd.concat((kept, pdf))
+            # nulls first, matching Spark's asc_nulls_first default in
+            # stage 2 — the stages must agree on the total order
+            pool = pool.sort_values(sort_cols, na_position="first")
+            kept = pool.groupby("constraint_id", sort=False).head(
+                per_constraint
+            )
+        yield kept if kept is not None else pd.DataFrame(columns=cols)
+
+    bounded = viol.mapInPandas(local_topn, viol.schema)
+    rank = F.row_number().over(
+        Window.partitionBy("constraint_id").orderBy(
+            *[F.col(c).asc_nulls_first() for c in sort_cols]
+        )
+    )
+    return (
+        bounded.withColumn("_rk", rank)
+        .filter(F.col("_rk") <= per_constraint)
+        .drop("_rk")
+    )

@@ -221,6 +221,25 @@ def test_cli_input_catalog_bucketed_table(spark, tmp_path, capsys):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_runner_max_violation_rows(spark, tmp_path):
+    """The sink cap bounds only the written detail rows; violation
+    counts, pass/fail, and the exit code stay exact."""
+    from collections import Counter
+
+    df = synth_transcripts(spark, n_turns=5000, seed=42)
+    out_capped = str(tmp_path / "viol_capped")
+    out_full = str(tmp_path / "viol_full")
+    rc = run_validation(spark, df, num_buckets=8, quiet=True,
+                        violations_out=out_capped, max_violation_rows=3)
+    rf = run_validation(spark, df, num_buckets=8, quiet=True,
+                        violations_out=out_full)
+    assert (rc.exit_code, rc.n_violations) == (rf.exit_code, rf.n_violations)
+    written = spark.read.parquet(out_capped).collect()
+    counts = Counter(r.constraint_id for r in written)
+    assert counts and all(n <= 3 for n in counts.values())
+    assert spark.read.parquet(out_full).count() == rf.n_violations
+
+
 def test_cli_incremental_mode(spark, tmp_path, capsys):
     """--incremental validates only files appended since the last run:
     first run covers the initial landing, an unchanged directory is a

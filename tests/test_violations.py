@@ -140,6 +140,54 @@ def test_fused_plan_shape_one_exchange_one_sort(spark, transcripts):
     assert "substring(text" not in above, plan
 
 
+def test_cap_violations_deterministic(spark):
+    """The two-stage sink cap must equal the naive single-stage
+    row_number window (the formulation it replaces for scale): for each
+    constraint, exactly the globally smallest min(cap, total) rows by
+    (conv_id, turn_idx, reason), reproducible across partitionings."""
+    from collections import Counter
+
+    from ocsf_validator_spark.spec import transcript_suite
+    from ocsf_validator_spark.synth import synth_transcripts
+    from ocsf_validator_spark.violations import all_violations, cap_violations
+
+    df = synth_transcripts(spark, n_turns=5000, seed=42)
+    viol = all_violations(df, transcript_suite()).cache()
+    try:
+        cap = 5
+        got = cap_violations(viol, cap).collect()
+        counts = Counter(r.constraint_id for r in got)
+        full = Counter(r.constraint_id for r in viol.collect())
+        assert any(n > cap for n in full.values()), "fixture too clean"
+        for cid, n in full.items():
+            assert counts[cid] == min(n, cap), cid
+        # exact agreement with the naive global window
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        rank = F.row_number().over(
+            Window.partitionBy("constraint_id").orderBy(
+                F.col("conv_id").asc_nulls_first(),
+                F.col("turn_idx").asc_nulls_first(),
+                F.col("reason").asc_nulls_first(),
+            )
+        )
+        ref = (
+            viol.withColumn("_rk", rank)
+            .filter(F.col("_rk") <= cap)
+            .drop("_rk")
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+        # repartitioning the input must not change the kept set
+        again = cap_violations(viol.repartition(13), cap).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+        # a cap above the totals is the identity
+        assert cap_violations(viol, 10**9).count() == viol.count()
+    finally:
+        viol.unpersist()
+
+
 def test_fused_suite_zero_exchange_on_bucketed_table(spark, tmp_path):
     """The 100 TB deployment shape: when the transcript table is
     BUCKETED by conv_id (Iceberg/warehouse tables routinely are), the
