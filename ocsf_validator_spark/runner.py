@@ -290,22 +290,37 @@ def stream_main(spark: SparkSession, args) -> int:
     0 = clean, 1 = ERROR/FATAL violations found in this drain's batches
     (coverage is excluded per micro-batch by design). The exit verdict
     reads back only the sink rows THIS drain wrote: batch partitions by
-    this drain's batch ids, and the stateful leg — which APPENDS across
-    drains into batch_id=-1 — by the drain_id stamped on its rows, so a
-    later clean drain does not re-fail on an earlier drain's stateful
-    findings."""
+    this drain's batch ids, and the append-across-drains legs — the
+    stateful ordering leg (batch_id=-1) and the --psi-ref drift leg
+    (batch_id=-2) — by the drain_id stamped on their rows, so a later
+    clean drain does not re-fail on an earlier drain's findings."""
     import os
     import uuid
 
     from pyspark.sql import functions as F
 
     from ocsf_validator_spark.streaming import (
+        DRIFT_BATCH_ID,
         STATEFUL_BATCH_ID,
         stream_transcripts,
         validate_stream,
     )
 
     drain_id = uuid.uuid4().hex[:12]
+    psi_kw: dict = {}
+    if getattr(args, "psi_ref", None):
+        # {"hist": {bin: count}, "bin_expr": "...", and optionally
+        # "window"/"watermark"/"threshold"/"severity"} — the recorded
+        # baseline a drift-monitored drain compares against
+        with open(args.psi_ref) as f:
+            cfg = json.load(f)
+        psi_kw = {
+            "psi_ref": {int(k): int(v) for k, v in cfg["hist"].items()},
+            "psi_bin_expr": cfg["bin_expr"],
+        }
+        for k in ("window", "watermark", "threshold", "severity", "min_n"):
+            if k in cfg:
+                psi_kw[f"psi_{k}"] = cfg[k]
     batches: list[tuple[int, int, int]] = []
     started = validate_stream(
         stream_transcripts(spark, args.input),
@@ -315,6 +330,7 @@ def stream_main(spark: SparkSession, args) -> int:
         on_batch=lambda bid, rows, nv: batches.append((bid, rows, nv)),
         stateful_ordering=args.stateful_ordering,
         drain_id=drain_id,
+        **psi_kw,
     )
     queries = started if isinstance(started, tuple) else (started,)
     for q in queries:
@@ -332,24 +348,28 @@ def stream_main(spark: SparkSession, args) -> int:
             & F.col("severity").isin("ERROR", "FATAL")
         )
         bad = sunk.limit(1).count() > 0
-    if not bad and args.stateful_ordering:
-        state_dir = os.path.join(
-            args.violations_out, f"batch_id={STATEFUL_BATCH_ID}"
-        )
+    # the append-across-drains legs are drain-scoped (see validate_stream):
+    # only rows THIS drain stamped may fail THIS drain's exit code
+    for leg_id, enabled in (
+        (STATEFUL_BATCH_ID, args.stateful_ordering),
+        (DRIFT_BATCH_ID, bool(psi_kw)),
+    ):
+        if bad or not enabled:
+            continue
+        leg_dir = os.path.join(args.violations_out, f"batch_id={leg_id}")
         try:
-            state = spark.read.parquet(state_dir)
+            leg_rows = spark.read.parquet(leg_dir)
         except Exception:
-            state = None  # leg emitted nothing yet — no directory
-        if state is not None:
-            bad = (
-                state.filter(
-                    (F.col("drain_id") == drain_id)
-                    & F.col("severity").isin("ERROR", "FATAL")
-                )
-                .limit(1)
-                .count()
-                > 0
+            continue  # leg emitted nothing yet — no directory
+        bad = (
+            leg_rows.filter(
+                (F.col("drain_id") == drain_id)
+                & F.col("severity").isin("ERROR", "FATAL")
             )
+            .limit(1)
+            .count()
+            > 0
+        )
     return 1 if bad else 0
 
 
@@ -408,6 +428,15 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="with --stream: also run the cross-batch stateful ordering "
         "leg into the same sink (batch_id=-1)",
+    )
+    p.add_argument(
+        "--psi-ref",
+        metavar="FILE",
+        help="with --stream: JSON drift baseline "
+        '({"hist": {bin: count}, "bin_expr": "...", optional window/'
+        "watermark/threshold/severity}) — windows whose PSI vs this "
+        "histogram crosses the threshold land in the sink as drift.psi "
+        "rows (batch_id=-2, WARNING by default)",
     )
     args = p.parse_args(argv)
 

@@ -63,6 +63,7 @@ def stream_transcripts(
 CANONICAL_COLS = ("constraint_id", "conv_id", "turn_idx", "reason", "severity")
 
 STATEFUL_BATCH_ID = -1  # partition value of the cross-batch stateful leg
+DRIFT_BATCH_ID = -2  # partition value of the windowed PSI drift leg
 
 _INTERVAL_UNITS_MS = {
     "millisecond": 1,
@@ -100,6 +101,13 @@ def validate_stream(
     drain_id: str | None = None,
     stateful_watermark: str = "1 hour",
     stateful_idle_timeout: str | None = "2 hours",
+    psi_ref: dict[int, int] | None = None,
+    psi_bin_expr: str | None = None,
+    psi_window: str = "10 minutes",
+    psi_watermark: str = "1 hour",
+    psi_threshold: float = 0.2,
+    psi_severity: str = "WARNING",
+    psi_min_n: int = 0,
 ):
     """Run the constraint suite on each micro-batch via foreachBatch.
 
@@ -124,9 +132,20 @@ def validate_stream(
     its rows so a caller can scope a verdict to the rows THIS drain
     produced instead of re-counting earlier drains' findings.
 
-    Returns the StreamingQuery (or the pair); with ``available_now``
-    the caller can ``awaitTermination()`` for a drain-and-stop run
-    (used by tests and backfills)."""
+    ``psi_ref`` + ``psi_bin_expr`` ALSO start the windowed drift leg
+    (``streaming_psi`` vs the given reference histogram): event-time
+    windows whose PSI crosses ``psi_threshold`` land in the same sink
+    under ``batch_id=-2`` as ``drift.psi`` rows with NULL row keys —
+    drift is a dataset-level finding, WARNING by default, so it
+    surfaces in the report without failing the drain unless the caller
+    raises ``psi_severity``. Append-only across drains, drain-scoped
+    like the stateful leg.
+
+    Returns the StreamingQuery (or a tuple when extra legs started);
+    with ``available_now`` the caller can ``awaitTermination()`` each
+    for a drain-and-stop run (used by tests and backfills)."""
+    if (psi_ref is None) != (psi_bin_expr is None):
+        raise ValueError("psi_ref and psi_bin_expr must be given together")
     suite = suite or transcript_suite()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -169,36 +188,81 @@ def validate_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    if not stateful_ordering:
-        return q
-    leg = stateful_ordering_violations(
-        sdf,
-        watermark=stateful_watermark,
-        idle_timeout=stateful_idle_timeout,
-    ).select(*CANONICAL_COLS)
-    if drain_id is not None:
-        leg = leg.withColumn("drain_id", F.lit(str(drain_id)))
-    state_writer = (
-        leg.writeStream.format("parquet")
-        .option(
-            "path",
-            os.path.join(violations_out, f"batch_id={STATEFUL_BATCH_ID}"),
+    queries = [writer.start()]
+    if stateful_ordering:
+        leg = stateful_ordering_violations(
+            sdf,
+            watermark=stateful_watermark,
+            idle_timeout=stateful_idle_timeout,
+        ).select(*CANONICAL_COLS)
+        if drain_id is not None:
+            leg = leg.withColumn("drain_id", F.lit(str(drain_id)))
+        state_writer = (
+            leg.writeStream.format("parquet")
+            .option(
+                "path",
+                os.path.join(violations_out, f"batch_id={STATEFUL_BATCH_ID}"),
+            )
+            .option("checkpointLocation", checkpoint_dir.rstrip("/") + "_state")
+            .outputMode("append")
         )
-        .option("checkpointLocation", checkpoint_dir.rstrip("/") + "_state")
-        .outputMode("append")
-    )
-    if available_now:
-        state_writer = state_writer.trigger(availableNow=True)
-    return q, state_writer.start()
+        if available_now:
+            state_writer = state_writer.trigger(availableNow=True)
+        queries.append(state_writer.start())
+    if psi_ref is not None:
+        drift = (
+            streaming_psi(
+                sdf,
+                ref_hist=psi_ref,
+                bin_expr=psi_bin_expr,
+                watermark=psi_watermark,
+                window=psi_window,
+                threshold=psi_threshold,
+                min_n=psi_min_n,
+            )
+            .filter(F.col("drifted"))
+            .select(
+                F.lit("drift.psi").alias("constraint_id"),
+                F.lit(None).cast("string").alias("conv_id"),
+                F.lit(None).cast("int").alias("turn_idx"),
+                F.concat(
+                    F.lit("window ["),
+                    F.date_format("win_start", "yyyy-MM-dd HH:mm:ss"),
+                    F.lit(", "),
+                    F.date_format("win_end", "HH:mm:ss"),
+                    F.lit("): psi="),
+                    F.round("psi", 4).cast("string"),
+                    F.lit(" over "),
+                    F.col("n").cast("string"),
+                    F.lit(" rows"),
+                ).alias("reason"),
+                F.lit(psi_severity).alias("severity"),
+            )
+        )
+        if drain_id is not None:
+            drift = drift.withColumn("drain_id", F.lit(str(drain_id)))
+        drift_writer = (
+            drift.writeStream.format("parquet")
+            .option(
+                "path",
+                os.path.join(violations_out, f"batch_id={DRIFT_BATCH_ID}"),
+            )
+            .option("checkpointLocation", checkpoint_dir.rstrip("/") + "_drift")
+            .outputMode("append")
+        )
+        if available_now:
+            drift_writer = drift_writer.trigger(availableNow=True)
+        queries.append(drift_writer.start())
+    return queries[0] if len(queries) == 1 else tuple(queries)
 
 
 def read_violations(spark: SparkSession, violations_out: str) -> DataFrame:
     """Read a streaming violations sink back in the CANONICAL batch
     schema. The (batch_id)-keyed layout adds an int ``batch_id``
-    partition column (−1 = the cross-batch stateful leg); this selects
-    the canonical violation columns so the result unions cleanly with
-    the batch runner's flat append-mode parquet output."""
+    partition column (−1 = the cross-batch stateful leg, −2 = the
+    windowed PSI drift leg); this selects the canonical violation
+    columns so the result unions cleanly with the batch runner's flat
+    append-mode parquet output."""
     return spark.read.parquet(violations_out).select(*CANONICAL_COLS)
 
 
@@ -361,12 +425,18 @@ def streaming_psi(
     window: str = "10 minutes",
     threshold: float = 0.2,
     eps: float = 1e-6,
+    min_n: int = 0,
 ) -> DataFrame:
     """Per-event-time-window PSI of a binned value distribution vs a
     broadcast REFERENCE histogram — the streaming leg of the drift
     family (batch single-scan: drift.psi_split; partitioned:
     drift.psi_split_by_bucket). Same PSI formula and 1e-6 share floor
     as the batch paths, so thresholds transfer.
+
+    ``min_n`` guards the small-sample false positive: a near-empty
+    window (stream tail, quiet hour) with a couple of rare-bin rows
+    can spike PSI far past any threshold. Windows with n < min_n still
+    report their psi but are never marked drifted.
 
     ONE stateful aggregation: the reference bins are a bounded literal
     set, so per-bin counts are conditional sums inside the single
@@ -414,7 +484,9 @@ def streaming_psi(
         F.col("window.end").alias("win_end"),
         F.col("n"),
         psi.alias("psi"),
-        (psi >= F.lit(threshold)).alias("drifted"),
+        (
+            (psi >= F.lit(threshold)) & (F.col("n") >= F.lit(int(min_n)))
+        ).alias("drifted"),
     )
 
 

@@ -415,6 +415,109 @@ def test_streaming_psi_windows(spark, tmp_path):
     assert abs(b.psi - psi_py({1: 8, "other": 2}, 10)) < 1e-9
     assert b.drifted
 
+    # min_n guard: same input, min_n=2 — the n=1 flusher window's PSI
+    # spike is suppressed while B (n=10) still alerts
+    out2 = str(tmp_path / "psi_out2")
+    q2 = (
+        st.streaming_psi(
+            sdf,
+            ref_hist={0: 50, 1: 50},
+            bin_expr="turn_idx % 10",
+            watermark="30 minutes",
+            window="10 minutes",
+            min_n=2,
+        )
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "psi_ck2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    got2 = {
+        r.win_start.strftime("%H:%M"): r
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert got2["01:00"].drifted
+    for win, r in got2.items():
+        if r.n < 2:
+            assert not r.drifted, (win, r)
+
+
+def test_validate_stream_psi_leg_and_cli(spark, tmp_path, monkeypatch):
+    """The drift leg composes into the CLI drain: a baseline JSON via
+    --psi-ref makes drifted windows land as drift.psi rows under
+    batch_id=-2, WARNING by default (drain exits on its batch ERRORs,
+    not on drift); re-running with severity=ERROR in the baseline
+    makes a drifted drain exit 1 via the drain-scoped leg check."""
+    import json as j
+
+    from pyspark.sql import functions as F
+
+    from ocsf_validator_spark.runner import main
+    from ocsf_validator_spark.streaming import DRIFT_BATCH_ID
+
+    root = str(tmp_path / "psi_landing")
+    os.makedirs(root)
+    # one clean conversation; all rows bin to turn_idx%4==1|2 while the
+    # reference expects bins {0,1} evenly -> strong PSI shift; late row
+    # far ahead closes the window
+    rows = [
+        ("c1", i, "user", "x", None, f"2026-01-01 00:0{i}:00")
+        for i in range(4)
+    ] + [("c2", 0, "user", "x", None, "2026-01-01 09:00:00")]
+    df = spark.createDataFrame(
+        rows, st.TRANSCRIPT_DDL.replace("timestamp", "string")
+    )
+    df.withColumn("ts", df.ts.cast("timestamp")).coalesce(1).write.parquet(
+        root, mode="append"
+    )
+    ref = str(tmp_path / "psi_ref.json")
+    with open(ref, "w") as f:
+        j.dump(
+            {
+                "hist": {"0": 50, "1": 50},
+                "bin_expr": "turn_idx % 4",
+                "window": "10 minutes",
+                "watermark": "30 minutes",
+            },
+            f,
+        )
+    viol = str(tmp_path / "psi_viol")
+    code = main([
+        "--input", root, "--stream", "--psi-ref", ref,
+        "--violations-out", viol,
+        "--checkpoint", str(tmp_path / "psi_ck"),
+    ])
+    assert code == 0  # clean conversation; drift is WARNING
+    drift = spark.read.parquet(
+        os.path.join(viol, f"batch_id={DRIFT_BATCH_ID}")
+    )
+    got = drift.collect()
+    assert got and all(r.constraint_id == "drift.psi" for r in got)
+    assert all(r.severity == "WARNING" for r in got)
+    assert any("psi=" in r.reason for r in got)
+    # severity raised to ERROR: a drifted drain fails via the
+    # drain-scoped leg check (fresh sink/checkpoint, same landing)
+    with open(ref, "w") as f:
+        j.dump(
+            {
+                "hist": {"0": 50, "1": 50},
+                "bin_expr": "turn_idx % 4",
+                "window": "10 minutes",
+                "watermark": "30 minutes",
+                "severity": "ERROR",
+            },
+            f,
+        )
+    code2 = main([
+        "--input", root, "--stream", "--psi-ref", ref,
+        "--violations-out", str(tmp_path / "psi_viol2"),
+        "--checkpoint", str(tmp_path / "psi_ck2"),
+    ])
+    assert code2 == 1
+
 
 def test_stateful_ordering_idle_state_eviction(spark, tmp_path):
     """Event-time timeout bounds the stateful leg's store: once the
