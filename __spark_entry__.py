@@ -364,6 +364,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the LSH
+    candidate-pair graph by min-label propagation (deterministic
+    fixpoint: each doc labeled with the smallest doc_id reachable in
+    its component — the canonical keeper). The oracle replays the
+    fixpoint with a recursive CTE: min over transitive reachability ==
+    the propagation fixpoint, independent of iteration schedule."""
+    sig = dedup.minhash_signatures(_t(spark, sf, "documents"), n_hashes=8, k=5)
+    pairs = dedup.lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
+    return dedup.connected_components(pairs)
+
+
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_signatures(
         _t(spark, sf, "documents").filter(F.col("doc_id") < 100),
@@ -679,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_documents": q_simhash_documents,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
@@ -1015,6 +1028,36 @@ SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
 UNION
 SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
   ON a.m6 = b.m6 AND a.m7 = b.m7 AND a.doc_id < b.doc_id
+"""
+
+    sqls["dedup_clusters"] = f"""
+WITH RECURSIVE {shingles},
+sig AS (
+  SELECT doc_id, {minhash_m(0)}, {minhash_m(1)}, {minhash_m(2)}, {minhash_m(3)},
+         {minhash_m(4)}, {minhash_m(5)}, {minhash_m(6)}, {minhash_m(7)}
+  FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sig a JOIN sig b
+    ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+    ON a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+    ON a.m4 = b.m4 AND a.m5 = b.m5 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+    ON a.m6 = b.m6 AND a.m7 = b.m7 AND a.doc_id < b.doc_id),
+e AS (SELECT a_id AS u, b_id AS v FROM p
+      UNION SELECT b_id, a_id FROM p),
+-- min over transitive reachability == the min-label propagation
+-- fixpoint the engine iterates to (schedule-independent)
+r(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.u
+)
+SELECT u AS doc_id, MIN(lbl) AS canonical_id FROM r GROUP BY u
 """
 
     sqls["simhash_documents"] = """

@@ -197,6 +197,86 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-CLUSTER resolution over a near-dup pair graph
+    (LSH/Jaccard/embedding pairs): connected components by min-label
+    propagation. Returns (doc_id, canonical_id) for every doc that
+    appears in at least one pair, where canonical_id is the smallest
+    doc id in its component — the pipeline convention "keep the
+    smallest id, drop the rest" (see drop_duplicate_docs).
+
+    DETERMINISTIC: the fixpoint label of a node is min(id) over its
+    component — schedule- and partitioning-independent, which is what
+    makes the result exactly replayable by a recursive-CTE oracle.
+
+    Each round is one join (edge messages) + one min-aggregation, with
+    an EAGER localCheckpoint to cut the growing lineage (without it,
+    iteration i replays all prior joins and the plan grows
+    exponentially). Rounds needed = component DIAMETER, and near-dup
+    clusters are dense blobs with tiny diameters (a pair generator
+    emits most in-cluster edges directly), so this converges in a
+    handful of rounds on real corpora; a graph with adversarially long
+    chains would want the O(log n)-round large-star/small-star
+    alternating algorithm instead — same output contract.
+    ``max_iters`` is the backstop; hitting it raises rather than
+    silently emitting half-merged clusters."""
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
+    for _ in range(max_iters):
+        msgs = edges.join(labels, "u").select(
+            F.col("v").alias("u"), F.col("lbl")
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "_old"), "u")
+            .filter(F.col("lbl") < F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(pathological chain graph? use a larger max_iters or a "
+            "star-contraction variant)"
+        )
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("lbl").alias("canonical_id")
+    )
+
+
+def drop_duplicate_docs(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The deduped corpus: drop every doc whose cluster elected a
+    different canonical (left-anti join against the non-canonical
+    cluster members — defect-proportional right side, so the join
+    broadcasts in the common case)."""
+    losers = clusters.filter(
+        F.col("doc_id") != F.col("canonical_id")
+    ).select(F.col("doc_id").alias(id_col))
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     block_cols: tuple[str, ...] = ("lang", "source"),

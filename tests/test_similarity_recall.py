@@ -287,3 +287,35 @@ def test_ivf_topk_recall(spark):
     c1 = similarity.ivf_centroids(df, 8)
     c2 = similarity.ivf_centroids(df.repartition(13), 8)
     assert c1 == c2
+
+
+def test_connected_components_chain_and_dedup(spark):
+    """Min-label propagation merges chains that no single pair states
+    (1-2, 2-3 -> {1,2,3}), labels every member with the component min,
+    and drop_duplicate_docs keeps exactly canonicals + untouched docs.
+    A 6-node chain needs multiple propagation rounds — exercises the
+    loop, the convergence check, and the lineage checkpointing."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (10, 11), (1, 2), (5, 6), (6, 7), (7, 8), (8, 9)],
+        "a_id long, b_id long",
+    )
+    cc = dedup.connected_components(pairs)
+    got = {r.doc_id: r.canonical_id for r in cc.collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        5: 5, 6: 5, 7: 5, 8: 5, 9: 5,
+    }
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 5, 6, 7, 8, 9, 99)],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in dedup.drop_duplicate_docs(docs, cc).collect()
+    )
+    assert kept == [1, 5, 10, 99]
+    # the backstop raises instead of emitting half-merged clusters
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(pairs, max_iters=1)
