@@ -384,6 +384,21 @@ def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The deduped corpus: every doc except non-canonical members of
+    the LSH duplicate clusters (dedup.drop_duplicate_docs over
+    q_dedup_clusters' components). Returned as ids + lengths so the
+    oracle hash stays text-free."""
+    docs = _t(spark, sf, "documents")
+    sig = dedup.minhash_signatures(docs, n_hashes=8, k=5)
+    clusters = dedup.connected_components(
+        dedup.lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
+    )
+    return dedup.drop_duplicate_docs(docs, clusters).select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+
+
 def q_simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     return d.select("doc_id", dedup.simhash_col("text", 16).alias("simhash"))
@@ -692,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_corpus": q_dedup_corpus,
         "simhash_documents": q_simhash_documents,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
@@ -1058,6 +1074,19 @@ r(u, lbl) AS (
   SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.u
 )
 SELECT u AS doc_id, MIN(lbl) AS canonical_id FROM r GROUP BY u
+"""
+
+    # deduped corpus = documents minus non-canonical cluster members;
+    # same recursive-CTE component replay as dedup_clusters
+    clusters_body = sqls["dedup_clusters"].split("WITH RECURSIVE", 1)[1]
+    clusters_body = clusters_body.rsplit("SELECT u AS doc_id", 1)[0].rstrip()
+    sqls["dedup_corpus"] = f"""
+WITH RECURSIVE {clusters_body},
+losers AS (
+  SELECT u AS doc_id FROM r GROUP BY u HAVING u <> MIN(lbl))
+SELECT d.doc_id, LENGTH(d.text) AS text_len
+FROM documents d LEFT JOIN losers l USING (doc_id)
+WHERE l.doc_id IS NULL
 """
 
     sqls["simhash_documents"] = """
