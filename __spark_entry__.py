@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocsf_validator_spark import drift
-from ocsf_validator_spark.pipeline import dedup, multimodal, similarity, textstats
+from ocsf_validator_spark.pipeline import (
+    dedup,
+    multimodal,
+    select,
+    similarity,
+    textstats,
+)
 from ocsf_validator_spark.spec import (
     AllowedColumns,
     ConstraintSet,
@@ -462,6 +468,34 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.text_profile(_t(spark, sf, "documents"))
 
 
+def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide top-30 word bigrams (select.ngram_topk): map-side
+    partial agg + TakeOrderedAndProject, deterministic
+    (count DESC, ngram ASC) tie-break."""
+    return select.ngram_topk(_t(spark, sf, "documents"), n=2, k=30)
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic md5-threshold downsampling: en kept at 1/2,
+    zh at 1/4, everything else at the 1/8 default — zero-shuffle
+    map-side filter (select.stratified_sample)."""
+    d = _t(spark, sf, "documents")
+    out = select.stratified_sample(
+        d, rates={"en": (1, 2), "zh": (1, 4)}, default_rate=(1, 8)
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def q_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language greedy quality-first cut to a 2,000-token budget via
+    the histogram-cutoff plan (select.token_budget_select) — the oracle
+    runs the naive per-language cumulative window the plan is provably
+    equal to."""
+    return select.token_budget_select(
+        _t(spark, sf, "documents"), budget=2000, n_bins=64
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.attach_payload(_t(spark, sf, "documents"))
     return multimodal.payload_metadata(media)
@@ -715,6 +749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
         "text_profile": q_text_profile,
+        "ngram_topk": q_ngram_topk,
+        "stratified_sample": q_stratified_sample,
+        "token_budget_select": q_token_budget_select,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "type_routing_events": q_type_routing_events,
@@ -1235,6 +1272,51 @@ SELECT doc_id,
   list_max(list_transform(range(1, greatest(LENGTH(text) - 15, 1) + 1, 8),
     i -> ('0x' || substr(md5(substr(text, i, 16)), 1, 8))::BIGINT)) AS fp_max
 FROM f
+"""
+
+    # bigram generation: DuckDB range(1, n) is half-open = Spark
+    # sequence(1, n-1); list indexing is 1-based in both replays
+    sqls["ngram_topk"] = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+      FROM t WHERE len(toks) >= 2),
+e AS (SELECT unnest(grams) AS ngram FROM g)
+SELECT ngram, COUNT(*) AS cnt FROM e GROUP BY ngram
+ORDER BY cnt DESC, ngram ASC LIMIT 30
+"""
+
+    # md5-threshold replay of select.stratified_sample's CASE chain
+    strat_h = (
+        "('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR) "
+        "|| '|' || 'strat0'), 1, 8))::BIGINT"
+    )
+    sqls["stratified_sample"] = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CASE WHEN lang = 'en' THEN {strat_h} % 2 < 1
+           WHEN lang = 'zh' THEN {strat_h} % 4 < 1
+           ELSE {strat_h} % 8 < 1 END
+"""
+
+    # the naive per-language cumulative window that token_budget_select's
+    # histogram-cutoff plan is provably equal to (quality bins are
+    # order-compatible with (quality DESC, doc_id ASC); n_tokens >= 1 so
+    # the cumulative sum is strictly increasing and `cum <= budget` is a
+    # prefix); quality replays the text_profile expression already proven
+    # hash-exact above
+    sqls["token_budget_select"] = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    ROUND(LEAST(1.0, len(string_split(text, ' ')) / 100.0) *
+          (1.0 - len(list_filter(string_split(text, ' '),
+                     tk -> {stop(textstats.STOPWORDS['en'])}))
+                 / len(string_split(text, ' '))), 6) AS quality
+  FROM documents),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang
+    ORDER BY quality DESC, doc_id ASC
+    ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+SELECT doc_id, lang, n_tokens, quality FROM c WHERE cum <= 2000
 """
 
     sqls["multimodal_meta"] = """

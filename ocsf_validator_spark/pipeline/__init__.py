@@ -5,4 +5,9 @@ pipeline needs dedup / similarity / text-analysis / multimodal plumbing.
 Everything here is built from JVM-side column expressions (codegen'd,
 shuffle-conscious); Arrow-vectorized pandas UDFs appear only where column
 algebra genuinely cannot express the op (multimodal decode).
+
+Modules: dedup (exact/MinHash-LSH/SimHash/Jaccard + components),
+similarity (ANN brute/LSH/IVF), textstats (tokens/quality/lang-ID/
+fingerprints), select (n-gram top-k, stratified sampling, token-budget
+cuts), multimodal (binary columns + decode plumbing).
 """

@@ -1,0 +1,220 @@
+"""Corpus selection operators for training-data pipelines: corpus-wide
+n-gram top-k, deterministic stratified sampling, and token-budget
+selection without a global window.
+
+These are the curation steps that sit between the text-analysis pass
+(textstats.py) and the dedup pass (dedup.py) in a pretraining pipeline:
+count what the corpus says, downsample over-represented strata, and cut
+each language to a token budget by quality.
+
+Scale discipline (the 100 TB design point):
+
+- ``ngram_topk``: explode + partial-aggregating groupBy — map-side
+  combine absorbs the n-gram explosion before the exchange; the final
+  top-k is ``TakeOrderedAndProject`` (per-partition heaps), never a
+  global sort.
+- ``stratified_sample``: pure map-side filter on an md5-derived hash
+  threshold — zero shuffle, deterministic across runs and engines (the
+  md5-replay technique shared with dedup.py / similarity.py).
+- ``token_budget_select``: the naive formulation is a cumulative-sum
+  window partitioned by language — at 100 TB that is one reducer per
+  language sorting ~everything (language cardinality is tiny, so the
+  exchange is maximally skewed). Instead: a (stratum × quality-bin)
+  histogram (one partial-agg scan, driver-side cutoff over a
+  strata×bins grid), then a map-side filter keeps the full bins above
+  the cutoff and ONLY the boundary bin — ~1/n_bins of one stratum —
+  goes through the exact cumulative window. Results are identical to
+  the naive window (quality bins are order-compatible with the global
+  (quality DESC, id ASC) order), which is what the DuckDB oracle runs.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocsf_validator_spark.pipeline import textstats
+
+# first 8 md5 hex chars as a non-negative bigint in [0, 2^32) — same
+# derivation dedup._MD5_HASH / similarity's plane seeds use, so DuckDB
+# replays it exactly: ('0x' || substr(md5(x), 1, 8))::BIGINT
+_MD5_32 = "cast(conv(substring(md5({x}), 1, 8), 16, 10) as bigint)"
+
+
+def ngram_topk(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` whitespace word ``n``-grams corpus-wide, with counts.
+
+    Plan shape: project n-gram arrays map-side, explode, hash-aggregate
+    (partial_count before the exchange collapses repeated n-grams per
+    partition), then ``orderBy(count desc, ngram asc).limit(k)`` which
+    Catalyst plans as TakeOrderedAndProject — per-partition top-k heaps,
+    no global sort. The deterministic (count DESC, ngram ASC) tie-break
+    makes the result engine-exact.
+
+    Documents with fewer than ``n`` tokens contribute nothing (guarded —
+    Spark's ``sequence(1, 0)`` would otherwise count DOWN).
+    """
+    toks = f"split({text_col}, ' ')"
+    grams = (
+        f"case when size({toks}) >= {n} then "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"else array() end"
+    )
+    return (
+        df.select(F.explode(F.expr(grams)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, tuple[int, int]],
+    default_rate: tuple[int, int] = (1, 8),
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat0",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``md5(stratum|id|salt) % den < num`` for the stratum's
+    ``(num, den)`` rate.
+
+    Pure map-side filter — no shuffle, no RNG state, reproducible on
+    any engine that can replay md5 (the oracle does), and stable under
+    retries/partial re-runs, which per-partition ``rand()`` sampling is
+    not. Over-represented strata (the web-crawl English glut) get small
+    rates; the map is a literal CASE chain, so Catalyst folds it into
+    the scan filter.
+    """
+    key = (
+        f"concat_ws('|', {strata_col}, cast({id_col} as string), '{salt}')"
+    )
+    h = F.expr(_MD5_32.format(x=key))
+    keep = None
+    for stratum, (num, den) in sorted(rates.items()):
+        cond = (F.col(strata_col) == stratum) & (h % den < num)
+        keep = cond if keep is None else keep | cond
+    dnum, dden = default_rate
+    others = h % dden < dnum
+    if rates:
+        # NULL strata fall out of both branches (isin → NULL) — a
+        # stratum the caller didn't name still needs a non-NULL key
+        others = ~F.col(strata_col).isin(*sorted(rates)) & others
+    keep = others if keep is None else keep | others
+    return df.filter(keep)
+
+
+def quality_scored(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Narrow (id, stratum, n_tokens, quality) projection reused by
+    token_budget_select's two scans — at scale, persist THIS (a few
+    dozen bytes/row) rather than re-reading ``text`` twice."""
+    toks = f"split({text_col}, ' ')"
+    return df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
+        textstats.quality_cols(text_col)[3],  # round(quality, 6)
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    n_bins: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    cache_scored: bool = False,
+) -> DataFrame:
+    """Greedy quality-first token-budget cut per stratum, equal to the
+    naive ``SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY quality
+    DESC, id ASC) <= budget`` prefix — WITHOUT the per-stratum global
+    window.
+
+    Stage A (one scan): (stratum, quality-bin) histogram of token
+    sums — map-side partial agg, the exchange carries strata×n_bins
+    rows. Stage B (driver, tiny): walk each stratum's bins from the top
+    until the budget overflows; bins above the cutoff are kept whole,
+    the remaining budget is what the cutoff bin may spend. Stage C (one
+    scan): map-side filter keeps the full bins with NO shuffle; only
+    the boundary bin's rows — ~1/n_bins of one stratum — are exchanged
+    for the exact cumulative window. Because every quality in bin b+1
+    exceeds every quality in bin b (floor is monotone), bin-prefix +
+    exact-boundary-prefix IS the global prefix.
+
+    ``cache_scored=True`` persists the narrow scored projection between
+    the two scans (worth it whenever ``text`` dominates the input, i.e.
+    always in production; left off for small tests).
+    """
+    scored = quality_scored(df, text_col, id_col, strata_col)
+    binc = F.least(
+        F.floor(F.col("quality") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    scored = scored.select("*", binc.alias("_bin"))
+    if cache_scored:
+        scored = scored.persist()
+    hist = (
+        scored.groupBy(strata_col, "_bin")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    )
+    per: dict[str, dict[int, int]] = {}
+    for r in hist:
+        if r[strata_col] is None:
+            continue  # NULL strata have no budget — dropped below too
+        per.setdefault(r[strata_col], {})[r["_bin"]] = r["toks"]
+    keep_above: dict[str, int] = {}   # bins STRICTLY above are kept whole
+    remaining: dict[str, int] = {}    # boundary bin's budget
+    for stratum, bins in per.items():
+        cum = 0
+        cut = None
+        for b in sorted(bins, reverse=True):
+            if cum + bins[b] > budget:
+                cut = b
+                break
+            cum += bins[b]
+        if cut is None:
+            keep_above[stratum] = -1            # everything fits
+            remaining[stratum] = 0
+        else:
+            keep_above[stratum] = cut
+            remaining[stratum] = budget - cum
+    cut_expr = F.lit(None).cast("int")
+    rem_expr = F.lit(0).cast("bigint")
+    for stratum in sorted(keep_above):
+        cut_expr = F.when(
+            F.col(strata_col) == stratum, F.lit(keep_above[stratum])
+        ).otherwise(cut_expr)
+        rem_expr = F.when(
+            F.col(strata_col) == stratum, F.lit(remaining[stratum])
+        ).otherwise(rem_expr)
+    staged = scored.select("*", cut_expr.alias("_cut"), rem_expr.alias("_rem"))
+    out_cols = [id_col, strata_col, "n_tokens", "quality"]
+    whole = staged.filter(F.col("_bin") > F.col("_cut")).select(*out_cols)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    boundary = (
+        staged.filter(F.col("_bin") == F.col("_cut"))
+        .select(*out_cols, F.col("_rem"))
+        .select(
+            *out_cols, "_rem",
+            F.sum("n_tokens").over(w).alias("_cum"),
+        )
+        .filter(F.col("_cum") <= F.col("_rem"))
+        .select(*out_cols)
+    )
+    return whole.unionByName(boundary)

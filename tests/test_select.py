@@ -1,0 +1,99 @@
+"""Corpus-selection operators (pipeline/select.py): n-gram top-k,
+stratified sampling, token-budget cuts.
+
+The load-bearing test is the histogram-cutoff ≡ naive-window
+equivalence for token_budget_select — the two-stage plan only earns its
+keep if it returns EXACTLY the greedy prefix the oracle window
+computes, for every bin width.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ocsf_validator_spark.pipeline import select
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "the", "of", "a"]
+    for i in range(120):
+        n = 1 + (i * 7) % 40  # includes 1-token docs (ngram guard)
+        text = " ".join(words[(i + j) % len(words)] for j in range(n))
+        rows.append((i, text, ["en", "de", "zh"][i % 3]))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def naive_budget(scored, budget):
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select("*", F.sum("n_tokens").over(w).alias("_cum"))
+        .filter(F.col("_cum") <= budget)
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
+
+
+def test_ngram_topk_counts_and_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r["ngram"]: r["cnt"] for r in select.ngram_topk(df, n=2, k=10).collect()}
+    # "solo" has one token: contributes nothing (sequence(1,0) guard)
+    assert rows == {"a b": 3, "b a": 1, "b c": 1, "b x": 1}
+
+
+def test_ngram_topk_deterministic_tiebreak(docs):
+    top = select.ngram_topk(docs, n=2, k=5).collect()
+    pairs = [(r["cnt"], r["ngram"]) for r in top]
+    # sorted by cnt desc then ngram asc, and stable across runs
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+    assert pairs == [
+        (r["cnt"], r["ngram"]) for r in select.ngram_topk(docs, n=2, k=5).collect()
+    ]
+
+
+def test_stratified_sample_deterministic_and_scoped(docs):
+    out = select.stratified_sample(
+        docs, rates={"en": (1, 1), "zh": (0, 1)}, default_rate=(1, 2)
+    )
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    assert by_lang.get("en") == 40  # rate 1/1 keeps every en doc
+    assert "zh" not in by_lang     # rate 0/1 drops the stratum
+    assert 0 < by_lang.get("de", 0) < 40  # default 1/2 keeps a subset
+    again = select.stratified_sample(
+        docs, rates={"en": (1, 1), "zh": (0, 1)}, default_rate=(1, 2)
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_stratified_sample_empty_rates(docs):
+    out = select.stratified_sample(docs, rates={}, default_rate=(1, 1))
+    assert out.count() == docs.count()
+
+
+@pytest.mark.parametrize("n_bins", [1, 4, 64])
+def test_token_budget_equals_naive_window(docs, n_bins):
+    scored = select.quality_scored(docs)
+    for budget in (0, 37, 400, 10**6):
+        got = select.token_budget_select(docs, budget=budget, n_bins=n_bins)
+        want = naive_budget(scored, budget)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"bins={n_bins} budget={budget}"
+
+
+def test_token_budget_single_boundary_exchange(docs):
+    """Plan contract: the kept-whole branch is exchange-free; only the
+    boundary bin's window introduces a shuffle."""
+    out = select.token_budget_select(docs, budget=100, n_bins=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
