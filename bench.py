@@ -128,6 +128,30 @@ def main() -> None:
     if "v" in _viol_box:
         _viol_box["v"].unpersist()
 
+    # round-4+ pipeline additions ride as their OWN field: the headline
+    # total must stay key-comparable across rounds (same rationale as
+    # layout_ab below). Same warm/median protocol.
+    extra_set = [
+        "dedup_corpus",
+        "ngram_topk",
+        "stratified_sample",
+        "token_budget_select",
+    ]
+    extra_timings: dict[str, float] = {}
+    for name in extra_set:
+        if name not in qs:
+            continue
+        for _ in range(n_warm):
+            force(qs[name](spark, sf_dir))
+            drain()
+        runs = []
+        for _ in range(n_timed):
+            t0 = time.time()
+            force(qs[name](spark, sf_dir))
+            runs.append(time.time() - t0)
+            drain()
+        extra_timings[name] = round(statistics.median(runs), 3)
+
     # validation-throughput probe on synthetic transcripts (the north
     # rule's primary metric: validated turns/sec)
     from ocsf_validator_spark.runner import run_validation
@@ -220,6 +244,7 @@ def main() -> None:
         "validated_turns_per_sec_bucketed": round(
             synth_turns / bucketed_sec, 1
         ),
+        "extra_queries": extra_timings,
         "synth_turns": synth_turns,
         "cpus": cpus,
         "protocol": f"{n_warm} warmups + {n_timed} timed, median",
