@@ -201,6 +201,38 @@ def violation_entry(c: Constraint) -> Column:
     )
 
 
+def violation_entries_guarded(cs, cast_to: str | None = None) -> Column:
+    """The fused row-leg emission column: NULL when the row violates
+    nothing, the compacted violation-struct array otherwise.
+
+    Guarding the array build behind the OR of the same predicates makes
+    emission DEFECT-PROPORTIONAL: measured at 8M rows/local[8], the
+    predicates cost ~0.9s while unconditionally allocating the
+    ten-slot struct array per row costs ~2s more — for the >99% of
+    rows that violate nothing, all of that allocation (and, in the
+    fused window path, shipping an empty array through the exchange
+    and sort) is waste. ``when()``'s value branch is evaluated lazily
+    in codegen, so only violating rows pay the struct construction
+    (re-evaluating their predicates — negligible at defect rates).
+
+    NULL semantics: the guard is the OR of exactly the per-entry
+    predicates, so it is TRUE whenever any entry would be non-NULL
+    (three-valued OR: NULL|TRUE = TRUE); when every predicate is FALSE
+    or NULL the guard is FALSE/NULL and no entry would have fired
+    either way. ``explode`` of the resulting NULL emits no rows — same
+    output as exploding an empty array.
+    """
+    guard = None
+    for c in cs:
+        pred, _ = compile_row_constraint(c)
+        guard = pred if guard is None else guard | pred
+    entries = [
+        violation_entry(c).cast(cast_to) if cast_to else violation_entry(c)
+        for c in cs
+    ]
+    return F.when(guard, F.array_compact(F.array(*entries)))
+
+
 def rec_type_col(rules: list[tuple[str, str]]) -> Column:
     """Type-inference routing (reference TypeMapping.update,
     type_mapping.py:41-47: annotate each record with its type via

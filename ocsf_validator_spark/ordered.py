@@ -417,9 +417,9 @@ def scalable_group_violations(
         # row-level legs for the skewed subset: a plain JVM projection
         # over the ALREADY-PERSISTED pre-shuffle data — no second source
         # scan, and no wide columns through the range exchange
-        from ocsf_validator_spark.compile import violation_entry
+        from ocsf_validator_spark.compile import violation_entries_guarded
 
-        entries = F.array_compact(F.array(*[violation_entry(c) for c in row_cs]))
+        entries = violation_entries_guarded(row_cs)
         rows = pre.select(part, idx, F.explode(entries).alias("_v")).select(
             F.col("_v.constraint_id").alias("constraint_id"),
             F.col(part).cast("string").alias(part),

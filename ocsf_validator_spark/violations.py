@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ocsf_validator_spark.compile import violation_entry
+from ocsf_validator_spark.compile import violation_entries_guarded
 from ocsf_validator_spark.spec import (
     AllowedColumns,
     ConstraintSet,
@@ -130,7 +130,7 @@ def row_violations(
     cs = [c for c in suite.row_level() if _resolves(df, [c.column])]
     if not cs or not _present(df, keys):
         return _empty(df, keys)
-    entries = F.array_compact(F.array(*[violation_entry(c) for c in cs]))
+    entries = violation_entries_guarded(cs)
     return (
         df.select(*keys, F.explode(entries).alias("_v"))
         .select(
@@ -352,10 +352,13 @@ def fused_group_violations(
         F.col(m) for m in mono_cols if m not in keys and m not in ties
     ]
     if row_cs:
-        row_arr = F.array_compact(
-            F.array(*[violation_entry(c).cast(entry_t) for c in row_cs])
+        # defect-proportional: NULL (not an empty array) for clean rows,
+        # so the >99% clean majority ships 1 null bit through the
+        # exchange and sort instead of an empty-array header, and never
+        # allocates the struct array at all (see violation_entries_guarded)
+        pre_cols.append(
+            violation_entries_guarded(row_cs, cast_to=entry_t).alias("_rv")
         )
-        pre_cols.append(row_arr.alias("_rv"))
     pre = df.select(*pre_cols)
     # ---- reduce-side windows, over the bounded columns only ------------
     tie_order = [F.col(t).asc_nulls_last() for t in ties]
@@ -371,7 +374,24 @@ def fused_group_violations(
             "|", *[F.col(t).cast("string") for t in ties]
         )
         cols["_occ"] = F.row_number().over(w2)
-        cols["_first"] = F.first(first_seen_str).over(w2)
+        # the first-seen peer string is only ever DISPLAYED for rows of
+        # multi-row (conv, idx) groups (occ > 1 is impossible in a
+        # singleton) — guard the per-row string build so the >99%
+        # singleton rows never allocate it (measured 2.3s/8M rows
+        # unguarded vs ~1.0s guarded). "this row's (conv, idx) group
+        # has >1 rows" falls out of the sort order already paid for:
+        # the neighbor above or below shares idx iff the group is a
+        # duplicate group — lag/lead ride the SAME WindowExec as
+        # _prev_idx (one spec, offset frames), no extra window pass.
+        # first() without ignoreNulls still returns the FIRST row's
+        # value for duplicate groups, where the guard is true on every
+        # row of the group.
+        in_dup_group = (F.lag(F.col(idx)).over(w) == F.col(idx)) | (
+            F.lead(F.col(idx)).over(w) == F.col(idx)
+        )
+        cols["_first"] = F.first(
+            F.when(in_dup_group, first_seen_str)
+        ).over(w2)
     staged = pre.select(*pre.columns, *[v.alias(k) for k, v in cols.items()])
     occ = F.col("_occ") if has_unique else F.lit(1)
     legs = []
@@ -379,7 +399,7 @@ def fused_group_violations(
     for c in cs:
         if isinstance(c, Unique):
             legs.append(
-                F.when(
+                (
                     occ > 1,
                     F.struct(
                         F.lit(c.constraint_id).alias("constraint_id"),
@@ -393,7 +413,7 @@ def fused_group_violations(
                         ).alias("reason"),
                         F.lit(c.severity.name).alias("severity"),
                     ),
-                ).cast(entry_t)
+                )
             )
         elif isinstance(c, TurnOrdering):
             expected = F.coalesce(F.col("_prev_idx") + F.lit(1), F.lit(0))
@@ -402,7 +422,7 @@ def fused_group_violations(
             )
             is_gap = F.col(idx) > expected
             legs.append(
-                F.when(
+                (
                     is_dup | is_gap,
                     F.struct(
                         F.lit(c.constraint_id).alias("constraint_id"),
@@ -424,7 +444,7 @@ def fused_group_violations(
                         .alias("reason"),
                         F.lit(c.severity.name).alias("severity"),
                     ),
-                ).cast(entry_t)
+                )
             )
         elif isinstance(c, Monotonic):
             prev_m = F.col(f"_prev_{c.column}")
@@ -434,7 +454,7 @@ def fused_group_violations(
                 else (F.col(c.column) < prev_m)
             )
             legs.append(
-                F.when(
+                (
                     prev_m.isNotNull() & bad,
                     F.struct(
                         F.lit(c.constraint_id).alias("constraint_id"),
@@ -446,14 +466,36 @@ def fused_group_violations(
                         ).alias("reason"),
                         F.lit(c.severity.name).alias("severity"),
                     ),
-                ).cast(entry_t)
+                )
             )
-    group_arr = F.array_compact(F.array(*legs)) if legs else F.array().cast(
-        f"array<{entry_t}>"
-    )
-    entries = (
-        F.concat(F.col("_rv"), group_arr) if row_cs else group_arr
-    )
+    # same defect-proportional guard as the row leg: the array of group
+    # violation structs is only built (and only non-NULL) when one of
+    # the already-computed window conditions actually fired
+    if legs:
+        gguard = None
+        for cond, _ in legs:
+            gguard = cond if gguard is None else gguard | cond
+        group_arr = F.when(
+            gguard,
+            F.array_compact(
+                F.array(*[F.when(c_, s_).cast(entry_t) for c_, s_ in legs])
+            ),
+        )
+    else:
+        group_arr = F.lit(None).cast(f"array<{entry_t}>")
+    staged = staged.select(*staged.columns, group_arr.alias("_gv"))
+    if row_cs and legs:
+        # both sides are NULL-for-clean now; concat(NULL, x) is NULL,
+        # so branch instead of coalescing into per-row empty arrays
+        entries = (
+            F.when(F.col("_rv").isNull(), F.col("_gv"))
+            .when(F.col("_gv").isNull(), F.col("_rv"))
+            .otherwise(F.concat(F.col("_rv"), F.col("_gv")))
+        )
+    elif row_cs:
+        entries = F.col("_rv")
+    else:
+        entries = F.col("_gv")
     return staged.select(*keys, F.explode(entries).alias("_v")).select(
         F.col("_v.constraint_id").alias("constraint_id"),
         *keys,
