@@ -386,8 +386,14 @@ def fused_group_violations(
         # first() without ignoreNulls still returns the FIRST row's
         # value for duplicate groups, where the guard is true on every
         # row of the group.
-        in_dup_group = (F.lag(F.col(idx)).over(w) == F.col(idx)) | (
-            F.lead(F.col(idx)).over(w) == F.col(idx)
+        # eqNullSafe: a duplicate group keyed by a NULL idx (possible
+        # when required.turn_idx fires alongside the dup) must still
+        # build its peer string — plain == would yield NULL there and
+        # silently blank the reason. At partition edges lag/lead are
+        # NULL, making the guard over-inclusive for a NULL-idx edge
+        # row — harmless (an unused string is built, nothing else).
+        in_dup_group = F.lag(F.col(idx)).over(w).eqNullSafe(F.col(idx)) | (
+            F.lead(F.col(idx)).over(w).eqNullSafe(F.col(idx))
         )
         cols["_first"] = F.first(
             F.when(in_dup_group, first_seen_str)

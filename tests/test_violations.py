@@ -73,6 +73,36 @@ def test_group_violations(transcripts):
     assert [(r.conv_id, r.turn_idx) for r in mono] == [("c008", 1)]
 
 
+def test_fused_null_idx_duplicate_keeps_peer_string(spark):
+    """Regression for the defect-proportional first-seen guard: a
+    duplicate group keyed by a NULL turn_idx (required.turn_idx fires
+    alongside unique.conv_turn) must still display its first-seen peer —
+    the neighbor-equality guard uses eqNullSafe, so NULL == NULL counts
+    as 'same group' and the peer string is built, not silently NULL."""
+    from pyspark.sql import functions as F
+
+    from ocsf_validator_spark.violations import _fusable, fused_group_violations
+
+    rows = [
+        ("c1", None, "user", "first null", None, "2026-01-01 00:00:00"),
+        ("c1", None, "user", "second null", None, "2026-01-01 00:00:01"),
+        ("c1", 0, "user", "ok", None, "2026-01-01 00:00:02"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cs, ties = _fusable(SUITE, df, ("conv_id", "turn_idx"))
+    out = fused_group_violations(
+        df, cs, ties, ("conv_id", "turn_idx"), row_cs=SUITE.row_level()
+    ).collect()
+    uniq = [r for r in out if r.constraint_id == "unique.conv_turn"]
+    assert len(uniq) == 1
+    assert uniq[0].reason is not None
+    assert "occurrence 2" in uniq[0].reason
+    assert "first null" in uniq[0].reason  # the kept peer's text tie
+
+
 def test_dataset_findings(transcripts):
     rows = dataset_findings(transcripts, SUITE).collect()
     got = _by_id(rows)
