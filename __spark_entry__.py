@@ -496,6 +496,26 @@ def q_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus curation composing the individually-oracled
+    ops: quality gate (textstats) -> deterministic stratified
+    downsample (select) -> exact dedup, min-doc_id-wins
+    (dedup.exact_duplicates anti-join) -> per-language token-budget cut
+    (select.token_budget_select). Every stage is the scale formulation:
+    no global windows except the boundary-bin cut, dedup shuffles
+    128-bit content keys, sampling is a map-side filter."""
+    docs = _t(spark, sf, "documents")
+    qc = textstats.quality_cols()
+    scored = docs.select("doc_id", "lang", "text", qc[0], qc[3])
+    gated = scored.filter(F.col("quality") >= 0.15)
+    sampled = select.stratified_sample(
+        gated, rates={"en": (2, 3), "zh": (1, 2)}, default_rate=(1, 1)
+    )
+    losers = dedup.exact_duplicates(sampled)
+    deduped = sampled.join(losers.select("doc_id"), "doc_id", "left_anti")
+    return select.token_budget_select(deduped, budget=1500, n_bins=64)
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.attach_payload(_t(spark, sf, "documents"))
     return multimodal.payload_metadata(media)
@@ -752,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "stratified_sample": q_stratified_sample,
         "token_budget_select": q_token_budget_select,
+        "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "type_routing_events": q_type_routing_events,
@@ -1317,6 +1338,34 @@ c AS (
     ORDER BY quality DESC, doc_id ASC
     ROWS UNBOUNDED PRECEDING) AS cum FROM s)
 SELECT doc_id, lang, n_tokens, quality FROM c WHERE cum <= 2000
+"""
+
+    # composite curation chain: each CTE replays a stage already proven
+    # hash-exact on its own (quality expr = text_profile; sampling =
+    # the md5 threshold; dedup keeps min doc_id per text group — the
+    # engine's 128-bit content key is collision-free on real data, see
+    # exact_duplicates' oracle-parity note; budget = the naive window)
+    sqls["curation_pipeline"] = f"""
+WITH s AS (
+  SELECT doc_id, lang, text,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    ROUND(LEAST(1.0, len(string_split(text, ' ')) / 100.0) *
+          (1.0 - len(list_filter(string_split(text, ' '),
+                     tk -> {stop(textstats.STOPWORDS['en'])}))
+                 / len(string_split(text, ' '))), 6) AS quality
+  FROM documents),
+g AS (SELECT * FROM s WHERE quality >= 0.15),
+p AS (SELECT * FROM g
+      WHERE CASE WHEN lang = 'en' THEN {strat_h} % 3 < 2
+                 WHEN lang = 'zh' THEN {strat_h} % 2 < 1
+                 ELSE {strat_h} % 1 < 1 END),
+d AS (SELECT * FROM p
+      QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)),
+c AS (SELECT doc_id, lang, n_tokens, quality,
+        SUM(n_tokens) OVER (PARTITION BY lang
+          ORDER BY quality DESC, doc_id ASC
+          ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+SELECT doc_id, lang, n_tokens, quality FROM c WHERE cum <= 1500
 """
 
     sqls["multimodal_meta"] = """
