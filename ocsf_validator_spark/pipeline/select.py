@@ -158,6 +158,15 @@ def token_budget_select(
     ``cache_scored=True`` persists the narrow scored projection between
     the two scans (worth it whenever ``text`` dominates the input, i.e.
     always in production; left off for small tests).
+
+    Boundary-bin sizing: the exact window sees ~1/n_bins of one
+    stratum, all routed to that stratum's single reducer. If that is
+    still too large at the deployment scale, raise ``n_bins`` (the
+    histogram is strata x n_bins rows — driver-trivial up to ~10^5
+    bins), or apply the same histogram cutoff recursively to the
+    boundary bin: re-bin ONLY its rows on a finer quality grid and
+    window the sub-boundary. quality has 6 decimal places, so
+    recursion bottoms out at exact-quality ties ordered by id.
     """
     scored = quality_scored(df, text_col, id_col, strata_col)
     binc = F.least(
