@@ -222,6 +222,8 @@ def violation_entries_guarded(cs, cast_to: str | None = None) -> Column:
     either way. ``explode`` of the resulting NULL emits no rows — same
     output as exploding an empty array.
     """
+    if not cs:
+        raise ValueError("violation_entries_guarded needs >=1 constraint")
     guard = None
     for c in cs:
         pred, _ = compile_row_constraint(c)
