@@ -136,6 +136,7 @@ def main() -> None:
         "ngram_topk",
         "stratified_sample",
         "token_budget_select",
+        "curation_pipeline",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:
