@@ -1104,8 +1104,10 @@ SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
   ON a.m6 = b.m6 AND a.m7 = b.m7 AND a.doc_id < b.doc_id
 """
 
-    sqls["dedup_clusters"] = f"""
-WITH RECURSIVE {shingles},
+    # shared recursive-CTE body (signatures -> band pairs -> edges ->
+    # min-label components) interpolated into BOTH dedup_clusters and
+    # dedup_corpus, so the two oracles can never drift apart
+    components_ctes = f"""{shingles},
 sig AS (
   SELECT doc_id, {minhash_m(0)}, {minhash_m(1)}, {minhash_m(2)}, {minhash_m(3)},
          {minhash_m(4)}, {minhash_m(5)}, {minhash_m(6)}, {minhash_m(7)}
@@ -1130,16 +1132,17 @@ r(u, lbl) AS (
   SELECT u, u FROM (SELECT DISTINCT u FROM e)
   UNION
   SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.u
-)
+)"""
+
+    sqls["dedup_clusters"] = f"""
+WITH RECURSIVE {components_ctes}
 SELECT u AS doc_id, MIN(lbl) AS canonical_id FROM r GROUP BY u
 """
 
     # deduped corpus = documents minus non-canonical cluster members;
-    # same recursive-CTE component replay as dedup_clusters
-    clusters_body = sqls["dedup_clusters"].split("WITH RECURSIVE", 1)[1]
-    clusters_body = clusters_body.rsplit("SELECT u AS doc_id", 1)[0].rstrip()
+    # same component replay via the shared CTE body
     sqls["dedup_corpus"] = f"""
-WITH RECURSIVE {clusters_body},
+WITH RECURSIVE {components_ctes},
 losers AS (
   SELECT u AS doc_id FROM r GROUP BY u HAVING u <> MIN(lbl))
 SELECT d.doc_id, LENGTH(d.text) AS text_len

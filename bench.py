@@ -111,20 +111,31 @@ def main() -> None:
     bench_callables = dict(qs)
     bench_callables["suite_verdicts"] = _verdicts_reuse
 
-    timings: dict[str, float] = {}
-    spread: dict[str, float] = {}
-    for name in bench_set:
+    def timed(run) -> tuple[float, float]:
+        """The one warm/median protocol every timed section shares:
+        n_warm un-timed executions, n_timed timed, (median, max-min).
+        ``run`` must fully execute the work (queries wrap themselves
+        in force())."""
         for _ in range(n_warm):
-            force(bench_callables[name](spark, sf_dir))
+            run()
             drain()
         runs = []
         for _ in range(n_timed):
             t0 = time.time()
-            force(bench_callables[name](spark, sf_dir))
+            run()
             runs.append(time.time() - t0)
             drain()
-        timings[name] = round(statistics.median(runs), 3)
-        spread[name] = round(max(runs) - min(runs), 3)
+        return (
+            round(statistics.median(runs), 3),
+            round(max(runs) - min(runs), 3),
+        )
+
+    timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    for name in bench_set:
+        timings[name], spread[name] = timed(
+            lambda name=name: force(bench_callables[name](spark, sf_dir))
+        )
     if "v" in _viol_box:
         _viol_box["v"].unpersist()
 
@@ -140,18 +151,10 @@ def main() -> None:
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:
-        if name not in qs:
-            continue
-        for _ in range(n_warm):
-            force(qs[name](spark, sf_dir))
-            drain()
-        runs = []
-        for _ in range(n_timed):
-            t0 = time.time()
-            force(qs[name](spark, sf_dir))
-            runs.append(time.time() - t0)
-            drain()
-        extra_timings[name] = round(statistics.median(runs), 3)
+        if name in qs:
+            extra_timings[name], _ = timed(
+                lambda name=name: force(qs[name](spark, sf_dir))
+            )
 
     # validation-throughput probe on synthetic transcripts (the north
     # rule's primary metric: validated turns/sec)
@@ -160,18 +163,11 @@ def main() -> None:
 
     df = synth_transcripts(spark, n_turns=synth_turns).cache()
     df.count()  # materialize outside the timed window
-    for _ in range(n_warm):
-        run_validation(spark, df, quiet=True)  # JIT warmup for the suite
-        drain()
-    runs = []
-    for _ in range(n_timed):
-        t0 = time.time()
-        run_validation(spark, df, quiet=True)
-        runs.append(time.time() - t0)
-        drain()
-    validate_sec = statistics.median(runs)
-    timings["validate_synth"] = round(validate_sec, 3)
-    spread["validate_synth"] = round(max(runs) - min(runs), 3)
+    validate_sec, validate_spread = timed(
+        lambda: run_validation(spark, df, quiet=True)
+    )
+    timings["validate_synth"] = validate_sec
+    spread["validate_synth"] = validate_spread
     turns_per_sec = synth_turns / validate_sec
 
     # layout A/B on the SAME on-disk data (validate_synth above times
@@ -195,16 +191,7 @@ def main() -> None:
     df.unpersist()
 
     def timed_validate(vdf) -> float:
-        for _ in range(n_warm):
-            run_validation(spark, vdf, quiet=True)
-            drain()
-        r = []
-        for _ in range(n_timed):
-            t0 = time.time()
-            run_validation(spark, vdf, quiet=True)
-            r.append(time.time() - t0)
-            drain()
-        return statistics.median(r)
+        return timed(lambda: run_validation(spark, vdf, quiet=True))[0]
 
     flat_sec = timed_validate(spark.read.parquet(flat_dir))
     bucketed_sec = timed_validate(spark.table(tbl))

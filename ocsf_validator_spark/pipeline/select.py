@@ -37,10 +37,10 @@ from pyspark.sql import functions as F
 
 from ocsf_validator_spark.pipeline import textstats
 
-# first 8 md5 hex chars as a non-negative bigint in [0, 2^32) — same
-# derivation dedup._MD5_HASH / similarity's plane seeds use, so DuckDB
-# replays it exactly: ('0x' || substr(md5(x), 1, 8))::BIGINT
-_MD5_32 = "cast(conv(substring(md5({x}), 1, 8), 16, 10) as bigint)"
+# first 8 md5 hex chars as a non-negative bigint in [0, 2^32), shared
+# with dedup so the derivation can never drift between the two modules;
+# DuckDB replays it exactly: ('0x' || substr(md5(x), 1, 8))::BIGINT
+from ocsf_validator_spark.pipeline.dedup import _MD5_HASH as _MD5_32
 
 
 def ngram_topk(
@@ -95,6 +95,10 @@ def stratified_sample(
     not. Over-represented strata (the web-crawl English glut) get small
     rates; the map is a literal CASE chain, so Catalyst folds it into
     the scan filter.
+
+    A NULL stratum takes ``default_rate`` (its hash key simply omits
+    the stratum component — concat_ws skips NULLs) — the same outcome
+    whether or not any named rates are present.
     """
     key = (
         f"concat_ws('|', {strata_col}, cast({id_col} as string), '{salt}')"
@@ -107,9 +111,12 @@ def stratified_sample(
     dnum, dden = default_rate
     others = h % dden < dnum
     if rates:
-        # NULL strata fall out of both branches (isin → NULL) — a
-        # stratum the caller didn't name still needs a non-NULL key
-        others = ~F.col(strata_col).isin(*sorted(rates)) & others
+        # isNull-aware: plain ~isin(...) is NULL for NULL strata, which
+        # would silently drop them only when rates is non-empty
+        unnamed = F.col(strata_col).isNull() | ~F.col(strata_col).isin(
+            *sorted(rates)
+        )
+        others = unnamed & others
     keep = others if keep is None else keep | others
     return df.filter(keep)
 
@@ -120,13 +127,15 @@ def quality_scored(
 ) -> DataFrame:
     """Narrow (id, stratum, n_tokens, quality) projection reused by
     token_budget_select's two scans — at scale, persist THIS (a few
-    dozen bytes/row) rather than re-reading ``text`` twice."""
-    toks = f"split({text_col}, ' ')"
+    dozen bytes/row) rather than re-reading ``text`` twice, and pass
+    it back in with ``pre_scored=True``. Both columns come from
+    textstats.quality_cols so there is exactly one tokenizer."""
+    qc = textstats.quality_cols(text_col)
     return df.select(
         F.col(id_col),
         F.col(strata_col),
-        F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
-        textstats.quality_cols(text_col)[3],  # round(quality, 6)
+        qc[0],  # n_tokens
+        qc[3],  # round(quality, 6)
     )
 
 
@@ -137,12 +146,14 @@ def token_budget_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     strata_col: str = "lang",
-    cache_scored: bool = False,
+    pre_scored: bool = False,
 ) -> DataFrame:
     """Greedy quality-first token-budget cut per stratum, equal to the
     naive ``SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY quality
-    DESC, id ASC) <= budget`` prefix — WITHOUT the per-stratum global
-    window.
+    DESC, id ASC) <= budget`` prefix over the scored rows — WITHOUT the
+    per-stratum global window. Rows whose text is NULL (no token
+    count) are excluded up front; a NULL stratum forms its own
+    budgeted partition, exactly as it does under the naive window.
 
     Stage A (one scan): (stratum, quality-bin) histogram of token
     sums — map-side partial agg, the exchange carries strata×n_bins
@@ -155,9 +166,13 @@ def token_budget_select(
     exceeds every quality in bin b (floor is monotone), bin-prefix +
     exact-boundary-prefix IS the global prefix.
 
-    ``cache_scored=True`` persists the narrow scored projection between
-    the two scans (worth it whenever ``text`` dominates the input, i.e.
-    always in production; left off for small tests).
+    The scored projection is read twice (stage A and stage C). In
+    production — where ``text`` dominates the input — persist it once
+    and hand it back in: ``s = quality_scored(df).persist()`` then
+    ``token_budget_select(s, ..., pre_scored=True)``, unpersisting when
+    the result is materialized. Keeping the persistence caller-side
+    avoids leaking cached blocks this function could never safely
+    release (its output is lazy).
 
     Boundary-bin sizing: the exact window sees ~1/n_bins of one
     stratum, all routed to that stratum's single reducer. If that is
@@ -168,25 +183,28 @@ def token_budget_select(
     window the sub-boundary. quality has 6 decimal places, so
     recursion bottoms out at exact-quality ties ordered by id.
     """
-    scored = quality_scored(df, text_col, id_col, strata_col)
+    scored = (
+        df if pre_scored else quality_scored(df, text_col, id_col, strata_col)
+    )
+    # NULL text scores NULL on both axes — no token count means no
+    # place in a token budget (the naive window would thread NULL
+    # n_tokens through its running sum with order-dependent results;
+    # excluding them is the only coherent semantics)
+    scored = scored.filter(F.col("n_tokens").isNotNull())
     binc = F.least(
         F.floor(F.col("quality") * n_bins).cast("int"), F.lit(n_bins - 1)
     )
     scored = scored.select("*", binc.alias("_bin"))
-    if cache_scored:
-        scored = scored.persist()
     hist = (
         scored.groupBy(strata_col, "_bin")
         .agg(F.sum("n_tokens").alias("toks"))
         .collect()
     )
-    per: dict[str, dict[int, int]] = {}
+    per: dict = {}  # stratum (possibly None) -> {bin: token sum}
     for r in hist:
-        if r[strata_col] is None:
-            continue  # NULL strata have no budget — dropped below too
         per.setdefault(r[strata_col], {})[r["_bin"]] = r["toks"]
-    keep_above: dict[str, int] = {}   # bins STRICTLY above are kept whole
-    remaining: dict[str, int] = {}    # boundary bin's budget
+    keep_above: dict = {}   # bins STRICTLY above are kept whole
+    remaining: dict = {}    # boundary bin's budget
     for stratum, bins in per.items():
         cum = 0
         cut = None
@@ -203,13 +221,19 @@ def token_budget_select(
             remaining[stratum] = budget - cum
     cut_expr = F.lit(None).cast("int")
     rem_expr = F.lit(0).cast("bigint")
-    for stratum in sorted(keep_above):
-        cut_expr = F.when(
-            F.col(strata_col) == stratum, F.lit(keep_above[stratum])
-        ).otherwise(cut_expr)
-        rem_expr = F.when(
-            F.col(strata_col) == stratum, F.lit(remaining[stratum])
-        ).otherwise(rem_expr)
+    for stratum in sorted(keep_above, key=lambda s: (s is None, s or "")):
+        # a NULL stratum is addressed by isNull — == never matches it
+        cond = (
+            F.col(strata_col).isNull()
+            if stratum is None
+            else F.col(strata_col) == stratum
+        )
+        cut_expr = F.when(cond, F.lit(keep_above[stratum])).otherwise(
+            cut_expr
+        )
+        rem_expr = F.when(cond, F.lit(remaining[stratum])).otherwise(
+            rem_expr
+        )
     staged = scored.select("*", cut_expr.alias("_cut"), rem_expr.alias("_rem"))
     out_cols = [id_col, strata_col, "n_tokens", "quality"]
     whole = staged.filter(F.col("_bin") > F.col("_cut")).select(*out_cols)

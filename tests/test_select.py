@@ -27,6 +27,20 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string, lang string")
 
 
+@pytest.fixture()
+def docs_with_nulls(spark, docs):
+    extra = spark.createDataFrame(
+        [
+            (1000, None, "en"),        # NULL text: excluded from budgets
+            (1001, "alpha beta gamma delta alpha", None),  # NULL stratum
+            (1002, "beta gamma the of a beta gamma", None),
+            (1003, None, None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    return docs.unionByName(extra)
+
+
 def naive_budget(scored, budget):
     w = Window.partitionBy("lang").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
@@ -89,6 +103,50 @@ def test_token_budget_equals_naive_window(docs, n_bins):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), f"bins={n_bins} budget={budget}"
+
+
+def test_stratified_sample_null_stratum_gets_default_rate(spark, docs_with_nulls):
+    """A NULL stratum takes the default rate CONSISTENTLY — the same
+    row must not be dropped just because an unrelated stratum was
+    named (the ~isin NULL trap)."""
+    d = docs_with_nulls
+    with_named = select.stratified_sample(
+        d, rates={"en": (1, 1)}, default_rate=(1, 1)
+    )
+    without_named = select.stratified_sample(d, rates={}, default_rate=(1, 1))
+    null_ids = {1001, 1002, 1003}
+    assert null_ids <= {r["doc_id"] for r in with_named.collect()}
+    assert null_ids <= {r["doc_id"] for r in without_named.collect()}
+
+
+def test_token_budget_null_text_and_null_stratum(docs_with_nulls):
+    """NULL text never crashes the driver cutoff and is excluded; a
+    NULL stratum gets its own budget partition, matching the naive
+    window over the scored (non-NULL-token) rows."""
+    scored = select.quality_scored(docs_with_nulls).filter(
+        F.col("n_tokens").isNotNull()
+    )
+    for budget in (5, 40, 10**6):
+        got = select.token_budget_select(docs_with_nulls, budget=budget, n_bins=8)
+        want = naive_budget(scored, budget)
+        got_rows = sorted(map(tuple, got.collect()))
+        assert got_rows == sorted(map(tuple, want.collect())), budget
+        ids = {r[0] for r in got_rows}
+        assert 1000 not in ids and 1003 not in ids  # NULL text excluded
+    # big budget keeps both NULL-stratum docs
+    assert {1001, 1002} <= {
+        r["doc_id"]
+        for r in select.token_budget_select(
+            docs_with_nulls, budget=10**6, n_bins=8
+        ).collect()
+    }
+
+
+def test_token_budget_pre_scored_roundtrip(docs):
+    scored = select.quality_scored(docs)
+    a = select.token_budget_select(docs, budget=400, n_bins=16)
+    b = select.token_budget_select(scored, budget=400, n_bins=16, pre_scored=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
 def test_token_budget_single_boundary_exchange(docs):
