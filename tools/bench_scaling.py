@@ -66,7 +66,23 @@ CHILD = textwrap.dedent(
     )
     spark.sparkContext.setLogLevel("ERROR")
     from ocsf_validator_spark.runner import run_validation
-    df = spark.read.parquet(inp)
+    # "bucketed:<location>:<n>" registers write_bucketed's files as an
+    # external bucketed table (the catalog is in-memory, so each probe
+    # JVM re-declares the layout over the same files) — the
+    # zero-exchange deployment shape. A plain path is a flat parquet
+    # read paying the conv_id shuffle every run.
+    if inp.startswith("bucketed:"):
+        _, loc, nb = inp.split(":", 2)
+        spark.sql(
+            "CREATE TABLE scaling_bucketed_ext ("
+            " conv_id STRING, turn_idx INT, role STRING, text STRING,"
+            " tool STRING, ts TIMESTAMP) USING parquet"
+            " CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx)"
+            f" INTO {nb} BUCKETS LOCATION '{loc}'"
+        )
+        df = spark.table("scaling_bucketed_ext")
+    else:
+        df = spark.read.parquet(inp)
     n = df.count()
     import gc
     walls, phases = [], []
