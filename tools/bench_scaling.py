@@ -78,7 +78,7 @@ CHILD = textwrap.dedent(
             " conv_id STRING, turn_idx INT, role STRING, text STRING,"
             " tool STRING, ts TIMESTAMP) USING parquet"
             " CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx)"
-            f" INTO {nb} BUCKETS LOCATION '{loc}'"
+            f" INTO {{nb}} BUCKETS LOCATION '{{loc}}'"
         )
         df = spark.table("scaling_bucketed_ext")
     else:
