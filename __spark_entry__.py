@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ocsf_validator_spark import drift
 from ocsf_validator_spark.pipeline import (
+    decontam,
     dedup,
     multimodal,
     select,
@@ -516,6 +517,39 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return select.token_budget_select(deduped, budget=1500, n_bins=64)
 
 
+def q_repetition_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals
+    (textstats.repetition_cols): duplicate-token / duplicate-bigram
+    fractions and the mode bigram's frequency share — zero-shuffle
+    column algebra (the mode is a per-doc sort + linear fold); the
+    oracle recomputes the mode the relational way (explode + groupBy +
+    max) to cross-check the fold."""
+    return textstats.repetition_profile(_t(spark, sf, "documents"), n=2)
+
+
+def q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination scores (decontam.contamination_scores):
+    documents split deterministically — md5₃₂(doc_id) % 20 == 0 is the
+    held-out benchmark, the rest are the corpus — then each corpus
+    doc's distinct word 3-grams are membership-tested against the
+    benchmark's n-gram hash set via a BROADCAST join (the corpus side
+    never shuffles gram rows; the post-join groupBy exchanges ~one row
+    per doc). Gram identity crosses the join as a 60-bit md5-prefix
+    int, replayed bit-exactly by the oracle."""
+    docs = _t(spark, sf, "documents")
+    is_bench = (
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 8),"
+            " 16, 10) as bigint)"
+        )
+        % 20
+        == 0
+    )
+    return decontam.contamination_scores(
+        docs.filter(~is_bench), docs.filter(is_bench), n=3, threshold=0.05
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.attach_payload(_t(spark, sf, "documents"))
     return multimodal.payload_metadata(media)
@@ -772,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "stratified_sample": q_stratified_sample,
         "token_budget_select": q_token_budget_select,
+        "repetition_profile": q_repetition_profile,
+        "decontam_overlap": q_decontam_overlap,
         "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
@@ -1369,6 +1405,69 @@ c AS (SELECT doc_id, lang, n_tokens, quality,
           ORDER BY quality DESC, doc_id ASC
           ROWS UNBOUNDED PRECEDING) AS cum FROM d)
 SELECT doc_id, lang, n_tokens, quality FROM c WHERE cum <= 1500
+"""
+
+    # repetition signals: dup fractions via len - len(list_distinct);
+    # the mode-bigram count is recomputed the relational way (explode +
+    # groupBy + max) to cross-check the engine's sort+fold formulation
+    sqls["repetition_profile"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, toks,
+        CASE WHEN len(toks) >= 2 THEN
+          list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        ELSE [] END AS grams
+      FROM t),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+m AS (SELECT doc_id, MAX(c) AS topc FROM
+        (SELECT doc_id, gram, COUNT(*) AS c FROM e GROUP BY 1, 2)
+      GROUP BY 1)
+SELECT g.doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CASE WHEN len(toks) = 0 THEN NULL ELSE
+    ROUND((len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE), 6)
+  END AS dup_token_frac,
+  CASE WHEN len(grams) = 0 THEN NULL ELSE
+    ROUND((len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE), 6)
+  END AS dup_ngram_frac,
+  CASE WHEN len(grams) = 0 THEN NULL ELSE
+    ROUND(m.topc / CAST(len(grams) AS DOUBLE), 6)
+  END AS top_ngram_frac
+FROM g LEFT JOIN m USING (doc_id)
+"""
+
+    # decontamination: replays the md5 split, the 3-gram 60-bit hash
+    # derivation (('0x' || substr(md5(gram), 1, 15))::BIGINT ==
+    # Spark's conv(substring(md5(gram), 1, 15), 16, 10)), the distinct-
+    # per-doc dedup, and the membership join — so hash membership is
+    # bit-identical across engines. Zero-gram corpus docs re-enter via
+    # the z LEFT JOIN (Spark keeps them via explode_outer).
+    sqls["decontam_overlap"] = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+    ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 20) = 0)
+      AS is_bench
+  FROM documents),
+g AS (
+  SELECT doc_id, is_bench,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT))
+    ELSE [] END AS grams
+  FROM base),
+b AS (SELECT DISTINCT unnest(grams) AS gh FROM g WHERE is_bench),
+e AS (SELECT doc_id, unnest(grams) AS gh FROM g WHERE NOT is_bench),
+hit AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(b.gh) AS BIGINT) AS n_hit
+        FROM e LEFT JOIN b ON e.gh = b.gh
+        GROUP BY 1)
+SELECT g.doc_id,
+  COALESCE(h.n_grams, 0) AS n_grams,
+  COALESCE(h.n_hit, 0) AS n_hit,
+  CASE WHEN COALESCE(h.n_grams, 0) = 0 THEN NULL ELSE
+    ROUND(h.n_hit / CAST(h.n_grams AS DOUBLE), 6) END AS overlap,
+  COALESCE(h.n_hit / CAST(h.n_grams AS DOUBLE) >= 0.05, FALSE) AS contaminated
+FROM g LEFT JOIN hit h USING (doc_id)
+WHERE NOT g.is_bench
 """
 
     sqls["multimodal_meta"] = """

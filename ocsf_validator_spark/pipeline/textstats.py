@@ -94,3 +94,73 @@ def text_profile(
         lang_id_col(text_col).alias("lang_pred"),
         *fingerprint_cols(text_col),
     )
+
+
+def _grams(text_col: str, n: int) -> str:
+    """Word n-gram array (empty when the doc is shorter than n)."""
+    toks = _tokens(text_col)
+    return (
+        f"case when size({toks}) >= {n} then "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"else array() end"
+    )
+
+
+def _mode_count(arr_expr: str) -> str:
+    """Multiplicity of the most frequent element of a string array, as a
+    single fold: sort (groups equal elements into contiguous runs),
+    then one O(len) pass tracking the current and best run length.
+    Map-side, no explode, no shuffle — the per-doc cost is the
+    O(L log L) sort, bounded by document length. (The explode +
+    groupBy(doc, gram) formulation is what the DuckDB oracle runs.)"""
+    return (
+        f"aggregate(array_sort({arr_expr}), "
+        "named_struct('prev', cast(null as string), "
+        "'run', cast(0 as bigint), 'best', cast(0 as bigint)), "
+        "(a, g) -> named_struct('prev', g, "
+        "'run', if(a.prev = g, a.run + 1, cast(1 as bigint)), "
+        "'best', greatest(a.best, if(a.prev = g, a.run + 1, "
+        "cast(1 as bigint)))), "
+        "a -> a.best)"
+    )
+
+
+def repetition_cols(text_col: str = "text", n: int = 2) -> list[Column]:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    §A1.1 — "repetition removal"): the fraction of duplicate tokens,
+    the fraction of duplicate word ``n``-grams, and the frequency share
+    of the single most repeated n-gram. High values mark boilerplate /
+    degenerate pages that dedup across documents cannot catch.
+
+    Pure column algebra (whole-stage codegen, zero shuffle): duplicate
+    fractions are ``1 - distinct/total`` via array_distinct; the mode
+    share is a sort + linear fold per document. Short documents (no
+    tokens / no n-grams) yield NULL fractions via try_divide.
+    """
+    toks = _tokens(text_col)
+    n_tok = F.expr(f"size({toks})").cast("bigint")
+    n_tok_dup = n_tok - F.expr(f"size(array_distinct({toks}))")
+    grams = _grams(text_col, n)
+    n_gram = F.expr(f"size({grams})").cast("bigint")
+    n_gram_dup = n_gram - F.expr(f"size(array_distinct({grams}))")
+    top = F.expr(_mode_count(grams))
+    return [
+        n_tok.alias("n_tokens"),
+        F.round(F.try_divide(n_tok_dup.cast("double"), n_tok), 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(F.try_divide(n_gram_dup.cast("double"), n_gram), 6).alias(
+            "dup_ngram_frac"
+        ),
+        F.round(F.try_divide(top.cast("double"), n_gram), 6).alias(
+            "top_ngram_frac"
+        ),
+    ]
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Per-document repetition signals — one scan-speed projection."""
+    return df.select(F.col(id_col), *repetition_cols(text_col, n))
