@@ -137,6 +137,22 @@ def q_suite_violations(spark: SparkSession, sf: str) -> DataFrame:
     return all_violations(_transcripts(spark, sf), _events_suite())
 
 
+def q_quarantine_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """Quarantine routing (violations.split_quarantine): the INPUT rows
+    whose (conv_id, turn_idx) key is named by >= 1 ERROR/FATAL
+    violation — the production topology where bad records land in a
+    side table for repair instead of failing a 100 TB ingest. The
+    defect-proportional key set is distinct()-ed before the semi join,
+    so AQE broadcasts it past healthy data. Oracle = the proven
+    suite_violations legs wrapped as a key CTE + semi join."""
+    t = _transcripts(spark, sf)
+    viol = all_violations(t, _events_suite())
+    from ocsf_validator_spark.violations import split_quarantine
+
+    _, quarantined = split_quarantine(t, viol)
+    return quarantined.select("conv_id", "turn_idx", "role", "text")
+
+
 def q_group_violations_scalable(spark: SparkSession, sf: str) -> DataFrame:
     """The skew-resilient ordered-check path (ordered.py: range
     repartition + mapInPandas + driver boundary carry) on a defect-rich
@@ -775,6 +791,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "suite_violations": q_suite_violations,
+        "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
         "conversation_stats": q_conversation_stats,
@@ -858,6 +875,19 @@ def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
     sqls["suite_violations"] = f"WITH {_T_CTE} {_SUITE_VIOLATION_LEGS}"
+
+    # quarantine routing: the same proven violation legs, reduced to
+    # the distinct >= ERROR row keys, semi-joined back to the input —
+    # dataset-level findings (NULL keys) quarantine nothing
+    sqls["quarantine_rows"] = f"""
+WITH {_T_CTE},
+v AS ({_SUITE_VIOLATION_LEGS}),
+k AS (SELECT DISTINCT conv_id, turn_idx FROM v
+      WHERE severity IN ('ERROR', 'FATAL')
+        AND conv_id IS NOT NULL AND turn_idx IS NOT NULL)
+SELECT t.conv_id, t.turn_idx, t.role, t.text
+FROM t JOIN k USING (conv_id, turn_idx)
+"""
 
     sqls["group_violations_scalable"] = """
 WITH t AS (

@@ -148,6 +148,8 @@ def main() -> None:
         "stratified_sample",
         "token_budget_select",
         "curation_pipeline",
+        "repetition_profile",
+        "decontam_overlap",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

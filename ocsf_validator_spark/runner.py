@@ -77,6 +77,7 @@ def run_validation(
     snapshot_id: str = "unknown",
     violations_out: str | None = None,
     verdicts_out: str | None = None,
+    quarantine_out: str | None = None,
     quiet: bool = False,
     detect_skew: bool = True,
     skew_min_rows: int = 1_000_000,
@@ -220,10 +221,12 @@ def run_validation(
     # NOTE: when skew is routed, all_violations executes the skewed
     # subset eagerly (stage + Phase A/B + checkpoint) inside this phase
     lap("skew_path")
-    if violations_out:
+    if violations_out or quarantine_out:
         from ocsf_validator_spark.violations import cap_violations
 
+        # cached: consumed by the sink(s) below AND the verdict pass
         viol = viol.cache()
+    if violations_out:
         # cap bounds only the browsable DETAIL rows in the sink — the
         # verdict pass below counts the uncapped (cached) frame, so
         # pass/fail and violation_count stay exact
@@ -233,6 +236,16 @@ def run_validation(
             else viol
         )
         sink.write.mode("append").parquet(violations_out)
+    if quarantine_out:
+        from ocsf_validator_spark.violations import split_quarantine
+
+        # route full input rows whose key carries a >= threshold
+        # violation to the quarantine table (key-level: duplicate keys
+        # quarantine every copy); the defect-proportional key set is
+        # the join's build side, so healthy data broadcasts past it
+        _, quarantined = split_quarantine(df, viol, threshold=threshold)
+        quarantined.write.mode("append").parquet(quarantine_out)
+        lap("quarantine")
 
     # Phase 4 — verdicts: one groupBy over the (small) violations set
     # joined to the observed-bucket grid; collected ONCE. Report, exit
@@ -242,7 +255,7 @@ def run_validation(
         threshold=threshold, observed_buckets=observed,
     ).collect()
     lap("verdict")
-    if violations_out:
+    if violations_out or quarantine_out:
         viol.unpersist()
     if verdicts_out:
         spark.createDataFrame(
@@ -404,6 +417,15 @@ def main(argv: list[str] | None = None) -> int:
         "constraint fails a large fraction of a huge table",
     )
     p.add_argument("--verdicts-out")
+    p.add_argument(
+        "--quarantine-out",
+        metavar="PATH",
+        help="also write the INPUT ROWS whose (conv_id, turn_idx) key "
+        "carries >= 1 violation at the failure threshold (ERROR; "
+        "WARNING under --strict) to this parquet path for "
+        "repair/reprocessing — key-level, so every copy of a "
+        "duplicated key is quarantined",
+    )
     p.add_argument("--cores", type=int, default=None)
     p.add_argument(
         "--incremental",
@@ -553,6 +575,7 @@ def main(argv: list[str] | None = None) -> int:
         snapshot_id=snapshot,
         violations_out=args.violations_out,
         verdicts_out=args.verdicts_out,
+        quarantine_out=args.quarantine_out,
         max_violation_rows=args.max_violation_rows,
     )
     if inc_files and res.exit_code != 2:

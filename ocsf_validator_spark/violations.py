@@ -41,6 +41,7 @@ from ocsf_validator_spark.spec import (
     ConstraintSet,
     EnumCoverage,
     Monotonic,
+    Severity,
     TurnOrdering,
     Unique,
 )
@@ -820,4 +821,51 @@ def cap_violations(
         bounded.withColumn("_rk", rank)
         .filter(F.col("_rk") <= per_constraint)
         .drop("_rk")
+    )
+
+
+def quarantine_keys(
+    viol: DataFrame,
+    threshold: Severity = Severity.ERROR,
+    keys: Sequence[str] = DEFAULT_KEYS,
+) -> DataFrame:
+    """Distinct row keys named by at least one violation at or above
+    ``threshold``. Dataset-level findings (NULL keys — coverage,
+    schema audit) name no row and quarantine nothing."""
+    names = [s.name for s in Severity if s >= threshold]
+    out = viol.filter(F.col("severity").isin(names))
+    for k in keys:
+        out = out.filter(F.col(k).isNotNull())
+    return out.select(*keys).distinct()
+
+
+def split_quarantine(
+    df: DataFrame,
+    viol: DataFrame,
+    threshold: Severity = Severity.ERROR,
+    keys: Sequence[str] = DEFAULT_KEYS,
+) -> tuple[DataFrame, DataFrame]:
+    """Route input rows by verdict: ``(clean, quarantined)`` where a row
+    is quarantined iff its key is named by >= 1 violation at or above
+    ``threshold`` (ERROR by default; pass WARNING for strict mode).
+    Clean rows flow on to the consumer; quarantined rows land in a side
+    table for repair/reprocessing — the standard production topology,
+    where a handful of bad records must not block a 100 TB ingest.
+
+    Key-level, not row-level, on purpose: a duplicate (conv_id,
+    turn_idx) key sends BOTH copies to quarantine (the violation names
+    the key, and "the first copy" is not a safe survivor when ordering
+    itself is what failed).
+
+    Scale shape: the quarantine key set is defect-proportional and
+    pre-shrunk by ``distinct()``, so AQE plans the semi/anti joins
+    against it as broadcasts on healthy data; no shuffle of the input
+    beyond the joins themselves, and full rows (``text``) move only
+    into the sinks they were already destined for.
+    """
+    bad = quarantine_keys(viol, threshold, keys)
+    key_list = list(keys)
+    return (
+        df.join(bad, key_list, "left_anti"),
+        df.join(bad, key_list, "left_semi"),
     )

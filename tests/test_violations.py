@@ -367,3 +367,60 @@ def test_glob_constraint(spark):
     with pytest.raises(ValueError, match="component matching"):
         glob_to_like("logs/*.json")
     assert glob_to_like("a/b") == "a/b"  # literal '/' stays fine
+
+
+def test_split_quarantine_partitions_input_by_verdict(spark, transcripts):
+    """Quarantine routing: clean + quarantined must partition the input
+    exactly; a duplicated (conv_id, turn_idx) key sends EVERY copy to
+    quarantine; dataset-level findings (NULL keys) quarantine nothing;
+    threshold WARNING additionally pulls in deprecation-only rows."""
+    from ocsf_validator_spark.spec import Severity
+    from ocsf_validator_spark.violations import all_violations, split_quarantine
+
+    viol = all_violations(transcripts, SUITE).cache()
+    try:
+        clean, quarantined = split_quarantine(transcripts, viol)
+        n_clean, n_quar = clean.count(), quarantined.count()
+        assert n_clean + n_quar == transcripts.count()
+        qkeys = {(r.conv_id, r.turn_idx) for r in quarantined.collect()}
+        ckeys = {(r.conv_id, r.turn_idx) for r in clean.collect()}
+        assert not qkeys & ckeys
+        # both copies of the duplicated (c004, 1) key are quarantined
+        assert (
+            quarantined.filter(
+                "conv_id = 'c004' and turn_idx = 1"
+            ).count()
+            == 2
+        )
+        assert ("c004", 0) in ckeys  # the undisputed first turn stays
+        # ERROR threshold: deprecated.role (WARNING) alone doesn't
+        # quarantine c006; strict (WARNING) threshold does
+        assert ("c006", 0) in ckeys
+        _, strict_q = split_quarantine(
+            transcripts, viol, threshold=Severity.WARNING
+        )
+        strict_keys = {(r.conv_id, r.turn_idx) for r in strict_q.collect()}
+        assert ("c006", 0) in strict_keys
+        assert qkeys <= strict_keys
+    finally:
+        viol.unpersist()
+
+
+def test_runner_quarantine_out(spark, transcripts, tmp_path):
+    """--quarantine-out writes the violating input rows (full original
+    schema) alongside the violations sink."""
+    from ocsf_validator_spark.runner import run_validation
+
+    qdir = str(tmp_path / "quarantine")
+    vdir = str(tmp_path / "violations")
+    res = run_validation(
+        spark,
+        transcripts,
+        quiet=True,
+        violations_out=vdir,
+        quarantine_out=qdir,
+    )
+    assert res.exit_code == 1
+    out = spark.read.parquet(qdir)
+    assert set(out.columns) == set(transcripts.columns)
+    assert 0 < out.count() < transcripts.count()
