@@ -66,6 +66,36 @@ class RunResult:
         return self.n_rows / self.wall_sec if self.wall_sec else float("nan")
 
 
+def sample_conversations(
+    df: DataFrame,
+    num: int,
+    den: int,
+    conv_col: str = "conv_id",
+    salt: str = "sample0",
+) -> DataFrame:
+    """Deterministic CONVERSATION-level sample: keep a conversation iff
+    ``md5(conv_id|salt) % den < num`` — the smoke-validation mode for a
+    table too big to re-validate wholesale after a suite change.
+
+    Sampling by conversation (never by row) keeps the window
+    constraints honest: uniqueness / turn ordering / ts monotonicity
+    see every turn of a kept conversation, where row sampling would
+    fabricate gap violations. A pure map-side filter (the
+    select.stratified_sample technique) pushed into the scan — zero
+    shuffle, reproducible across runs and engines; vary ``salt`` to
+    re-roll. NULL conv_ids hash as one group (concat_ws skips NULLs):
+    all-in or all-out, so required.conv_id findings aren't diluted
+    row-by-row.
+    """
+    if not (0 < num <= den):
+        raise ValueError(f"sample rate {num}:{den} must satisfy 0 < num <= den")
+    h = F.expr(
+        "cast(conv(substring(md5(concat_ws('|', "
+        f"{conv_col}, '{salt}')), 1, 8), 16, 10) as bigint)"
+    )
+    return df.filter(h % den < num)
+
+
 def run_validation(
     spark: SparkSession,
     df: DataFrame,
@@ -343,6 +373,7 @@ def stream_main(spark: SparkSession, args) -> int:
         on_batch=lambda bid, rows, nv: batches.append((bid, rows, nv)),
         stateful_ordering=args.stateful_ordering,
         drain_id=drain_id,
+        quarantine_out=args.quarantine_out,
         **psi_kw,
     )
     queries = started if isinstance(started, tuple) else (started,)
@@ -425,6 +456,20 @@ def main(argv: list[str] | None = None) -> int:
         "WARNING under --strict) to this parquet path for "
         "repair/reprocessing — key-level, so every copy of a "
         "duplicated key is quarantined",
+    )
+    p.add_argument(
+        "--sample",
+        metavar="NUM:DEN",
+        help="validate a deterministic md5-threshold sample of "
+        "CONVERSATIONS (whole conversations, so window constraints "
+        "stay honest) — the smoke mode for huge tables; the sample "
+        "spec is recorded in the manifest's snapshot id so resume "
+        "never mixes sampled and full runs",
+    )
+    p.add_argument(
+        "--sample-salt",
+        default="sample0",
+        help="salt for --sample (vary to re-roll the kept set)",
     )
     p.add_argument("--cores", type=int, default=None)
     p.add_argument(
@@ -540,6 +585,19 @@ def main(argv: list[str] | None = None) -> int:
 
         df = synth_transcripts(spark, n_turns=args.synth)
         snapshot = f"synth:{args.synth}:seed=42"
+
+    if args.sample:
+        try:
+            num, den = (int(x) for x in args.sample.split(":", 1))
+            df = sample_conversations(df, num, den, salt=args.sample_salt)
+        except ValueError as e:
+            print(f"[FATAL] bad --sample (want NUM:DEN, 0 < NUM <= DEN): {e}")
+            return 2
+        snapshot = f"{snapshot}|sample={num}:{den}:{args.sample_salt}"
+        print(
+            f"sampling ~{num}/{den} of conversations "
+            f"(salt={args.sample_salt}); verdicts cover the SAMPLE only"
+        )
 
     suite = None
     if args.suite_json:

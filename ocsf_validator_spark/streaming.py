@@ -41,7 +41,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocsf_validator_spark.spec import ConstraintSet, transcript_suite
+from ocsf_validator_spark.spec import ConstraintSet, Severity, transcript_suite
 from ocsf_validator_spark.violations import all_violations
 
 TRANSCRIPT_DDL = (
@@ -108,6 +108,8 @@ def validate_stream(
     psi_threshold: float = 0.2,
     psi_severity: str = "WARNING",
     psi_min_n: int = 0,
+    quarantine_out: str | None = None,
+    quarantine_threshold: "Severity" = None,  # default Severity.ERROR
 ):
     """Run the constraint suite on each micro-batch via foreachBatch.
 
@@ -141,18 +143,29 @@ def validate_stream(
     raises ``psi_severity``. Append-only across drains, drain-scoped
     like the stateful leg.
 
+    ``quarantine_out`` ALSO routes each micro-batch's violating INPUT
+    rows (key named by a >= ``quarantine_threshold`` violation from
+    THIS batch's fused pass — per-batch scope; the stateful leg cannot
+    recall rows already passed through) into
+    ``quarantine_out/batch_id=<n>`` with the same idempotent
+    overwrite-per-batch replay semantics as the violations sink.
+
     Returns the StreamingQuery (or a tuple when extra legs started);
     with ``available_now`` the caller can ``awaitTermination()`` each
     for a drain-and-stop run (used by tests and backfills)."""
     if (psi_ref is None) != (psi_bin_expr is None):
         raise ValueError("psi_ref and psi_bin_expr must be given together")
     suite = suite or transcript_suite()
+    q_threshold = (
+        Severity.ERROR if quarantine_threshold is None else quarantine_threshold
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
-        if on_batch:
-            # the callback needs the batch row count; cache so that
-            # count comes from memory instead of a second source read
+        if on_batch or quarantine_out:
+            # the callback needs the batch row count / the quarantine
+            # leg re-reads the batch rows; cache so those come from
+            # memory instead of a second source read
             batch_df = batch_df.cache()
         viol = all_violations(batch_df, suite, include_coverage=False)
         viol.cache()
@@ -163,6 +176,21 @@ def validate_stream(
         viol.write.mode("overwrite").parquet(
             os.path.join(violations_out, f"batch_id={int(batch_id)}")
         )
+        if quarantine_out:
+            # route this batch's violating INPUT rows to the quarantine
+            # table, (batch_id)-keyed for the same idempotent replay.
+            # Per-batch scope: only violations THIS batch's fused pass
+            # emitted quarantine rows — the stateful leg's cross-batch
+            # findings land as violations but cannot recall rows already
+            # passed through (the nightly batch run is ground truth)
+            from ocsf_validator_spark.violations import split_quarantine
+
+            _, quarantined = split_quarantine(
+                batch_df, viol, threshold=q_threshold
+            )
+            quarantined.write.mode("overwrite").parquet(
+                os.path.join(quarantine_out, f"batch_id={int(batch_id)}")
+            )
         viol.unpersist()
         if manifest_dir:
             os.makedirs(manifest_dir, exist_ok=True)
@@ -179,6 +207,7 @@ def validate_stream(
                 json.dump(line, f)
         if on_batch:
             on_batch(int(batch_id), batch_df.count(), int(n_viol))
+        if on_batch or quarantine_out:
             batch_df.unpersist()
 
     writer = (

@@ -364,3 +364,73 @@ def test_cli_stream_stateful_redrain_scoped(spark, tmp_path):
         ("c2", 1, "user", "d", None, "2026-01-01 00:00:04"),
     ], "c_third")
     assert main(argv) == 0
+
+
+def test_sample_conversations_atomic_and_deterministic(spark):
+    """--sample keeps WHOLE conversations (window constraints must see
+    every turn of a kept conversation) via a reproducible md5
+    threshold."""
+    import pytest as _pytest
+
+    from ocsf_validator_spark.runner import sample_conversations
+    from ocsf_validator_spark.synth import synth_transcripts
+
+    df = synth_transcripts(spark, n_turns=20_000).cache()
+    try:
+        kept = sample_conversations(df, 1, 4).cache()
+        try:
+            full = {r["conv_id"]: r["n"] for r in
+                    df.groupBy("conv_id").count().withColumnRenamed("count", "n").collect()}
+            got = {r["conv_id"]: r["n"] for r in
+                   kept.groupBy("conv_id").count().withColumnRenamed("count", "n").collect()}
+            assert got  # non-empty sample at 1:4
+            assert len(got) < len(full)
+            for conv, n in got.items():  # atomicity: no partial conversations
+                assert n == full[conv], conv
+            # deterministic: same rate+salt -> same kept set
+            again = {r["conv_id"] for r in
+                     sample_conversations(df, 1, 4).select("conv_id").distinct().collect()}
+            assert again == set(got)
+            # a different salt re-rolls
+            other = {r["conv_id"] for r in
+                     sample_conversations(df, 1, 4, salt="other").select("conv_id").distinct().collect()}
+            assert other != set(got)
+        finally:
+            kept.unpersist()
+    finally:
+        df.unpersist()
+    with _pytest.raises(ValueError):
+        sample_conversations(df, 5, 4)
+    with _pytest.raises(ValueError):
+        sample_conversations(df, 0, 4)
+
+
+def test_cli_sample_mode(spark, tmp_path, capsys):
+    """--sample validates the md5-threshold conversation sample and
+    stamps the sample spec into the manifest's snapshot id; a bad spec
+    is FATAL (exit 2)."""
+    from ocsf_validator_spark.runner import main
+    from ocsf_validator_spark.synth import synth_transcripts
+
+    inp = str(tmp_path / "transcripts")
+    synth_transcripts(spark, n_turns=4000).write.parquet(inp)
+    manifest = str(tmp_path / "manifest")
+    code = main(["--input", inp, "--buckets", "8",
+                 "--checkpoint", manifest, "--sample", "1:4"])
+    out = capsys.readouterr().out
+    assert code in (0, 1)
+    assert "sampling ~1/4 of conversations" in out
+    # the manifest records the sample spec in its snapshot lineage so a
+    # resumed run can never silently mix sampled and full validations
+    import json as _json
+    import glob as _glob
+
+    lines = []
+    for f in _glob.glob(manifest + "/*.jsonl"):
+        with open(f) as fh:
+            lines += [_json.loads(l) for l in fh if l.strip()]
+    assert lines, "manifest empty"
+    assert all("sample=1:4:sample0" in e["snapshot_id"] for e in lines)
+    # malformed specs exit 2 before any data job
+    assert main(["--input", inp, "--sample", "nonsense"]) == 2
+    assert main(["--input", inp, "--sample", "5:4"]) == 2

@@ -668,3 +668,49 @@ def test_validate_stream_with_stateful_ordering(spark, tmp_path):
     # canonical read unions cleanly with a batch-runner-shaped frame
     canon = st.read_violations(spark, viol_out)
     assert canon.columns == list(st.CANONICAL_COLS)
+
+
+def test_validate_stream_quarantine_leg(spark, tmp_path):
+    """quarantine_out routes each micro-batch's violating input rows
+    into batch_id-keyed partitions; quarantined + clean-by-omission
+    must reconcile with a batch split_quarantine over the same rows."""
+    root = str(tmp_path / "landing_q")
+    _land_batches(spark, root, 4000)
+    viol_out = str(tmp_path / "violq")
+    quar_out = str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ckptq")
+
+    q = st.validate_stream(
+        st.stream_transcripts(spark, root),
+        violations_out=viol_out,
+        checkpoint_dir=ckpt,
+        quarantine_out=quar_out,
+    )
+    q.awaitTermination(120)
+
+    from ocsf_validator_spark.spec import transcript_suite
+    from ocsf_validator_spark.violations import all_violations, split_quarantine
+
+    src = spark.read.parquet(root)
+    _, batch_quar = split_quarantine(
+        src,
+        all_violations(src, transcript_suite(), include_coverage=False),
+    )
+    got = spark.read.parquet(quar_out)
+    # batch_id partition column rides along; the original columns match
+    assert set(got.columns) == set(src.columns) | {"batch_id"}
+    want_keys = sorted(
+        (r.conv_id, r.turn_idx) for r in batch_quar.collect()
+    )
+    got_keys = sorted((r.conv_id, r.turn_idx) for r in got.collect())
+    # per-batch scope can only MISS cross-batch-straddling defects, never
+    # invent them; on this landing split every violating key is
+    # intra-batch EXCEPT duplicates whose copies landed in different
+    # batches — so got ⊆ want, and any missing key must be a duplicate
+    # split across arrivals
+    assert set(got_keys) <= set(want_keys)
+    for k in set(want_keys) - set(got_keys):
+        copies = src.filter(
+            (F.col("conv_id") == k[0]) & (F.col("turn_idx") == k[1])
+        ).count()
+        assert copies > 1, f"non-duplicate key {k} missing from quarantine"
