@@ -22,6 +22,7 @@ from ocsf_validator_spark.pipeline import (
     multimodal,
     select,
     similarity,
+    temporal,
     textstats,
 )
 from ocsf_validator_spark.spec import (
@@ -566,6 +567,85 @@ def q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_latest_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join (temporal.asof_join): each event picks the
+    customer's most recent order at or before the event, within a
+    3-day tolerance. Order timestamps are remapped deterministically
+    into the events' January-2024 range (`o_orderkey % 720` hours) so
+    the as-of pick genuinely varies per event. One union + one
+    per-key window — never a theta-join; ties broken by the greatest
+    o_orderkey (mirrored in the oracle's ROW_NUMBER)."""
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    right = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        "o_totalprice",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0,"
+            " cast(o_orderkey % 720 as int), 0, 0)"
+        ).alias("o_ts"),
+    )
+    out = temporal.asof_join(
+        ev,
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_ts",
+        payload=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+        tolerance_sec=3 * 86400,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("order_total"),
+    )
+
+
+def q_range_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval join (temporal.range_join): per-window event counts and
+    value sums for order-derived promo windows (start spread over the
+    events' month, 1..180 min long). Each window explodes to its
+    covered 1-hour buckets, each event lands in exactly one bucket,
+    the bucket is the equi-join key — never a nested-loop theta-join;
+    the oracle runs the plain inequality join. Sums in integer cents
+    (deterministic across engines)."""
+    ev = _t(spark, sf, "events").select("event_id", "ts", "value")
+    iv = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("win_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0,"
+            " cast(o_orderkey % 696 as int), cast(o_custkey % 60 as int), 0)"
+        ).alias("w_start"),
+    )
+    iv = iv.withColumn(
+        "w_end",
+        F.expr(
+            "w_start + make_interval(0, 0, 0, 0, 0,"
+            " cast(1 + win_id % 180 as int), 0)"
+        ),
+    )
+    pairs = temporal.range_join(
+        ev, "ts", iv, "w_start", "w_end", bucket_width_sec=3600
+    )
+    return pairs.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(temporal.cents("value")).alias("value_cents"),
+    )
+
+
+def q_rollup_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style rollup (temporal.rollup_time): one GROUPING
+    SETS pass materializes (event_type × day), (event_type), (day) and
+    the grand total, tagged by grouping_id — the continuous-aggregate
+    shape, partial-aggregated map-side so the exchange carries the
+    rollup's cardinality, not the data."""
+    return temporal.rollup_time(
+        _t(spark, sf, "events"), "ts", "event_type", "value"
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.attach_payload(_t(spark, sf, "documents"))
     return multimodal.payload_metadata(media)
@@ -826,6 +906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "decontam_overlap": q_decontam_overlap,
         "curation_pipeline": q_curation_pipeline,
+        "asof_latest_order": q_asof_latest_order,
+        "range_attribution": q_range_attribution,
+        "rollup_events": q_rollup_events,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "type_routing_events": q_type_routing_events,
@@ -1498,6 +1581,60 @@ SELECT g.doc_id,
   COALESCE(h.n_hit / CAST(h.n_grams AS DOUBLE) >= 0.05, FALSE) AS contaminated
 FROM g LEFT JOIN hit h USING (doc_id)
 WHERE NOT g.is_bench
+"""
+
+    # as-of: the oracle is the naive theta-join + per-event ROW_NUMBER
+    # pick (greatest o_ts <= ts, greatest o_orderkey on ties) the union
+    # + window formulation is provably equal to. The tolerance can live
+    # in the join predicate here: if the LATEST match is older than the
+    # horizon, every match is.
+    sqls["asof_latest_order"] = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderkey, o_totalprice,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 720) * INTERVAL 1 HOUR AS o_ts
+  FROM orders),
+m AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_ts DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  LEFT JOIN o ON o.user_id = e.user_id AND o.o_ts <= e.ts
+             AND o.o_ts >= e.ts - INTERVAL 259200 SECOND)
+SELECT event_id, user_id, o_orderkey AS order_key,
+       o_totalprice AS order_total
+FROM m WHERE rn = 1
+"""
+
+    # range join: DuckDB runs the plain inequality join (IEJoin) the
+    # bucket-explode equi-join is equal to
+    sqls["range_attribution"] = """
+WITH iv AS (
+  SELECT o_orderkey AS win_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 696) * INTERVAL 1 HOUR
+           + (o_custkey % 60) * INTERVAL 1 MINUTE AS w_start,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 696) * INTERVAL 1 HOUR
+           + (o_custkey % 60) * INTERVAL 1 MINUTE
+           + (1 + o_orderkey % 180) * INTERVAL 1 MINUTE AS w_end
+  FROM orders)
+SELECT iv.win_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events e JOIN iv ON e.ts >= iv.w_start AND e.ts < iv.w_end
+GROUP BY iv.win_id
+"""
+
+    sqls["rollup_events"] = """
+WITH s AS (
+  SELECT event_type AS dim, strftime(ts, '%Y-%m-%d') AS day, value AS _v
+  FROM events)
+SELECT dim, day, CAST(GROUPING(dim, day) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(_v * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM s GROUP BY GROUPING SETS ((dim, day), (dim), (day), ())
 """
 
     sqls["multimodal_meta"] = """

@@ -9,5 +9,6 @@ algebra genuinely cannot express the op (multimodal decode).
 Modules: dedup (exact/MinHash-LSH/SimHash/Jaccard + components),
 similarity (ANN brute/LSH/IVF), textstats (tokens/quality/lang-ID/
 fingerprints), select (n-gram top-k, stratified sampling, token-budget
-cuts), multimodal (binary columns + decode plumbing).
+cuts), decontam (benchmark overlap), temporal (as-of join, range join,
+time rollup), multimodal (binary columns + decode plumbing).
 """

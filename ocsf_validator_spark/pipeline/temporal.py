@@ -1,0 +1,232 @@
+"""Temporal operators Spark's join surface lacks natively: as-of join,
+interval (range) join, and a hypertable-style time rollup.
+
+These are the time-series companions to the validation suite: align
+each fact row with the most recent dimension state (as-of), attribute
+facts to overlapping windows (range join), and maintain the
+multi-granularity aggregates a hypertable would (rollup). The reference
+engine has no temporal surface (it is a schema linter); these extend
+the engine brief's pipeline operators the same way dedup/similarity do.
+
+Scale discipline (the 100 TB design point):
+
+- ``asof_join``: the naive formulation is a theta-join
+  (``l.key = r.key AND r.ts <= l.ts`` + a per-left-row max) — Spark
+  plans that as BroadcastNestedLoop or a sort-merge with a quadratic
+  per-key tail. Instead both sides are UNIONED and a single
+  ``last_value(payload, ignorenulls) OVER (PARTITION BY key ORDER BY
+  ts, side)`` window carries the latest right payload forward to each
+  left row: ONE exchange on the key, one per-partition sort, linear in
+  rows. This is the standard distributed as-of formulation (Flink
+  temporal join / kdb aj re-expressed as a Spark window).
+- ``range_join``: a pure interval predicate is a cartesian in disguise
+  — Spark will nested-loop it. Bucketize time: each interval explodes
+  to the coarse buckets it covers (bounded by ``bucket_width``), each
+  point lands in exactly ONE bucket, the bucket becomes an equi-join
+  key (shuffle-hash/sort-merge, time-uniform so well balanced), and
+  the exact predicate filters inside the bucket. Each qualifying pair
+  is produced exactly once — no post-dedup — because the point side is
+  never exploded.
+- ``rollup_time``: GROUPING SETS in one pass — Catalyst expands the
+  sets map-side and partial-aggregates BEFORE the exchange, so the
+  shuffle carries one row per (set × group), never the input. The
+  measure is summed in integer cents (deterministic across engines and
+  partition orders, unlike a float sum).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    tiebreak: str,
+    tolerance_sec: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, the single right row
+    with the greatest ``right_ts`` <= ``left_ts`` among equal ``on``
+    keys (left outer — unmatched left rows keep NULL payload).
+
+    Ties (several right rows sharing the greatest ``right_ts``) are
+    broken deterministically by the greatest ``tiebreak`` value, so the
+    result is engine-exact and oracle-replayable:
+
+        ROW_NUMBER() OVER (PARTITION BY left-row
+                           ORDER BY r.ts DESC, r.tiebreak DESC) = 1
+
+    ``tolerance_sec`` additionally requires
+    ``left_ts - right_ts <= tolerance`` (a match older than the
+    horizon is treated as no match), evaluated AFTER the as-of pick —
+    kdb ``aj`` / pandas ``merge_asof(tolerance=...)`` semantics.
+
+    Plan shape: union both sides tagged, one Exchange on ``on``, one
+    per-partition sort on (ts, side, tiebreak), a single running
+    ``last_value(ignorenulls)`` window, then the left filter. Right
+    rows sort BEFORE left rows at an equal timestamp so ``<=`` is
+    inclusive. NULL-key rows on either side never match (SQL equality
+    semantics), enforced by nulling the right payload rather than a
+    pre-filter so the one-pass shape survives.
+    """
+    keys = list(on)
+    if not keys:
+        raise ValueError("asof_join requires at least one key column")
+
+    rpay = F.struct(
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c) for c in payload],
+    )
+    # NULL keys or a NULL right timestamp never match (SQL `=` / `<=`
+    # semantics) — null the payload instead of pre-filtering so the
+    # one-pass union shape survives
+    key_ok = F.col(right_ts).isNotNull()
+    for k in keys:
+        key_ok = key_ok & F.col(k).isNotNull()
+    r_side = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_is_left"),
+        F.col(tiebreak).alias("_tie"),
+        F.when(key_ok, rpay).alias("_rrow"),
+        F.lit(None)
+        .cast(left.select(F.struct(*left.columns)).schema[0].dataType)
+        .alias("_lrow"),
+    )
+    l_side = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(r_side.schema["_tie"].dataType).alias("_tie"),
+        F.lit(None).cast(r_side.schema["_rrow"].dataType).alias("_rrow"),
+        F.struct(*left.columns).alias("_lrow"),
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ats").asc(), F.col("_is_left").asc(), F.col("_tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("_rrow", ignorenulls=True).over(w)
+    if tolerance_sec is not None:
+        matched = F.when(
+            matched["_rts"]
+            >= F.col("_ats") - F.expr(f"INTERVAL {int(tolerance_sec)} SECOND"),
+            matched,
+        )
+
+    joined = (
+        r_side.unionByName(l_side)
+        .select(F.col("_is_left"), F.col("_lrow"), matched.alias("_m"))
+        .filter(F.col("_is_left") == 1)
+    )
+    return joined.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_m.{c}").alias(c) for c in payload],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    ts_col: str,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_width_sec: int = 3600,
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Inner interval join: every (point, interval) pair with
+    ``start <= ts < end`` (half-open), optionally also matching on
+    ``extra_keys`` equality.
+
+    A raw ``ON p.ts >= i.start AND p.ts < i.end`` predicate has no
+    equi-key, so Spark plans BroadcastNestedLoopJoin — quadratic. Here
+    each interval EXPLODES to the coarse time buckets it covers
+    (``sequence(floor(start/w), floor(end/w))`` — at most
+    ``len/w + 2`` rows) while each point maps to exactly ONE bucket,
+    the bucket (plus ``extra_keys``) becomes the equi-join key, and
+    the exact predicate filters within the bucket. Every qualifying
+    pair appears exactly once (the point side is never duplicated).
+
+    Pick ``bucket_width_sec`` near the typical interval length: too
+    coarse and a bucket degenerates toward the cartesian it avoids,
+    too fine and the interval explosion dominates. Buckets are
+    time-uniform, so the exchange is balanced unless event time itself
+    is bursty (then salt the hot buckets). Returns all point columns
+    plus all interval columns.
+    """
+    # bucket ids from epoch SECONDS (unix_timestamp truncates
+    # sub-second parts — safe: bucket boundaries are integer seconds,
+    # so floor(trunc(x)/w) == floor(x/w); the exact predicate below
+    # still compares full-precision timestamps)
+    pt = points.withColumn(
+        "_bk", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_width_sec)
+    )
+    iv = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bucket_width_sec),
+                F.floor(F.unix_timestamp(F.col(end_col)) / bucket_width_sec),
+            )
+        ),
+    )
+    cond = [pt["_bk"] == iv["_bk"]]
+    for k in extra_keys:
+        cond.append(pt[k] == iv[k])
+    pred = (pt[ts_col] >= iv[start_col]) & (pt[ts_col] < iv[end_col])
+    out_cols = [pt[c] for c in points.columns] + [
+        iv[c] for c in intervals.columns if c not in extra_keys
+    ]
+    joined = pt.join(iv, cond, "inner").filter(pred)
+    return joined.select(*out_cols)
+
+
+def cents(col: str | Column) -> Column:
+    """A double measure as integer cents: ``round(x*100)`` per row then
+    exact integer sums — deterministic across engines and partition
+    orders, unlike a float sum. DuckDB replay:
+    ``CAST(round(x * 100, 0) AS BIGINT)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100, 0).cast("bigint")
+
+
+def rollup_time(
+    df: DataFrame,
+    ts_col: str,
+    dim_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass computes
+    the (dim × day), (day), (dim) and grand-total aggregates via
+    GROUPING SETS, tagged by ``grouping_id`` so a serving layer can
+    slice one materialization at every granularity.
+
+    The day is emitted as a 'yyyy-MM-dd' string (engine-portable hash)
+    and the measure as integer cents (see :func:`cents`). Catalyst
+    expands the sets BEFORE the partial aggregate, so the exchange
+    carries one row per (set × group) — at 100 TB the shuffle is the
+    cardinality of the rollup, not the data.
+    """
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day")
+    dim = F.col(dim_col).alias("dim")
+    return (
+        df.select(dim, day, F.col(value_col).alias("_v"))
+        .groupingSets(
+            [["dim", "day"], ["dim"], ["day"], []],
+            F.col("dim"),
+            F.col("day"),
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("_v")).alias("value_cents"),
+        )
+    )

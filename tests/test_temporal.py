@@ -1,0 +1,214 @@
+"""Temporal operators: as-of join, range join, time rollup.
+
+Each test pins a semantic edge the driver oracle can't isolate at
+sf0.01: tie-breaking, tolerance expiry, NULL keys, half-open interval
+bounds, exactly-once pair emission across bucket boundaries, and the
+rollup's grouping_id tags. Plan-shape tests pin the at-scale contracts:
+asof_join is ONE window (no join operator at all), range_join is an
+equi-join (never BroadcastNestedLoop).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ocsf_validator_spark.pipeline import temporal
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _left(spark, rows):
+    df = _mk(spark, rows, "eid string, k string, ts string")
+    return df.withColumn("ts", df.ts.cast("timestamp"))
+
+
+def _right(spark, rows):
+    df = _mk(spark, rows, "k string, rts string, oid long, amt double")
+    return df.withColumn("rts", df.rts.cast("timestamp"))
+
+
+def _asof(left, right, **kw):
+    return temporal.asof_join(
+        left,
+        right,
+        on=["k"],
+        left_ts="ts",
+        right_ts="rts",
+        payload=["oid", "amt"],
+        tiebreak="oid",
+        **kw,
+    )
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    left = _left(spark, [("e1", "a", "2024-01-01 10:00:00")])
+    right = _right(
+        spark,
+        [
+            ("a", "2024-01-01 09:00:00", 1, 1.0),
+            ("a", "2024-01-01 09:30:00", 2, 2.0),  # latest <= ts
+            ("a", "2024-01-01 11:00:00", 3, 3.0),  # future: excluded
+        ],
+    )
+    rows = _asof(left, right).collect()
+    assert len(rows) == 1 and rows[0].oid == 2
+
+
+def test_asof_inclusive_equal_timestamp_and_tie(spark):
+    # right row AT the left ts matches (<= is inclusive); two right rows
+    # sharing the greatest rts break to the greatest tiebreak
+    left = _left(spark, [("e1", "a", "2024-01-01 10:00:00")])
+    right = _right(
+        spark,
+        [
+            ("a", "2024-01-01 10:00:00", 7, 7.0),
+            ("a", "2024-01-01 10:00:00", 9, 9.0),  # wins the tie
+        ],
+    )
+    rows = _asof(left, right).collect()
+    assert rows[0].oid == 9
+
+
+def test_asof_left_outer_and_tolerance(spark):
+    left = _left(
+        spark,
+        [
+            ("e1", "a", "2024-01-01 10:00:00"),  # match within horizon
+            ("e2", "a", "2024-01-03 10:00:01"),  # latest match too old
+            ("e3", "b", "2024-01-01 10:00:00"),  # no right rows at all
+        ],
+    )
+    right = _right(spark, [("a", "2024-01-01 09:00:00", 1, 1.0)])
+    got = {
+        r.eid: r.oid
+        for r in _asof(left, right, tolerance_sec=2 * 86400).collect()
+    }
+    assert got == {"e1": 1, "e2": None, "e3": None}
+
+
+def test_asof_null_keys_never_match(spark):
+    left = _left(spark, [("e1", None, "2024-01-01 10:00:00")])
+    right = _right(
+        spark,
+        [
+            (None, "2024-01-01 09:00:00", 1, 1.0),
+            ("a", "2024-01-01 09:00:00", 2, 2.0),
+        ],
+    )
+    rows = _asof(left, right).collect()
+    assert len(rows) == 1 and rows[0].oid is None
+
+
+def test_asof_plan_has_window_and_no_join(spark):
+    left = _left(spark, [("e1", "a", "2024-01-01 10:00:00")])
+    right = _right(spark, [("a", "2024-01-01 09:00:00", 1, 1.0)])
+    plan = _asof(left, right)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # the whole point: no theta-join
+    assert "Window" in plan
+
+
+def _points(spark, rows):
+    df = _mk(spark, rows, "pid string, ts string")
+    return df.withColumn("ts", df.ts.cast("timestamp"))
+
+
+def _intervals(spark, rows):
+    df = _mk(spark, rows, "wid long, s string, e string")
+    return df.withColumn("s", df.s.cast("timestamp")).withColumn(
+        "e", df.e.cast("timestamp")
+    )
+
+
+def test_range_join_half_open_bounds(spark):
+    iv = _intervals(spark, [(1, "2024-01-01 10:00:00", "2024-01-01 11:00:00")])
+    pts = _points(
+        spark,
+        [
+            ("at_start", "2024-01-01 10:00:00"),  # included (>= start)
+            ("inside", "2024-01-01 10:30:00"),
+            ("at_end", "2024-01-01 11:00:00"),  # excluded (< end)
+            ("before", "2024-01-01 09:59:59"),
+        ],
+    )
+    got = {r.pid for r in temporal.range_join(pts, "ts", iv, "s", "e").collect()}
+    assert got == {"at_start", "inside"}
+
+
+def test_range_join_exactly_once_across_buckets(spark):
+    # interval spans 3 one-hour buckets; a point matching it must appear
+    # exactly once even though the interval exploded to 4 bucket rows
+    iv = _intervals(spark, [(1, "2024-01-01 10:30:00", "2024-01-01 13:30:00")])
+    pts = _points(spark, [("p", "2024-01-01 12:15:00")])
+    rows = temporal.range_join(
+        pts, "ts", iv, "s", "e", bucket_width_sec=3600
+    ).collect()
+    assert len(rows) == 1 and rows[0].wid == 1
+
+
+def test_range_join_overlapping_intervals_and_extra_keys(spark):
+    iv = _mk(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "2024-01-01 12:00:00", "us"),
+            (2, "2024-01-01 11:00:00", "2024-01-01 13:00:00", "us"),
+            (3, "2024-01-01 10:00:00", "2024-01-01 13:00:00", "eu"),
+        ],
+        "wid long, s string, e string, region string",
+    )
+    iv = iv.withColumn("s", iv.s.cast("timestamp")).withColumn(
+        "e", iv.e.cast("timestamp")
+    )
+    pts = _mk(
+        spark,
+        [("p", "2024-01-01 11:30:00", "us")],
+        "pid string, ts string, region string",
+    )
+    pts = pts.withColumn("ts", pts.ts.cast("timestamp"))
+    got = sorted(
+        r.wid
+        for r in temporal.range_join(
+            pts, "ts", iv, "s", "e", extra_keys=["region"]
+        ).collect()
+    )
+    assert got == [1, 2]  # both overlapping us windows, never the eu one
+
+
+def test_range_join_plan_is_equi_join(spark):
+    iv = _intervals(spark, [(1, "2024-01-01 10:00:00", "2024-01-01 11:00:00")])
+    pts = _points(spark, [("p", "2024-01-01 10:30:00")])
+    plan = (
+        temporal.range_join(pts, "ts", iv, "s", "e")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_rollup_time_grouping_sets(spark):
+    df = _mk(
+        spark,
+        [
+            ("click", "2024-01-01 10:00:00", 1.25),
+            ("click", "2024-01-02 10:00:00", 2.50),
+            ("view", "2024-01-01 10:00:00", 0.25),
+        ],
+        "event_type string, ts string, value double",
+    )
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    out = temporal.rollup_time(df, "ts", "event_type", "value").collect()
+    by = {(r.dim, r.day): r for r in out}
+    # 4 grouping sets: 3 (dim,day) + 2 dim + 2 day + 1 total = 8 rows
+    assert len(out) == 8
+    assert by[("click", "2024-01-01")].value_cents == 125
+    assert by[("click", None)].value_cents == 375 and by[("click", None)].gid == 1
+    assert by[(None, "2024-01-01")].value_cents == 150 and by[(None, "2024-01-01")].gid == 2
+    assert by[(None, None)].value_cents == 400 and by[(None, None)].n == 3
