@@ -150,6 +150,9 @@ def main() -> None:
         "curation_pipeline",
         "repetition_profile",
         "decontam_overlap",
+        "asof_latest_order",
+        "range_attribution",
+        "rollup_events",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

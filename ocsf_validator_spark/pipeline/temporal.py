@@ -75,6 +75,16 @@ def asof_join(
     inclusive. NULL-key rows on either side never match (SQL equality
     semantics), enforced by nulling the right payload rather than a
     pre-filter so the one-pass shape survives.
+
+    Scale caveats: (1) select only the columns you need on the left
+    BEFORE calling — the left row rides the exchange as a struct, so
+    wide unused columns pay shuffle bytes (the same text-through-
+    Exchange discipline as the fused suite); (2) a single hot key
+    concentrates that key's full history in one window partition — if
+    one key is a material fraction of the input, route it through the
+    range-partition + boundary-carry pattern (ordered.py) instead; the
+    fill-forward state to carry across range splits is just the latest
+    right payload per boundary.
     """
     keys = list(on)
     if not keys:
