@@ -248,8 +248,13 @@ def run_validation(
         skewed_convs=skewed,
         ordered_partitions=ordered_partitions,
     )
-    # NOTE: when skew is routed, all_violations executes the skewed
-    # subset eagerly (stage + Phase A/B + checkpoint) inside this phase
+    # NOTE: when skew is routed, all_violations executes BOTH legs
+    # inside this phase — the ordered leg in a worker thread overlapped
+    # with the fused leg's scan (eager localCheckpoint), so the later
+    # "verdict" lap only measures the aggregation over the pinned
+    # defect-proportional rows. Serial driver barriers between the
+    # legs' jobs would otherwise idle the whole cluster — a fixed
+    # absolute cost that eats 4x more compute at 4N cores than at N.
     lap("skew_path")
     if violations_out or quarantine_out:
         from ocsf_validator_spark.violations import cap_violations

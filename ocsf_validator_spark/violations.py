@@ -714,6 +714,7 @@ def all_violations(
     observed_enums: dict | None = None,
     skewed_convs: Sequence[str] | None = None,
     ordered_partitions: int | None = None,
+    concurrent_skew: bool = True,
 ) -> DataFrame:
     """Full suite in as few scans as possible. When the group family is
     window-fusable (the transcript shape), the row family rides the same
@@ -727,7 +728,22 @@ def all_violations(
     on the skew-immune range-partitioned path (ordered.py) and their row
     checks on a map-only projection, while everything else keeps the
     single-scan plan. The window pass then never sees a partition larger
-    than the biggest NORMAL conversation — no straggler task."""
+    than the biggest NORMAL conversation — no straggler task.
+
+    ``concurrent_skew``: overlap the two legs. The ordered path is
+    eager (staging sample, boundary-summary collect, checkpoint) and
+    its driver barriers idle the cluster between jobs; the fused leg is
+    one long scan. Running the ordered leg in a worker thread while
+    this thread materializes the fused leg (eager localCheckpoint —
+    violations are defect-proportional, so the pin is small) keeps the
+    executors busy across both legs' barriers, the way two scheduler
+    pools would on a real cluster. The cost model is the reason this
+    matters for SCALING, not just wall: serial driver gaps are a fixed
+    absolute time, so at 4N cores they waste 4x the compute of N cores
+    — overlap removes them from the critical path at every level.
+    Result identity is pinned by test (the union is commutative and
+    both legs are unchanged). When False, both legs stay lazy/serial
+    in one plan (the round-3 behavior)."""
     fused = _fusable(suite, df, keys) if _present(df, keys) else None
     if fused and skewed_convs:
         from ocsf_validator_spark.ordered import scalable_group_violations
@@ -738,6 +754,37 @@ def all_violations(
             ~F.col(part).isin(*skewed_convs) | F.col(part).isNull()
         )
         row_cs = [c for c in suite.row_level() if _resolves(df, [c.column])]
+        if concurrent_skew:
+            from concurrent.futures import ThreadPoolExecutor
+
+            main_lazy = fused_group_violations(
+                small, *fused, keys, row_cs=row_cs
+            )
+            if suite.residual_level():
+                main_lazy = main_lazy.unionByName(
+                    residual_violations(df, suite, keys)
+                )
+            main_lazy = main_lazy.unionByName(
+                dataset_findings(df, suite, keys, include_coverage, observed_enums)
+            )
+            ex = ThreadPoolExecutor(max_workers=1)
+            try:
+                fut = ex.submit(
+                    scalable_group_violations,
+                    big,
+                    fused[0],
+                    fused[1],
+                    keys,
+                    num_partitions=ordered_partitions,
+                    row_cs=row_cs,
+                )
+                # runs the fused scan NOW, concurrent with the ordered
+                # leg's jobs; the pinned result is defect-proportional
+                main_eager = main_lazy.localCheckpoint(eager=True)
+                ordered = fut.result()
+            finally:
+                ex.shutdown(wait=True)
+            return main_eager.unionByName(ordered)
         main = fused_group_violations(
             small, *fused, keys, row_cs=row_cs
         ).unionByName(

@@ -188,3 +188,22 @@ def test_scalable_row_legs_ride_staged(spark):
     )
     assert want.count() > got.filter(F.col("constraint_id").startswith("unique")).count()
     assert _diff(got, want) == 0
+
+
+def test_all_violations_concurrent_skew_equivalence(spark):
+    """The overlapped formulation (ordered leg in a worker thread while
+    the fused leg checkpoints) must return exactly the serial union —
+    same rows, and already materialized (checkpointed) so downstream
+    consumers never re-run either leg."""
+    from ocsf_validator_spark.violations import all_violations
+
+    df = synth_transcripts(spark, n_turns=6000, seed=7)
+    suite = transcript_suite()
+    skewed = [
+        r.conv_id
+        for r in df.groupBy("conv_id").count().filter(F.col("count") > 200).collect()
+    ]
+    assert skewed, "fixture must contain a skewed conversation"
+    con = all_violations(df, suite, skewed_convs=skewed, concurrent_skew=True)
+    ser = all_violations(df, suite, skewed_convs=skewed, concurrent_skew=False)
+    assert _diff(con, ser) == 0
