@@ -48,6 +48,13 @@ CHILD = textwrap.dedent(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # scan-stage granularity: the default 128 MB split puts the
+        # ~1.7 GB input in ~19 tasks — 2.4 waves at 8 cores, so the
+        # last wave idles 5 of 8 slots (a ~26% scan-stage inflation
+        # the 2-core level, at 9.5 waves, never pays). 32 MB gives
+        # every level >= 8 waves; the same knob a real cluster tunes
+        # so scan tasks comfortably outnumber slots.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         # heap scales with the level like a real cluster scales with
         # executors (each executor ships its own memory): fixed driver
         # share + 2 GB per core. A flat heap would over-provision the
