@@ -567,6 +567,25 @@ def q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_salted_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-aware equi-join (joins.salted_join): events joined to
+    customer on the salted (user_id, __salt) composite — the hot-key
+    mitigation for a build side too big to broadcast — then rolled up
+    per nation. Identical rows to the plain join the oracle runs; the
+    salt is pmod(xxhash64(event_id), 8), deterministic per row."""
+    from ocsf_validator_spark.joins import salted_join
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "value")
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    j = salted_join(ev, cust, on=["user_id"], salt_from="event_id", num_salts=8)
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(temporal.cents("value")).alias("value_cents"),
+    )
+
+
 def q_asof_latest_order(spark: SparkSession, sf: str) -> DataFrame:
     """Backward as-of join (temporal.asof_join): each event picks the
     customer's most recent order at or before the event, within a
@@ -906,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "decontam_overlap": q_decontam_overlap,
         "curation_pipeline": q_curation_pipeline,
+        "salted_join_events": q_salted_join_events,
         "asof_latest_order": q_asof_latest_order,
         "range_attribution": q_range_attribution,
         "rollup_events": q_rollup_events,
@@ -1581,6 +1601,16 @@ SELECT g.doc_id,
   COALESCE(h.n_hit / CAST(h.n_grams AS DOUBLE) >= 0.05, FALSE) AS contaminated
 FROM g LEFT JOIN hit h USING (doc_id)
 WHERE NOT g.is_bench
+"""
+
+    # salted join: the salt is an identity-preserving key widening, so
+    # the oracle is the PLAIN join + rollup
+    sqls["salted_join_events"] = """
+SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey
 """
 
     # as-of: the oracle is the naive theta-join + per-event ROW_NUMBER

@@ -153,6 +153,7 @@ def main() -> None:
         "asof_latest_order",
         "range_attribution",
         "rollup_events",
+        "salted_join_events",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

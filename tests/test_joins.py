@@ -1,0 +1,84 @@
+"""salted_join: identity with the plain join under a hot key, salt
+distribution, outer-semantics guardrails, and the plan contract (the
+join really runs on the widened key, shuffle-hash, no broadcast)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocsf_validator_spark.joins import salted_join
+
+
+def _fixture(spark):
+    # hot key: "h" is 60% of the probe side
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 6, F.lit("h"))
+        .when(F.col("id") % 10 < 8, F.lit("w"))
+        .when(F.col("id") % 10 == 8, F.lit("miss"))
+        .otherwise(F.lit(None))
+        .alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+    right = spark.createDataFrame(
+        [("h", 100), ("w", 200), ("unused", 300)], "k string, payload int"
+    )
+    return left, right
+
+
+def _rows(df):
+    # None-safe total order for comparison
+    return sorted(map(tuple, df.collect()), key=repr)
+
+
+def test_inner_matches_plain_join(spark):
+    left, right = _fixture(spark)
+    got = salted_join(left, right, on=["k"], salt_from="row_id", num_salts=8)
+    want = left.join(right, ["k"], "inner")
+    assert _rows(got.select(*want.columns)) == _rows(want)
+
+
+def test_left_matches_plain_join_incl_null_and_missing_keys(spark):
+    left, right = _fixture(spark)
+    got = salted_join(
+        left, right, on=["k"], salt_from="row_id", num_salts=8, how="left"
+    )
+    want = left.join(right, ["k"], "left")
+    assert _rows(got.select(*want.columns)) == _rows(want)
+
+
+def test_hot_key_spreads_over_salts(spark):
+    left, _ = _fixture(spark)
+    n = (
+        left.filter(F.col("k") == "h")
+        .select(F.pmod(F.xxhash64("row_id"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n == 8  # 600 rows over 8 salt buckets: all buckets hit
+
+
+def test_plan_joins_on_widened_key_without_broadcast(spark):
+    left, right = _fixture(spark)
+    plan = (
+        salted_join(left, right, on=["k"], salt_from="row_id", num_salts=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__salt" in plan  # the widened key is really in the join
+    assert "BroadcastHashJoin" not in plan  # replication not undone
+    assert "ShuffledHashJoin" in plan
+
+
+def test_guardrails(spark):
+    left, right = _fixture(spark)
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(left, right, on=["k"], salt_from="row_id", how="right")
+    with pytest.raises(ValueError, match="at least one key"):
+        salted_join(left, right, on=[], salt_from="row_id")
+    with pytest.raises(ValueError, match="already exists"):
+        salted_join(
+            left.withColumn("__salt", F.lit(1)), right, on=["k"], salt_from="row_id"
+        )
