@@ -567,6 +567,40 @@ def q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_star_revenue_region(spark: SparkSession, sf: str) -> DataFrame:
+    """Star join with an all-broadcast dimension chain: lineitem (fact)
+    x part (filtered — pushed to the scan) x supplier x nation x
+    region, discounted revenue per region in integer cents. The fact
+    table is scanned ONCE and never shuffled until the 5-row final
+    agg: every dimension broadcasts (plan-pinned in tests), the shape
+    that survives a 100 TB fact side unchanged."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_size") <= 15)
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    reg = _t(spark, sf, "region").select("r_regionkey", "r_name")
+    rev_cents = temporal.cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev_cents).alias("revenue_cents"),
+        )
+    )
+
+
 def q_salted_join_events(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-aware equi-join (joins.salted_join): events joined to
     customer on the salted (user_id, __salt) composite — the hot-key
@@ -925,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "decontam_overlap": q_decontam_overlap,
         "curation_pipeline": q_curation_pipeline,
+        "star_revenue_region": q_star_revenue_region,
         "salted_join_events": q_salted_join_events,
         "asof_latest_order": q_asof_latest_order,
         "range_attribution": q_range_attribution,
@@ -1601,6 +1636,19 @@ SELECT g.doc_id,
   COALESCE(h.n_hit / CAST(h.n_grams AS DOUBLE) >= 0.05, FALSE) AS contaminated
 FROM g LEFT JOIN hit h USING (doc_id)
 WHERE NOT g.is_bench
+"""
+
+    sqls["star_revenue_region"] = """
+SELECT r.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+         * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size <= 15
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
 """
 
     # salted join: the salt is an identity-preserving key widening, so

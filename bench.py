@@ -154,6 +154,7 @@ def main() -> None:
         "range_attribution",
         "rollup_events",
         "salted_join_events",
+        "star_revenue_region",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

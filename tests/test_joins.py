@@ -82,3 +82,19 @@ def test_guardrails(spark):
         salted_join(
             left.withColumn("__salt", F.lit(1)), right, on=["k"], salt_from="row_id"
         )
+
+
+def test_star_join_plan_is_all_broadcast(spark):
+    """star_revenue_region's contract: the fact side is scanned once
+    and meets every dimension via BroadcastHashJoin — no sort-merge,
+    no fact-side shuffle before the final 5-row aggregation."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.queries()["star_revenue_region"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
