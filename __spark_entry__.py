@@ -665,7 +665,10 @@ def q_range_attribution(spark: SparkSession, sf: str) -> DataFrame:
     the oracle runs the plain inequality join. Sums in integer cents
     (deterministic across engines)."""
     ev = _t(spark, sf, "events").select("event_id", "ts", "value")
-    iv = _t(spark, sf, "orders").select(
+    # every 16th order: the pair cardinality is (windows x events inside
+    # each) — the full order set at sf0.1 emits ~10^8 demo pairs, which
+    # measures output materialization, not the join
+    iv = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 16 == 0).select(
         F.col("o_orderkey").alias("win_id"),
         F.expr(
             "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0,"
@@ -1696,7 +1699,7 @@ WITH iv AS (
            + (o_orderkey % 696) * INTERVAL 1 HOUR
            + (o_custkey % 60) * INTERVAL 1 MINUTE
            + (1 + o_orderkey % 180) * INTERVAL 1 MINUTE AS w_end
-  FROM orders)
+  FROM orders WHERE o_orderkey % 16 = 0)
 SELECT iv.win_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
          AS value_cents
