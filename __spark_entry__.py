@@ -1506,14 +1506,20 @@ FROM f
 """
 
     # bigram generation: DuckDB range(1, n) is half-open = Spark
-    # sequence(1, n-1); list indexing is 1-based in both replays
+    # sequence(1, n-1); list indexing is 1-based in both replays.
+    # The top-k SET is selected by (cnt DESC, 60-bit md5 hash ASC) —
+    # mirroring select.ngram_topk's hash-keyed exchange tie-break —
+    # then presented (cnt DESC, ngram ASC) like the Spark side.
     sqls["ngram_topk"] = """
 WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
 g AS (SELECT list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
       FROM t WHERE len(toks) >= 2),
-e AS (SELECT unnest(grams) AS ngram FROM g)
-SELECT ngram, COUNT(*) AS cnt FROM e GROUP BY ngram
-ORDER BY cnt DESC, ngram ASC LIMIT 30
+e AS (SELECT unnest(grams) AS ngram FROM g),
+c AS (SELECT ngram, COUNT(*) AS cnt FROM e GROUP BY ngram),
+k AS (SELECT ngram, cnt FROM c
+      ORDER BY cnt DESC, ('0x' || substr(md5(ngram), 1, 15))::BIGINT ASC
+      LIMIT 30)
+SELECT ngram, cnt FROM k ORDER BY cnt DESC, ngram ASC
 """
 
     # md5-threshold replay of select.stratified_sample's CASE chain

@@ -42,6 +42,11 @@ from ocsf_validator_spark.pipeline import textstats
 # DuckDB replays it exactly: ('0x' || substr(md5(x), 1, 8))::BIGINT
 from ocsf_validator_spark.pipeline.dedup import _MD5_HASH as _MD5_32
 
+# 60-bit md5-prefix gram identity, shared with decontam.py so the two
+# gram-hash derivations can never drift; DuckDB replays it exactly:
+# ('0x' || substr(md5(x), 1, 15))::BIGINT
+from ocsf_validator_spark.pipeline.decontam import _MD5_60
+
 
 def ngram_topk(
     df: DataFrame,
@@ -51,29 +56,63 @@ def ngram_topk(
 ) -> DataFrame:
     """Top-``k`` whitespace word ``n``-grams corpus-wide, with counts.
 
-    Plan shape: project n-gram arrays map-side, explode, hash-aggregate
-    (partial_count before the exchange collapses repeated n-grams per
-    partition), then ``orderBy(count desc, ngram asc).limit(k)`` which
-    Catalyst plans as TakeOrderedAndProject — per-partition top-k heaps,
-    no global sort. The deterministic (count DESC, ngram ASC) tie-break
-    makes the result engine-exact.
+    Counts are keyed on a 60-bit md5-prefix HASH of each gram, never the
+    gram string: an n-gram corpus has a heavy singleton tail that
+    defeats map-side partial aggregation, so a groupBy on raw gram
+    strings ships ~the whole token stream through the Exchange at scale.
+    Hashing first means the count exchange carries fixed-width 8-byte
+    ints (the decontam.py membership trick). The final top-k over
+    (cnt DESC, hash ASC) is ``TakeOrderedAndProject`` — per-partition
+    heaps, no global sort.
+
+    The k winning STRINGS are recovered in a second bounded pass: per
+    document, the DISTINCT (hash, gram) pairs are probed against the
+    broadcast k-row winner set, and a partial-agg ``min(gram)`` per hash
+    (collision-safe deterministic pick) collapses each partition to at
+    most k rows before its exchange — gram strings cross only for the k
+    winners, never corpus-wide. At 100 TB the corpus is scanned twice,
+    which beats a corpus-sized string shuffle by orders of magnitude;
+    production persists the tokenized projection between the passes.
+
+    Tie-break note: the top-k SET is selected by (cnt DESC, hash ASC) —
+    md5-replayable, so the DuckDB oracle mirrors it exactly — while the
+    returned rows are presented (cnt DESC, ngram ASC).
 
     Documents with fewer than ``n`` tokens contribute nothing (guarded —
     Spark's ``sequence(1, 0)`` would otherwise count DOWN).
     """
     toks = f"split({text_col}, ' ')"
-    grams = (
+    gram = f"concat_ws(' ', slice({toks}, i, {n}))"
+    gram_h = _MD5_60.format(x=gram)
+    hashes = (
         f"case when size({toks}) >= {n} then "
-        f"transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"transform(sequence(1, size({toks}) - {n - 1}), i -> {gram_h}) "
         f"else array() end"
     )
-    return (
-        df.select(F.explode(F.expr(grams)).alias("ngram"))
-        .groupBy("ngram")
+    counts = (
+        df.select(F.explode(F.expr(hashes)).alias("_g"))
+        .groupBy("_g")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .orderBy(F.col("cnt").desc(), F.col("_g").asc())
         .limit(k)
+    )
+    # recovery pass: per-doc DISTINCT pairs (a pathological document
+    # repeating one winner a million times contributes one probe row)
+    pairs = (
+        f"case when size({toks}) >= {n} then "
+        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> struct({gram_h} as _g, {gram} as ngram))) "
+        f"else array() end"
+    )
+    probes = df.select(F.explode(F.expr(pairs)).alias("p")).select(
+        "p._g", "p.ngram"
+    )
+    return (
+        probes.join(F.broadcast(counts), "_g")
+        .groupBy("_g", "cnt")
+        .agg(F.min("ngram").alias("ngram"))
+        .select("ngram", "cnt")
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
     )
 
 

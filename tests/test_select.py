@@ -72,6 +72,34 @@ def test_ngram_topk_deterministic_tiebreak(docs):
     ]
 
 
+def test_ngram_topk_hash_keyed_exchange(spark, docs):
+    """Plan contract for the 100 TB shape: the corpus-wide count
+    exchange is keyed on the 60-bit gram HASH — no raw gram string may
+    cross a hashpartitioning Exchange (the singleton-heavy gram tail
+    defeats partial agg, so a raw-string groupBy would ship ~the whole
+    token stream). String recovery must be a broadcast probe of the
+    k-row winner set, never a shuffle join."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = select.ngram_topk(docs, n=2, k=10)
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = out._jdf.queryExecution().explainString(mode)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        for b in plan.split("\n\n"):
+            head = b.split("\n")[0]
+            if ") Exchange" in head and "hashpartitioning" in b:
+                # (the k-bounded final presentation sort is range-
+                # partitioned and exempt; partial-min buffers show as
+                # min#N and are ≤ k rows per partition by construction)
+                assert "ngram#" not in b, f"raw gram crossed:\n{b}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_stratified_sample_deterministic_and_scoped(docs):
     out = select.stratified_sample(
         docs, rates={"en": (1, 1), "zh": (0, 1)}, default_rate=(1, 2)
