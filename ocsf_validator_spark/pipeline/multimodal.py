@@ -2,10 +2,17 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct.
 The Spark-side plumbing — schema, batch shape, partition sizing, UDF
-signatures — is real and tested; the actual codec step is STUBBED
-(image/audio libraries are not available in this environment) behind
-``decode_stub``: a deterministic fake that derives "features" from the
-bytes, or raises NotImplementedError when ``strict=True``.
+signatures — is real and tested. Two decode tiers:
+
+- ``decode_media``: REAL header+sample decoders for the two formats a
+  pure-numpy parser can own outright — uncompressed BMP (24/32-bit)
+  and PCM WAV (8/16-bit) — routed by ``media_type`` inside one Arrow
+  stage; anything else falls back to the deterministic byte-fold.
+- ``decode_features``: the byte-fold-only path, kept because it is
+  oracle-replayable bit-for-bit in DuckDB (the driver's hash gate runs
+  it); compressed formats (JPEG/PNG/MP3/MP4) still need external codec
+  libraries not present in this environment and keep the
+  NotImplementedError marker via ``strict=True``.
 
 Scale notes: binary payloads dominate row size, so the pipeline
 (a) carries only (id, payload) into the Arrow stage — column pruning
@@ -16,6 +23,7 @@ Arrow batch bytes via spark.sql.execution.arrow.maxRecordsPerBatch.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -109,3 +117,161 @@ def decode_features(
             )
 
     return media.select("id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real decoders (pure numpy — no codec libraries required)
+# ---------------------------------------------------------------------------
+
+DECODED_SCHEMA = (
+    "id bigint, media_type string, decoded boolean, width int, "
+    "height int, channels int, sample_rate int, n_samples bigint, "
+    "feature array<double>"
+)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Decode an uncompressed 24/32-bit BMP (BITMAPINFOHEADER family).
+
+    Returns width/height/channels and a per-channel mean feature in
+    [0, 1] (BGR[A] storage order, the format's own). Vectorized: the
+    pixel block is one ``np.frombuffer`` + strided reshape — rows are
+    padded to 4-byte multiples and may be stored bottom-up (positive
+    height), neither of which affects channel means. Raises ValueError
+    on anything that is not a plain uncompressed BMP.
+    """
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    dib = struct.unpack_from("<I", payload, 14)[0]
+    if dib < 40:  # BITMAPCOREHEADER not supported
+        raise ValueError(f"unsupported DIB header size {dib}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression not in (0, 3) or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    if width <= 0 or height == 0:
+        raise ValueError("degenerate BMP dimensions")
+    n_rows = abs(height)
+    channels = bpp // 8
+    stride = (width * channels + 3) & ~3
+    end = pixel_off + stride * n_rows
+    if end > len(payload):
+        raise ValueError("truncated BMP pixel block")
+    block = np.frombuffer(payload, dtype=np.uint8, count=stride * n_rows,
+                          offset=pixel_off)
+    pixels = block.reshape(n_rows, stride)[:, : width * channels]
+    pixels = pixels.reshape(n_rows, width, channels).astype(np.float64)
+    feature = (pixels.mean(axis=(0, 1)) / 255.0).tolist()
+    return {
+        "width": width,
+        "height": n_rows,
+        "channels": channels,
+        "sample_rate": None,
+        "n_samples": n_rows * width,
+        "feature": feature,
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a PCM RIFF/WAVE payload (8-bit unsigned or 16-bit signed).
+
+    Walks the chunk list (fmt / data may be preceded by LIST etc.),
+    then one ``np.frombuffer`` + reshape for the sample block. The
+    feature is the per-channel RMS amplitude in [0, 1] — the standard
+    loudness summary. Raises ValueError on non-PCM or exotic widths.
+    """
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or n_ch < 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+    width = bits // 8
+    n_frames = len(data) // (width * n_ch)
+    if n_frames == 0:
+        return {
+            "width": None, "height": None, "channels": n_ch,
+            "sample_rate": rate, "n_samples": 0,
+            "feature": [0.0] * n_ch,
+        }
+    raw = np.frombuffer(data, count=n_frames * n_ch,
+                        dtype=np.uint8 if bits == 8 else np.dtype("<i2"))
+    samples = raw.reshape(n_frames, n_ch).astype(np.float64)
+    # normalize to [-1, 1]: 8-bit is unsigned midpoint-128
+    samples = (samples - 128.0) / 128.0 if bits == 8 else samples / 32768.0
+    feature = np.sqrt((samples ** 2).mean(axis=0)).tolist()
+    return {
+        "width": None,
+        "height": None,
+        "channels": n_ch,
+        "sample_rate": rate,
+        "n_samples": n_frames,
+        "feature": feature,
+    }
+
+
+def decode_media(media: DataFrame, fallback_dim: int = 8) -> DataFrame:
+    """Arrow-batched REAL decode over mapInPandas, routed by media_type.
+
+    ``image/bmp`` → :func:`decode_bmp`; ``audio/wav`` (and x-wav) →
+    :func:`decode_wav`; everything else — or a payload its declared
+    decoder rejects — degrades to ``decoded=false`` with the
+    deterministic byte-fold feature, never a task failure (one corrupt
+    file must not kill a 100 TB decode pass; corrupt rows stay visible
+    for a quarantine split on ``decoded``).
+
+    Same scale contract as decode_features: only (id, media_type,
+    payload) enters the Arrow stage, batches stream through one task,
+    and per-batch work is numpy-vectorized per payload.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoders = {
+            "image/bmp": decode_bmp,
+            "audio/wav": decode_wav,
+            "audio/x-wav": decode_wav,
+        }
+        for pdf in it:
+            out = []
+            for mid, mtype, payload in zip(
+                pdf["id"], pdf["media_type"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                dec = decoders.get(mtype)
+                row = {
+                    "id": mid, "media_type": mtype, "decoded": False,
+                    "width": None, "height": None, "channels": None,
+                    "sample_rate": None, "n_samples": None,
+                    "feature": _fake_feature(b, fallback_dim),
+                }
+                if dec is not None:
+                    try:
+                        row.update(decoded=True, **dec(b))
+                    except ValueError:
+                        pass  # corrupt/unsupported: fallback row stands
+                out.append(row)
+            yield pd.DataFrame(out, columns=[
+                "id", "media_type", "decoded", "width", "height",
+                "channels", "sample_rate", "n_samples", "feature",
+            ])
+
+    return media.select("id", "media_type", "payload").mapInPandas(
+        batches, DECODED_SCHEMA
+    )
