@@ -482,6 +482,29 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 5).alias("cos_sim"))
 
 
+def q_ivf_topk_refined(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat ANN over the k-means-REFINED centroids. The refined
+    centroids are index-build artifacts frozen as float literals
+    (pipeline/ivf_frozen.py, regenerated by tools/freeze_ivf_centroids
+    .py) — the same trick as the hyperplane literals — so the DuckDB
+    oracle replays assignment, probe lists, and top-k exactly even
+    though iterated float means are not cross-engine replayable."""
+    from ocsf_validator_spark.pipeline.ivf_frozen import (
+        IVF_REFINED_CENTROIDS,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") != 0),
+        probe,
+        k=10,
+        nprobe=3,
+        centroids=IVF_REFINED_CENTROIDS,
+    )
+    return top.select("vec_id", F.round("cos_sim", 5).alias("cos_sim"))
+
+
 def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.text_profile(_t(spark, sf, "documents"))
 
@@ -955,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_refined": q_ivf_topk_refined,
         "text_profile": q_text_profile,
         "ngram_topk": q_ngram_topk,
         "stratified_sample": q_stratified_sample,
@@ -1462,6 +1486,39 @@ h AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
       FROM embeddings WHERE vec_id <> 0),
 c AS (SELECT ROW_NUMBER() OVER (ORDER BY hid, vec_id) - 1 AS cid, emb AS cemb
       FROM h ORDER BY hid, vec_id LIMIT 8),
+pl AS (SELECT c.cid FROM c, p
+       ORDER BY list_cosine_similarity(c.cemb, p.pe) DESC, c.cid LIMIT 3),
+asg AS (SELECT h.vec_id, h.emb,
+               (SELECT c.cid FROM c
+                ORDER BY list_cosine_similarity(h.emb, c.cemb) DESC, c.cid
+                LIMIT 1) AS acid
+        FROM h)
+SELECT asg.vec_id, ROUND(list_cosine_similarity(asg.emb, p.pe), 5) AS cos_sim
+FROM asg, p
+WHERE asg.acid IN (SELECT cid FROM pl)
+ORDER BY list_cosine_similarity(asg.emb, p.pe) DESC, asg.vec_id
+LIMIT 10
+"""
+
+    # replay of similarity.ivf_topk over the FROZEN refined centroids
+    # (pipeline/ivf_frozen.py): the centroids are shared float literals
+    # parsed to bit-identical doubles by both engines, so assignment
+    # (argmax cosine, ties -> lowest cid), probe lists (3 nearest,
+    # stable ties by cid), and the final top-k replay exactly
+    from ocsf_validator_spark.pipeline.ivf_frozen import (
+        IVF_REFINED_CENTROIDS as _IVF_C,
+    )
+
+    cent_rows = ",\n       ".join(
+        f"({cid}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for cid, c in enumerate(_IVF_C)
+    )
+    sqls["ivf_topk_refined"] = f"""
+WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
+h AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+      FROM embeddings WHERE vec_id <> 0),
+c(cid, cemb) AS (VALUES
+       {cent_rows}),
 pl AS (SELECT c.cid FROM c, p
        ORDER BY list_cosine_similarity(c.cemb, p.pe) DESC, c.cid LIMIT 3),
 asg AS (SELECT h.vec_id, h.emb,
