@@ -79,3 +79,78 @@ def salted_join(
     )
     out = l.join(r.hint("shuffle_hash"), keys + [_SALT], how)
     return out.drop(_SALT)
+
+
+def pick_num_salts(
+    hot_key_rows: int,
+    target_rows_per_task: int = 2_000_000,
+    max_salts: int = 256,
+) -> int:
+    """Smallest salt count that caps the hottest key's per-task rows.
+
+    Output-partition math: on (key, salt) the hot key's rows hash over
+    ``S`` distinct shuffle partitions of ~``hot_key_rows / S`` rows
+    each, so ``S = ceil(hot / target)`` is the minimum that brings the
+    straggler task under ``target_rows_per_task`` — and every extra
+    salt beyond that only buys more build-side replication (the build
+    side ships S times). ``max_salts`` bounds that replication cost:
+    past it, the right fix is a smaller build side (pre-aggregate /
+    semi-join filter), not more copies. S=1 means "not skewed enough
+    to salt" — callers should fall back to the plain join.
+    """
+    if max_salts < 1:
+        raise ValueError(f"max_salts must be >= 1, got {max_salts}")
+    if target_rows_per_task < 1:
+        raise ValueError(
+            f"target_rows_per_task must be >= 1, got {target_rows_per_task}"
+        )
+    if hot_key_rows <= target_rows_per_task:
+        return 1
+    return min(max_salts, -(-hot_key_rows // target_rows_per_task))
+
+
+def probe_hot_key_rows(df: DataFrame, on: Sequence[str]) -> int:
+    """Row count of the hottest join key on the probe side: one
+    key-column-pruned scan with map-side partial aggregation, then a
+    1-row global max — the same bounded-output discipline as
+    violations.detect_skewed_conv_counts. NULL keys are excluded (they
+    never match an equi-join, so they cannot make a hot task)."""
+    probe = df.select(*on).na.drop(how="any", subset=list(on))
+    row = (
+        probe.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_m"))
+        .collect()[0]["_m"]
+    )
+    return int(row or 0)
+
+
+def salted_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt_from: str,
+    how: str = "inner",
+    target_rows_per_task: int = 2_000_000,
+    max_salts: int = 256,
+    hot_key_rows: int | None = None,
+) -> DataFrame:
+    """salted_join with the salt factor derived from the data instead
+    of a caller constant: probe the hottest key's row count (or accept
+    it precomputed via ``hot_key_rows`` — production pipelines reuse
+    the stats pass they already ran), size S with pick_num_salts, and
+    skip salting entirely when no key exceeds the per-task target
+    (plain join — let broadcast/AQE handle the un-skewed case)."""
+    hot = (
+        probe_hot_key_rows(left, list(on))
+        if hot_key_rows is None
+        else hot_key_rows
+    )
+    s = pick_num_salts(hot, target_rows_per_task, max_salts)
+    if s == 1:
+        if how not in ("inner", "left"):
+            raise ValueError(
+                f"salted_join preserves semantics only for inner/left joins, got {how!r}"
+            )
+        return left.join(right, list(on), how)
+    return salted_join(left, right, on, salt_from, num_salts=s, how=how)

@@ -7,7 +7,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from ocsf_validator_spark.joins import salted_join
+from ocsf_validator_spark.joins import (
+    pick_num_salts,
+    probe_hot_key_rows,
+    salted_join,
+    salted_join_auto,
+)
 
 
 def _fixture(spark):
@@ -70,6 +75,63 @@ def test_plan_joins_on_widened_key_without_broadcast(spark):
     assert "__salt" in plan  # the widened key is really in the join
     assert "BroadcastHashJoin" not in plan  # replication not undone
     assert "ShuffledHashJoin" in plan
+
+
+def test_pick_num_salts_math():
+    # under target: never salt
+    assert pick_num_salts(0) == 1
+    assert pick_num_salts(2_000_000) == 1
+    # ceil(hot/target), minimum that caps the straggler task
+    assert pick_num_salts(2_000_001) == 2
+    assert pick_num_salts(10_000_000) == 5
+    assert pick_num_salts(601, target_rows_per_task=100) == 7
+    # replication bound
+    assert pick_num_salts(10**12, target_rows_per_task=100) == 256
+    assert pick_num_salts(10**12, target_rows_per_task=100, max_salts=32) == 32
+    with pytest.raises(ValueError):
+        pick_num_salts(5, max_salts=0)
+    with pytest.raises(ValueError):
+        pick_num_salts(5, target_rows_per_task=0)
+
+
+def test_probe_hot_key_rows_excludes_nulls(spark):
+    left, _ = _fixture(spark)
+    # "h" is 600 of 1000 rows; the 100 NULL keys must not count
+    assert probe_hot_key_rows(left, ["k"]) == 600
+
+
+@pytest.mark.parametrize("target,expect_s", [(100, 6), (200, 3)])
+def test_auto_salted_parity_at_two_auto_s(spark, target, expect_s):
+    """Hot-key parity at two auto-picked S values: the derived salt
+    factor changes with the per-task target, the rows never do."""
+    left, right = _fixture(spark)
+    assert pick_num_salts(600, target_rows_per_task=target) == expect_s
+    got = salted_join_auto(
+        left, right, on=["k"], salt_from="row_id",
+        target_rows_per_task=target,
+    )
+    want = left.join(right, ["k"], "inner")
+    assert _rows(got.select(*want.columns)) == _rows(want)
+    # really salted: the widened key is in the plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+
+def test_auto_salted_skips_salt_when_not_skewed(spark):
+    left, right = _fixture(spark)
+    out = salted_join_auto(
+        left, right, on=["k"], salt_from="row_id",
+        target_rows_per_task=10_000,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in plan  # plain join: S=1
+    want = left.join(right, ["k"], "inner")
+    assert _rows(out.select(*want.columns)) == _rows(want)
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join_auto(
+            left, right, on=["k"], salt_from="row_id", how="full",
+            target_rows_per_task=10_000,
+        )
 
 
 def test_guardrails(spark):
