@@ -135,21 +135,36 @@ def seen_files(manifest_dir: str) -> set[str]:
         with open(os.path.join(manifest_dir, name)) as f:
             for line in f:
                 if line.strip():
-                    out.add(json.loads(line)["path"])
+                    d = json.loads(line)
+                    if "path" in d:  # skip the conv_state pointer line
+                        out.add(d["path"])
     return out
 
 
-def record_files(manifest_dir: str, files: list[dict]) -> str:
+def record_files(
+    manifest_dir: str, files: list[dict], state_dir: str | None = None
+) -> str:
     """Atomically commit the file set an incremental run validated
     ({path, bytes} rows, temp + rename). Called AFTER the run's bucket
     manifest is written: a crash in between re-validates the increment
-    (at-least-once), it never skips data."""
+    (at-least-once), it never skips data.
+
+    ``state_dir`` (incremental runs with conversation-state carry) is
+    committed in the SAME rename as a trailing ``{"conv_state": dir}``
+    line — the ledger and the carried state can never disagree, which
+    matters because stale state would fabricate turn-gap reports for
+    turns a committed-but-unstated increment already delivered. Part
+    files are time-ordered by name so the newest pointer wins."""
     os.makedirs(manifest_dir, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
     with os.fdopen(fd, "w") as f:
         for e in files:
             f.write(json.dumps({"path": e["path"], "bytes": e["bytes"]}) + "\n")
-    final = os.path.join(manifest_dir, f"files-{uuid.uuid4().hex}.files")
+        if state_dir is not None:
+            f.write(json.dumps({"conv_state": state_dir}) + "\n")
+    final = os.path.join(
+        manifest_dir, f"files-{time.time_ns():020d}-{uuid.uuid4().hex}.files"
+    )
     os.rename(tmp, final)
     return final
 

@@ -51,6 +51,9 @@ def asof_join(
     payload: Sequence[str],
     tiebreak: str,
     tolerance_sec: int | None = None,
+    hot_key_threshold: int | None = 1_000_000,
+    hot_splits: int | None = None,
+    hot_key_cap: int = 64,
 ) -> DataFrame:
     """Backward as-of join: for every left row, the single right row
     with the greatest ``right_ts`` <= ``left_ts`` among equal ``on``
@@ -76,15 +79,23 @@ def asof_join(
     semantics), enforced by nulling the right payload rather than a
     pre-filter so the one-pass shape survives.
 
-    Scale caveats: (1) select only the columns you need on the left
-    BEFORE calling — the left row rides the exchange as a struct, so
-    wide unused columns pay shuffle bytes (the same text-through-
-    Exchange discipline as the fused suite); (2) a single hot key
-    concentrates that key's full history in one window partition — if
-    one key is a material fraction of the input, route it through the
-    range-partition + boundary-carry pattern (ordered.py) instead; the
-    fill-forward state to carry across range splits is just the latest
-    right payload per boundary.
+    Scale caveats: select only the columns you need on the left BEFORE
+    calling — the left row rides the exchange as a struct, so wide
+    unused columns pay shuffle bytes (the same text-through-Exchange
+    discipline as the fused suite).
+
+    Hot keys are routed AUTOMATICALLY: a single hot key concentrates
+    that key's full history in one window partition, so when any key
+    carries >= ``hot_key_threshold`` unioned rows (one pruned-column
+    probe, the violations.detect_skewed_conv_counts pattern), that
+    key's rows are split into ``hot_splits`` time ranges, each split
+    fills forward independently, and the cross-split carry (the latest
+    right payload per boundary — the ordered.py boundary-summary
+    pattern) is a bounded driver fold broadcast back as a per-split
+    seed. Result identity with the unrouted window is pinned by
+    tests/test_temporal.py. ``hot_key_threshold=None`` disables the
+    probe (single plan, oracle-friendly); at most ``hot_key_cap`` keys
+    route (beyond that the keyspace isn't skewed, it's just big).
     """
     keys = list(on)
     if not keys:
@@ -119,28 +130,157 @@ def asof_join(
         F.struct(*left.columns).alias("_lrow"),
     )
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("_ats").asc(), F.col("_is_left").asc(), F.col("_tie").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last("_rrow", ignorenulls=True).over(w)
-    if tolerance_sec is not None:
-        matched = F.when(
-            matched["_rts"]
-            >= F.col("_ats") - F.expr(f"INTERVAL {int(tolerance_sec)} SECOND"),
-            matched,
+    u = r_side.unionByName(l_side)
+
+    def finish(frame: DataFrame, extra_part: Sequence[str] = ()) -> DataFrame:
+        w = (
+            Window.partitionBy(*keys, *extra_part)
+            .orderBy(
+                F.col("_ats").asc(), F.col("_is_left").asc(), F.col("_tie").asc()
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("_rrow", ignorenulls=True).over(w)
+        if extra_part:
+            # cross-split carry: an earlier split's latest right payload,
+            # broadcast-joined per (key, split) as the fill seed
+            matched = F.coalesce(matched, F.col("_seed"))
+        if tolerance_sec is not None:
+            matched = F.when(
+                matched["_rts"]
+                >= F.col("_ats")
+                - F.expr(f"INTERVAL {int(tolerance_sec)} SECOND"),
+                matched,
+            )
+        joined = frame.select(
+            F.col("_is_left"), F.col("_lrow"), matched.alias("_m")
+        ).filter(F.col("_is_left") == 1)
+        return joined.select(
+            *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+            *[F.col(f"_m.{c}").alias(c) for c in payload],
         )
 
-    joined = (
-        r_side.unionByName(l_side)
-        .select(F.col("_is_left"), F.col("_lrow"), matched.alias("_m"))
-        .filter(F.col("_is_left") == 1)
+    hot: list[tuple] = []
+    if hot_key_threshold:
+        # the skew probe (violations.detect_skewed_conv_counts pattern):
+        # pruned-column groupBy with map-side partial agg, only
+        # above-threshold keys collected — bounded whatever the keyspace
+        hot = [
+            tuple(r[k] for k in keys)
+            for r in u.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= int(hot_key_threshold))
+            .orderBy(F.col("_n").desc())
+            .limit(hot_key_cap)
+            .collect()
+            if all(r[k] is not None for k in keys)
+        ]
+    if not hot:
+        return finish(u)
+    return finish(
+        u.join(
+            F.broadcast(
+                u.sparkSession.createDataFrame(hot, u.select(*keys).schema)
+            ),
+            keys,
+            "anti",
+        )
+    ).unionByName(_asof_hot_leg(u, keys, hot, finish, hot_splits))
+
+
+def _asof_hot_leg(
+    u: DataFrame,
+    keys: list[str],
+    hot: list[tuple],
+    finish,
+    hot_splits: int | None,
+) -> DataFrame:
+    """The skew route for :func:`asof_join`: each hot key's unioned rows
+    are cut into time-range splits (map-side assignment from driver
+    literals — no sampling job), each split fills forward independently
+    under the SAME window logic, and the cross-split carry is a bounded
+    Phase-A aggregate (one row per key × split: the split's last right
+    row) folded on the driver and broadcast back as per-split seeds —
+    the ordered.py boundary-summary pattern with the carry being just
+    the latest right payload. Output is row-identical to the unrouted
+    window (pinned by test): a left row's match is the last right row
+    at-or-before it in its own split, else the seeded carry."""
+    from pyspark.sql import types as T
+
+    spark = u.sparkSession
+    key_schema = u.select(*keys).schema
+    hu = u.join(
+        F.broadcast(spark.createDataFrame(hot, key_schema)), keys, "semi"
     )
-    return joined.select(
-        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_m.{c}").alias(c) for c in payload],
+    P = max(2, hot_splits or spark.sparkContext.defaultParallelism * 2)
+    dt = u.schema["_ats"].dataType
+    atsd = (
+        F.col("_ats").cast("timestamp").cast("double")
+        if isinstance(dt, (T.TimestampType, T.DateType))
+        else F.col("_ats").cast("double")
     )
+    hu = hu.withColumn("_atsd", atsd)
+    spans = {
+        tuple(r[k] for k in keys): (r["_lo"], r["_hi"])
+        for r in hu.groupBy(*keys)
+        .agg(F.min("_atsd").alias("_lo"), F.max("_atsd").alias("_hi"))
+        .collect()
+    }
+    split_col = None
+    for kvals, (lo, hi) in spans.items():
+        cond = F.lit(True)
+        for k, v in zip(keys, kvals):
+            cond = cond & (F.col(k) == F.lit(v))
+        if lo is not None and hi is not None and hi > lo:
+            width = (hi - lo) / P
+            s = F.least(
+                F.lit(P - 1),
+                F.floor((F.col("_atsd") - F.lit(lo)) / F.lit(width)),
+            ).cast("int")
+        else:
+            s = F.lit(0)
+        split_col = F.when(cond, s) if split_col is None else split_col.when(cond, s)
+    hu = hu.withColumn("_split", F.coalesce(split_col, F.lit(0)))
+    # Phase A: the last right row per (key, split) — lexicographic max
+    # of (ts, tiebreak, payload); bounded output (<= hot_key_cap * P)
+    bnd = (
+        hu.filter(F.col("_rrow").isNotNull())
+        .groupBy(*keys, "_split")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_atsd").alias("a"),
+                    F.col("_tie").alias("t"),
+                    F.col("_rrow").alias("r"),
+                )
+            ).alias("_b")
+        )
+        .collect()
+    )
+    per: dict[tuple, dict[int, object]] = {}
+    for r in bnd:
+        per.setdefault(tuple(r[k] for k in keys), {})[r["_split"]] = r["_b"]
+    seed_rows = []
+    for kv, by_split in per.items():
+        carry = None
+        for s in range(P):
+            if carry is not None:
+                seed_rows.append((*kv, s, carry["r"]))
+            if s in by_split:
+                carry = by_split[s]  # splits are time-ordered per key
+    seed_schema = T.StructType(
+        [
+            *key_schema.fields,
+            T.StructField("_split", T.IntegerType()),
+            T.StructField("_seed", u.schema["_rrow"].dataType),
+        ]
+    )
+    seeded = hu.join(
+        F.broadcast(spark.createDataFrame(seed_rows, seed_schema)),
+        [*keys, "_split"],
+        "left",
+    )
+    return finish(seeded, extra_part=("_split",))
 
 
 def range_join(

@@ -112,6 +112,7 @@ def run_validation(
     detect_skew: bool = True,
     skew_min_rows: int = 1_000_000,
     max_violation_rows: int | None = None,
+    carry_state: DataFrame | None = None,
 ) -> RunResult:
     suite = suite or transcript_suite()
     threshold = Severity.WARNING if strict else Severity.ERROR
@@ -247,6 +248,7 @@ def run_validation(
         observed_enums=observed_enums,
         skewed_convs=skewed,
         ordered_partitions=ordered_partitions,
+        carry=carry_state,
     )
     # NOTE: when skew is routed, all_violations executes BOTH legs
     # inside this phase — the ordered leg in a worker thread overlapped
@@ -526,6 +528,7 @@ def main(argv: list[str] | None = None) -> int:
         return stream_main(spark, args)
 
     inc_files: list | None = None
+    carry_state = None
     if args.incremental:
         if not (args.input and args.checkpoint):
             print("[FATAL] --incremental requires --input and --checkpoint")
@@ -554,6 +557,15 @@ def main(argv: list[str] | None = None) -> int:
             else "Iceberg snapshot diff"
         )
         print(f"incremental: validating {what} ({snapshot})")
+        # cross-increment conversation state: seed this increment's
+        # window checks with the carried per-conversation boundaries
+        # (convstate module contract) so duplicates/gaps/regressions
+        # straddling increments are caught, not just within-increment
+        from ocsf_validator_spark import convstate
+
+        carry_state = convstate.read_state(spark, args.checkpoint)
+        if carry_state is not None:
+            print("incremental: seeding carried conversation state")
     elif args.input:
         from ocsf_validator_spark.sources import load_table
 
@@ -640,12 +652,31 @@ def main(argv: list[str] | None = None) -> int:
         verdicts_out=args.verdicts_out,
         quarantine_out=args.quarantine_out,
         max_violation_rows=args.max_violation_rows,
+        carry_state=carry_state,
     )
-    if inc_files and res.exit_code != 2:
+    if inc_files is not None and res.exit_code != 2:
         # commit the file ledger only after the bucket manifest landed:
         # a crash in between re-validates (at-least-once), never skips.
-        # Exit 1 (violations found) still counts as validated.
-        ckpt.record_files(args.checkpoint, inc_files)
+        # Exit 1 (violations found) still counts as validated. The
+        # carried conversation state rides the SAME atomic rename (one
+        # trailing conv_state line), so ledger and state can never
+        # disagree. Iceberg-diff increments (empty file list) commit a
+        # ledger part-file carrying only the state pointer — file
+        # tracking there is snapshot lineage, not the ledger.
+        state_dir = None
+        from ocsf_validator_spark import convstate
+        from ocsf_validator_spark.violations import _fusable, _present
+
+        eff_suite = suite or transcript_suite()
+        keys = ("conv_id", "turn_idx")
+        fz = _fusable(eff_suite, df, keys) if _present(df, keys) else None
+        if fz:
+            bound = convstate.boundary_state(df, fz[0], fz[1], keys)
+            merged = convstate.merge_state(carry_state, bound)
+            state_dir = convstate.write_state(
+                merged, args.checkpoint, tag=str(snapshot)
+            )
+        ckpt.record_files(args.checkpoint, inc_files, state_dir=state_dir)
     return res.exit_code
 
 

@@ -300,6 +300,7 @@ def fused_group_violations(
     ties: list[str],
     keys: Sequence[str] = DEFAULT_KEYS,
     row_cs: Sequence = (),
+    carry: DataFrame | None = None,
 ) -> DataFrame:
     """All conversation-window constraints in ONE shuffle + ONE sort —
     and, when ``row_cs`` is passed, the entire row-level family rides the
@@ -331,7 +332,17 @@ def fused_group_violations(
     shuffle only for violating rows — and string tie columns are capped
     at TIE_DISPLAY_LEN, so full `text` payloads never cross the
     exchange (ordered.py's skew path applies the same discipline for
-    the same reason, ordered.py:147-152)."""
+    the same reason, ordered.py:147-152).
+
+    ``carry`` (incremental runs): the convstate boundary-state table —
+    one carrier row per carried conversation is unioned into the
+    map-side projection so the SAME window machinery reproduces
+    full-run boundary semantics (lag across the increment boundary,
+    occurrence ranks offset by the carried tail count, the true
+    first-seen string), plus one extra leg: a real row whose idx is
+    BELOW the carried boundary is reported conservatively as
+    ``out-of-order`` under the ordering constraint (boundary-only state
+    cannot rank it — see convstate's module contract)."""
     part, idx = keys[0], keys[1]
     entry_t = "struct<constraint_id:string,reason:string,severity:string>"
     mono_cols = [c.column for c in cs if isinstance(c, Monotonic)]
@@ -361,20 +372,47 @@ def fused_group_violations(
             violation_entries_guarded(row_cs, cast_to=entry_t).alias("_rv")
         )
     pre = df.select(*pre_cols)
+    carried = carry is not None
+    if carried:
+        from ocsf_validator_spark.convstate import attach_carriers
+
+        pre = attach_carriers(pre, carry, cs, ties, keys)
     # ---- reduce-side windows, over the bounded columns only ------------
     tie_order = [F.col(t).asc_nulls_last() for t in ties]
+    if carried:
+        # the carrier sorts FIRST within its (conv, idx) group, so the
+        # first in-order real row's lag is the carried boundary and a
+        # boundary-key re-append ranks after the carried occurrences
+        tie_order = [F.col("_cr").desc(), *tie_order]
     w = Window.partitionBy(part).orderBy(F.col(idx).asc(), *tie_order)
     w2 = Window.partitionBy(part, idx).orderBy(*tie_order)
     prev_idx = F.lag(F.col(idx)).over(w)
     cols: dict = {"_prev_idx": prev_idx}
     for m in mono_cols:
         cols[f"_prev_{m}"] = F.lag(F.col(m)).over(w)
+    if carried:
+        # the carried boundary idx, visible on every real row of the
+        # conversation (full unordered frame; same partitioning as w,
+        # so no extra exchange)
+        cols["_c_bound"] = F.max(
+            F.when(F.col("_cr"), F.col(idx))
+        ).over(Window.partitionBy(part))
     has_unique = any(isinstance(c, Unique) for c in cs)
     if has_unique:
         first_seen_str = F.concat_ws(
             "|", *[F.col(t).cast("string") for t in ties]
         )
-        cols["_occ"] = F.row_number().over(w2)
+        if carried:
+            # running SUM of per-row weights instead of row_number: the
+            # carrier weighs its carried tail count, real rows weigh 1,
+            # so a boundary-key re-append ranks tail_count+1 — the rank
+            # the full run would print. Explicit ROWS frame: the default
+            # RANGE frame would merge tie-equal peers into one sum.
+            cols["_occ"] = F.sum(F.col("_cr_n")).over(
+                w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        else:
+            cols["_occ"] = F.row_number().over(w2)
         # the first-seen peer string is only ever DISPLAYED for rows of
         # multi-row (conv, idx) groups (occ > 1 is impossible in a
         # singleton) — guard the per-row string build so the >99%
@@ -396,10 +434,33 @@ def fused_group_violations(
         in_dup_group = F.lag(F.col(idx)).over(w).eqNullSafe(F.col(idx)) | (
             F.lead(F.col(idx)).over(w).eqNullSafe(F.col(idx))
         )
-        cols["_first"] = F.first(
-            F.when(in_dup_group, first_seen_str)
-        ).over(w2)
+        base_first = F.first(F.when(in_dup_group, first_seen_str)).over(w2)
+        if carried:
+            # a carried group's TRUE first-seen is the string persisted
+            # when the key was first observed, not the carrier's NULL
+            # ties (full-frame max over the group: non-NULL only on
+            # carried groups, so uncarried groups keep base_first)
+            cols["_first"] = F.coalesce(
+                F.max(F.col("_cr_first")).over(Window.partitionBy(part, idx)),
+                base_first,
+            )
+        else:
+            cols["_first"] = base_first
     staged = pre.select(*pre.columns, *[v.alias(k) for k, v in cols.items()])
+    if carried:
+        # carriers exist to be lagged against / summed over — they emit
+        # nothing themselves (their own lag is NULL, their occ is the
+        # carried count; both would be false reports)
+        staged = staged.filter(~F.col("_cr"))
+    # real rows BELOW the carried boundary are out-of-order appends:
+    # suppress the dup/gap legs (their lag context is wrong — the full
+    # run would sort these rows into ordinal position) and report the
+    # streaming operator's conservative out-of-order instead
+    below_bound = (
+        F.col("_c_bound").isNotNull() & (F.col(idx) < F.col("_c_bound"))
+        if carried
+        else F.lit(False)
+    )
     occ = F.col("_occ") if has_unique else F.lit(1)
     legs = []
     key_repr = F.concat_ws(",", *[F.col(k).cast("string") for k in keys])
@@ -428,9 +489,25 @@ def fused_group_violations(
                 F.col(idx) == F.col("_prev_idx")
             )
             is_gap = F.col(idx) > expected
+            if carried:
+                legs.append(
+                    (
+                        below_bound,
+                        F.struct(
+                            F.lit(c.constraint_id).alias("constraint_id"),
+                            F.concat(
+                                F.lit(f"out-of-order {idx} "),
+                                F.col(idx).cast("string"),
+                                F.lit(": already past "),
+                                F.col("_c_bound").cast("string"),
+                            ).alias("reason"),
+                            F.lit(c.severity.name).alias("severity"),
+                        ),
+                    )
+                )
             legs.append(
                 (
-                    is_dup | is_gap,
+                    (is_dup | is_gap) & ~below_bound,
                     F.struct(
                         F.lit(c.constraint_id).alias("constraint_id"),
                         F.when(
@@ -715,6 +792,7 @@ def all_violations(
     skewed_convs: Sequence[str] | None = None,
     ordered_partitions: int | None = None,
     concurrent_skew: bool = True,
+    carry: DataFrame | None = None,
 ) -> DataFrame:
     """Full suite in as few scans as possible. When the group family is
     window-fusable (the transcript shape), the row family rides the same
@@ -743,7 +821,16 @@ def all_violations(
     — overlap removes them from the critical path at every level.
     Result identity is pinned by test (the union is commutative and
     both legs are unchanged). When False, both legs stay lazy/serial
-    in one plan (the round-3 behavior)."""
+    in one plan (the round-3 behavior).
+
+    ``carry`` (incremental runs): convstate boundary-state table,
+    seeded into the fused window pass (see fused_group_violations).
+    Carriers semi-join against the leg's own conv set, so on the skew
+    split each leg only ever sees its own conversations' carriers; the
+    range-partitioned ordered leg does not consume carry (a >=1M-row
+    conversation's boundary checks fall back to the documented
+    per-increment contract — its sheer size makes a silent straddle
+    vanishingly unlikely to matter before the nightly full run)."""
     fused = _fusable(suite, df, keys) if _present(df, keys) else None
     if fused and skewed_convs:
         from ocsf_validator_spark.ordered import scalable_group_violations
@@ -758,7 +845,7 @@ def all_violations(
             from concurrent.futures import ThreadPoolExecutor
 
             main_lazy = fused_group_violations(
-                small, *fused, keys, row_cs=row_cs
+                small, *fused, keys, row_cs=row_cs, carry=carry
             )
             if suite.residual_level():
                 main_lazy = main_lazy.unionByName(
@@ -786,7 +873,7 @@ def all_violations(
                 ex.shutdown(wait=True)
             return main_eager.unionByName(ordered)
         main = fused_group_violations(
-            small, *fused, keys, row_cs=row_cs
+            small, *fused, keys, row_cs=row_cs, carry=carry
         ).unionByName(
             # the skewed subset's row legs ride the same staged sort as
             # its group checks — one scan of the source for everything
@@ -801,7 +888,7 @@ def all_violations(
         )
     elif fused:
         row_cs = [c for c in suite.row_level() if _resolves(df, [c.column])]
-        main = fused_group_violations(df, *fused, keys, row_cs=row_cs)
+        main = fused_group_violations(df, *fused, keys, row_cs=row_cs, carry=carry)
     else:
         main = row_violations(df, suite, keys).unionByName(
             group_violations(df, suite, keys)

@@ -714,3 +714,133 @@ def test_validate_stream_quarantine_leg(spark, tmp_path):
             (F.col("conv_id") == k[0]) & (F.col("turn_idx") == k[1])
         ).count()
         assert copies > 1, f"non-duplicate key {k} missing from quarantine"
+
+
+def test_validate_stream_restart_contract(spark, tmp_path):
+    """Kill-and-resume with the same checkpoints (round-5 worklist 6):
+    the stateful (batch_id=-1) and drift (batch_id=-2) legs must emit
+    each finding EXACTLY ONCE across drains — cross-batch state is
+    restored from the checkpoint on restart (a defect straddling the
+    kill still fires, a PSI window straddling the kill still counts its
+    pre-kill rows), re-runs never re-emit committed rows, and drain_id
+    scopes every row to the drain that produced it. An abrupt stop()
+    mid-drain exercises the crash path; the final union must equal a
+    fresh uninterrupted run over the same files."""
+    import glob as g
+    import shutil
+    import time as t
+
+    def _mk(rows):
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts string",
+        )
+        return df.withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1)
+
+    # bin 1 = the reference's only bin (text len 1..3 -> least(len,3)=1
+    # needs care: use least(length(text), 3)); drift rows use len>=4
+    f1 = [
+        ("cx", 0, "user", "a", None, "2026-01-01 00:00:00"),
+        ("cx", 1, "user", "b", None, "2026-01-01 00:00:01"),
+        ("cx", 2, "user", "c", None, "2026-01-01 00:00:02"),
+        ("cy", 0, "user", "d", None, "2026-01-01 00:00:10"),
+        ("cy", 1, "user", "e", None, "2026-01-01 00:00:11"),
+    ]
+    f2 = [
+        ("cy", 2, "user", "drifty text", None, "2026-01-01 00:05:00"),
+        ("zz", 0, "user", "also long text", None, "2026-01-01 00:12:00"),
+    ]
+    f3 = [
+        # re-delivery of turn 1 with a CURRENT ts: an original-ts replay
+        # would fall below the drain-1 watermark and be dropped — the
+        # documented late-data blind spot, not the restart contract
+        ("cx", 1, "user", "b", None, "2026-01-01 00:12:29"),
+        ("cy", 5, "user", "long text again", None, "2026-01-01 00:12:30"),
+        ("zz", 1, "user", "x", None, "2026-01-01 00:12:31"),
+    ]
+    f4 = [  # clean filler far in the future: closes every prior window
+        ("zz", 2, "user", "y", None, "2026-01-01 02:00:00"),
+    ]
+    files = [("a1", f1), ("b2", f2), ("c3", f3), ("d4", f4)]
+
+    def land(root, items):
+        os.makedirs(root, exist_ok=True)
+        for name, rows in items:
+            staging = str(tmp_path / f"rs_stage_{os.path.basename(root)}_{name}")
+            _mk(rows).write.parquet(staging)
+            part = g.glob(os.path.join(staging, "part-*.parquet"))[0]
+            shutil.copy(part, os.path.join(root, f"{name}.parquet"))
+            t.sleep(1.1)
+
+    PSI = dict(
+        psi_ref={1: 100},
+        psi_bin_expr="least(length(text), 3)",
+        psi_window="10 minutes",
+        psi_watermark="1 minute",
+        psi_min_n=0,
+    )
+
+    def start(root, out, ck, drain):
+        sdf = (
+            spark.readStream.schema(st.TRANSCRIPT_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(root)
+        )
+        return st.validate_stream(
+            sdf,
+            violations_out=out,
+            checkpoint_dir=ck,
+            stateful_ordering=True,
+            stateful_watermark="1 minute",
+            drain_id=drain,
+            **PSI,
+        )
+
+    root = str(tmp_path / "rs_landing")
+    out, ck = str(tmp_path / "rs_viol"), str(tmp_path / "rs_ckpt")
+    # drain 1 over the first two files, runs to completion
+    land(root, files[:2])
+    for q in start(root, out, ck, "d1"):
+        q.awaitTermination(120)
+    # the rest lands; drain 2 is KILLED mid-flight, then resumed
+    land(root, files[2:])
+    qs = start(root, out, ck, "d2a")
+    t.sleep(3)  # let some (not necessarily all) batches commit
+    for q in qs:
+        q.stop()
+    for q in start(root, out, ck, "d2b"):
+        q.awaitTermination(120)
+
+    # fresh uninterrupted reference run over the same four files
+    froot = str(tmp_path / "rs_fresh_landing")
+    land(froot, files)
+    fout, fck = str(tmp_path / "rs_fviol"), str(tmp_path / "rs_fckpt")
+    for q in start(froot, fout, fck, "all"):
+        q.awaitTermination(120)
+
+    def legs(path):
+        df = spark.read.parquet(path)
+        stateful = df.filter(F.col("batch_id") == st.STATEFUL_BATCH_ID)
+        drift = df.filter(F.col("batch_id") == st.DRIFT_BATCH_ID)
+        return stateful.collect(), drift.collect()
+
+    got_s, got_d = legs(out)
+    want_s, want_d = legs(fout)
+    # exactly once, equal to the uninterrupted run (reason strings carry
+    # the PSI window's n — a straddling window must count its pre-kill
+    # rows, proving state restoration, not just de-duplication)
+    key = lambda r: (r.constraint_id, r.conv_id, r.turn_idx, r.reason)
+    assert sorted(map(key, got_s)) == sorted(map(key, want_s))
+    assert sorted(r.reason for r in got_d) == sorted(r.reason for r in want_d)
+    assert len(want_s) >= 2 and len(want_d) >= 1  # the legs actually fired
+    # drain scoping: every row names the drain that produced it, and the
+    # killed drain's rows (if any committed) were never re-emitted
+    assert {r.drain_id for r in got_s} | {r.drain_id for r in got_d} <= {
+        "d1", "d2a", "d2b"
+    }
+    cross = [r for r in got_s if r.conv_id == "cx" and r.turn_idx == 1]
+    assert len(cross) == 1 and "already past 2" in cross[0].reason
+    assert cross[0].drain_id in ("d2a", "d2b")  # fired AFTER the restart
+    gap = [r for r in got_s if r.conv_id == "cy" and r.turn_idx == 5]
+    assert len(gap) == 1 and "expected 3 got 5" in gap[0].reason

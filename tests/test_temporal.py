@@ -115,6 +115,45 @@ def test_asof_plan_has_window_and_no_join(spark):
     assert "Window" in plan
 
 
+def test_asof_hot_key_route_parity(spark):
+    """A dominant key crossing ``hot_key_threshold`` is auto-routed
+    through time-range splits with a seeded cross-split carry; the
+    result must be ROW-IDENTICAL to the single-window formulation —
+    including left rows whose split holds no right row (the seed path),
+    cold keys riding the normal leg, NULL keys never matching, and
+    tolerance expiry evaluated after the pick."""
+    lrows = [("h%02d" % i, "hot", f"2024-01-01 10:{i:02d}:30") for i in range(40)]
+    lrows += [
+        ("c1", "cold", "2024-01-01 10:05:00"),
+        ("n1", None, "2024-01-01 10:05:00"),
+        ("h99", "hot", "2024-01-01 09:00:00"),  # before any right row
+    ]
+    # right rows only in the FIRST quarter of the hot key's span: later
+    # splits must match via the carried seed, not their own window
+    rrows = [("hot", f"2024-01-01 10:0{i}:00", i, float(i)) for i in range(10)]
+    rrows += [
+        ("hot", "2024-01-01 10:09:00", 99, 9.9),  # tie on ts: oid wins
+        ("cold", "2024-01-01 10:00:00", 500, 5.0),
+        (None, "2024-01-01 10:00:00", 600, 6.0),
+    ]
+    left, right = _left(spark, lrows), _right(spark, rrows)
+    for kw in ({}, {"tolerance_sec": 600}):
+        base = _asof(left, right, hot_key_threshold=None, **kw)
+        routed = _asof(
+            left, right, hot_key_threshold=10, hot_splits=4, **kw
+        )
+        key = lambda r: (r["eid"],)
+        assert sorted(routed.collect(), key=key) == sorted(
+            base.collect(), key=key
+        )
+    # and the seed path really engaged: a late hot row matched the
+    # early right row carried across splits
+    routed = _asof(left, right, hot_key_threshold=10, hot_splits=4)
+    late = {r.eid: r.oid for r in routed.collect() if r.k == "hot"}
+    assert late["h39"] == 99  # ts-tied right rows: greatest tiebreak wins
+    assert late["h99"] is None
+
+
 def _points(spark, rows):
     df = _mk(spark, rows, "pid string, ts string")
     return df.withColumn("ts", df.ts.cast("timestamp"))
