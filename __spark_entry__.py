@@ -303,6 +303,50 @@ def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_conv_boundary_state(spark: SparkSession, sf: str) -> DataFrame:
+    """The cross-increment carry operator (convstate.boundary_state,
+    round 5): per-conversation boundary summaries — last index in
+    window order, that row's monotonic value, the boundary key's
+    occurrence count and first-seen tie string — exactly what an
+    incremental run persists to seed the next increment's checks.
+    Keyed on (user_id, minute-bucket) so boundary groups are real
+    multi-row groups, not the trivial dense-index singleton."""
+    from ocsf_validator_spark.convstate import (
+        CARRY_COUNT,
+        CARRY_FIRST,
+        CARRY_PREV_IDX,
+        boundary_state,
+        carry_mono_col,
+    )
+    from ocsf_validator_spark.spec import Monotonic, Unique
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("min_idx"),
+        "event_type",
+        "event_id",
+        "value",
+    )
+    cs = [
+        Unique(
+            column="user_min",
+            keys=("user_id", "min_idx"),
+            first_seen_order=("event_type", "event_id"),
+        ),
+        Monotonic(column="value", partition_by="user_id", order_by="min_idx"),
+    ]
+    out = boundary_state(
+        ev, cs, ties=["event_type", "event_id"], keys=("user_id", "min_idx")
+    )
+    return out.select(
+        "user_id",
+        F.col(CARRY_PREV_IDX).alias("last_idx"),
+        F.col(carry_mono_col("value")).alias("last_value"),
+        F.col(CARRY_COUNT).alias("tail_count"),
+        F.col(CARRY_FIRST).alias("tail_first"),
+    )
+
+
 def q_length_histogram_documents(spark: SparkSession, sf: str) -> DataFrame:
     return length_histogram(_t(spark, sf, "documents"), "text", 64)
 
@@ -962,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typecheck_props": q_typecheck_props,
         "monotonic_value_events": q_monotonic_value_events,
         "sessionize_events": q_sessionize_events,
+        "conv_boundary_state": q_conv_boundary_state,
         "length_histogram_documents": q_length_histogram_documents,
         "psi_value_drift": q_psi_value_drift,
         "psi_by_bucket": q_psi_by_bucket,
@@ -1217,6 +1262,37 @@ sess AS (
 SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM sess GROUP BY user_id
+"""
+
+    # convstate.boundary_state replay: "last row" is by the SAME window
+    # order the fused pass sorts by (idx, ties); the boundary group's
+    # count and first-seen tie string replay the w2 window aggregates
+    sqls["conv_boundary_state"] = """
+WITH e AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts) / 60) AS BIGINT) AS min_idx,
+         event_type, event_id, value
+  FROM events
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY min_idx DESC, event_type DESC, event_id DESC) AS rn,
+         MAX(min_idx) OVER (PARTITION BY user_id) AS last_idx
+  FROM e
+), g AS (
+  SELECT user_id, min_idx,
+         COUNT(*) AS tail_count,
+         FIRST(event_type || '|' || CAST(event_id AS VARCHAR)
+               ORDER BY event_type, event_id) AS tail_first
+  FROM e GROUP BY 1, 2
+)
+SELECT r.user_id,
+       r.last_idx AS last_idx,
+       r.value AS last_value,
+       g.tail_count AS tail_count,
+       g.tail_first AS tail_first
+FROM r JOIN g ON g.user_id = r.user_id AND g.min_idx = r.last_idx
+WHERE r.rn = 1
 """
 
     sqls["length_histogram_documents"] = """
