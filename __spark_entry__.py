@@ -19,6 +19,7 @@ from ocsf_validator_spark import drift
 from ocsf_validator_spark.pipeline import (
     decontam,
     dedup,
+    keywords,
     multimodal,
     select,
     similarity,
@@ -549,6 +550,23 @@ def q_ivf_topk_refined(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 5).alias("cos_sim"))
 
 
+def q_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid-distance outlier audit: the 5 vectors per
+    label farthest (lowest cosine) from their label centroid. Centroid
+    sums accumulate in decimal(21,10) — exact and order-independent —
+    so the DuckDB oracle replays the centroid bit-for-bit."""
+    return similarity.label_centroid_outliers(
+        _t(spark, sf, "embeddings"), k=5
+    )
+
+
+def q_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document; document frequencies keyed
+    on the 60-bit md5-prefix term hash (decontam derivation), ranking
+    on the rounded score so libm ULP can't flip ranks cross-engine."""
+    return keywords.tfidf_topk(_t(spark, sf, "documents"), k=3)
+
+
 def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.text_profile(_t(spark, sf, "documents"))
 
@@ -1021,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_outliers": q_embedding_outliers,
+        "tfidf_topterms": q_tfidf_topterms,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_refined": q_ivf_topk_refined,
@@ -1487,6 +1507,65 @@ FROM common
 JOIN sizes sa ON sa.doc_id = a_id
 JOIN sizes sb ON sb.doc_id = b_id
 WHERE c / (sa.sz + sb.sz - c) >= 0.5
+"""
+
+    # label-centroid outlier audit: per-dimension sums replayed in
+    # DECIMAL(21,10) (exact, order-independent — the same reason the
+    # Spark side accumulates in decimal), centroid list ordered by
+    # dimension, cosine rounded to 5 dp before the rank
+    sqls["embedding_outliers"] = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE) AS emb
+  FROM embeddings
+), d AS (
+  SELECT label, unnest(list_transform(range(1, len(emb) + 1),
+         i -> struct_pack(pos := i, val := emb[i]))) AS pv
+  FROM e
+), c AS (
+  SELECT label, pv.pos AS pos,
+         (SUM((pv.val)::DECIMAL(21,10)))::DOUBLE / COUNT(*) AS cd
+  FROM d GROUP BY 1, 2
+), cv AS (
+  SELECT label, list(cd ORDER BY pos) AS cvec FROM c GROUP BY 1
+), s AS (
+  SELECT e.label, e.vec_id,
+         round(list_cosine_similarity(e.emb, cv.cvec), 5) AS cos_sim
+  FROM e JOIN cv USING (label)
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY label ORDER BY cos_sim ASC, vec_id ASC) AS rk
+  FROM s
+)
+SELECT label, vec_id, cos_sim FROM r WHERE rk <= 5
+ORDER BY label, vec_id
+"""
+
+    # TF-IDF keywords: df keyed on the 60-bit md5-prefix term hash
+    # (the decontam derivation — ('0x' || substr(md5(x),1,15))::BIGINT
+    # == Spark's conv(substring(md5(x),1,15),16,10)); rank on the
+    # ROUNDED tfidf with term ASC tie-break, mirroring the Spark window
+    sqls["tfidf_topterms"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+  FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT h, count(*)::BIGINT AS df_docs FROM tf GROUP BY 1
+), n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+         round(tf.tf * ln(n.n_docs / dfreq.df_docs), 6) AS tfidf
+  FROM tf JOIN dfreq USING (h) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM s
+)
+SELECT doc_id, term, tf, df_docs, tfidf FROM r WHERE rk <= 3
+ORDER BY doc_id, term
 """
 
     sqls["ann_topk_cosine"] = """

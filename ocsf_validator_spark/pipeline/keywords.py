@@ -1,0 +1,80 @@
+"""Per-document keyword extraction: TF-IDF top terms.
+
+The classic curation feature between text profiling (textstats.py) and
+selection (select.py): surface each document's most distinctive terms
+so downstream stages can cluster, tag, or route documents by topic.
+
+Scale discipline (the 100 TB design point):
+
+- Term frequencies come from one ``explode`` + partial-aggregating
+  ``groupBy(doc, term)``: every token of a document lives in one input
+  row, so map-side combine collapses the token stream to DISTINCT
+  (doc, term) pairs before the exchange — the shuffle is per-document
+  VOCABULARY-sized (the same order as this operator's output
+  precursor), never token-stream-sized.
+- Document frequencies ride the SAME distinct-pair stream, re-keyed on
+  a 60-bit md5-prefix hash of the term (`decontam._MD5_60`, DuckDB-
+  replayable) so the df exchange carries fixed-width 8-byte ints, not
+  strings. Because the pair stream is already distinct per doc,
+  ``count(*)`` IS the document frequency.
+- The corpus size N crosses as a broadcast 1-row frame (the drift.py
+  totals pattern); the df side joins back on the hash (AQE broadcasts
+  it when the vocabulary is small; at 100 TB it is a hash-keyed
+  equi-join on the 8-byte key).
+- The per-document top-k is a ``row_number`` window partitioned by
+  doc_id — one exchange of the vocabulary-sized pair stream, linear
+  per document.
+
+Cross-engine determinism: ranking uses the ROUNDED tfidf (6 dp) with
+the term string as tie-break, so a sub-rounding libm ULP difference in
+``ln`` can never flip ranks between Spark and the DuckDB oracle.
+60-bit hash collisions would merge two terms' document frequencies;
+at 2^60 the corpus-vocabulary birthday bound makes this negligible
+(same argument as decontam.py / select.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocsf_validator_spark.pipeline.decontam import _MD5_60
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    Returns (id_col, term, tf, df_docs, tfidf) with
+    ``tfidf = tf * ln(N / df_docs)`` rounded to 6 dp; ties within a
+    document break on the term string ascending.
+    """
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(F.expr(f"split({text_col}, ' ')")).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("_h", F.expr(_MD5_60.format(x="term")))
+    )
+    dfreq = tf.groupBy("_h").agg(F.count(F.lit(1)).alias("df_docs"))
+    totals = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "_h")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("df_docs")), 6),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(id_col, "term", "tf", "df_docs", "tfidf")
+        .orderBy(id_col, "term")
+    )

@@ -21,7 +21,7 @@ results are engine-portable for oracle checks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -353,3 +353,67 @@ def embedding_near_dup_pairs(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.distinct() if n_tables > 1 else out
+
+
+def label_centroid_outliers(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Embedding-quality audit: the ``k`` vectors per label FARTHEST
+    (lowest cosine) from their label's centroid — the standard
+    mislabeled/contaminated-example screen run before a labeled
+    embedding set is used for training or as ANN ground truth.
+
+    Scale shape (100 TB): the centroid reduction is one
+    ``posexplode`` + partial-aggregating ``groupBy(label, dim)`` —
+    map-side combine collapses each partition's vectors into
+    labels x dims partial sums, so the exchange carries
+    ``n_partitions x labels x dims`` fixed-width rows, never vectors.
+    The tiny (labels x dims) centroid table re-assembles into one
+    array per label and BROADCASTS back; scoring is a scan-speed
+    fold-based cosine projection; the per-label top-k is one
+    ``row_number`` window over the label-partitioned scores.
+
+    Cross-engine determinism: per-dimension sums accumulate in
+    ``decimal(21, 10)`` — exact, order-independent — so the centroid is
+    bit-identical no matter how Spark (or the DuckDB oracle) orders the
+    rows; the cosine is rounded to 5 dp for the ranking with ``id_col``
+    ascending as tie-break (the ann_topk_cosine precision contract).
+    """
+    dims = (
+        df.select(
+            F.col(label_col),
+            F.posexplode(F.expr(_dbl(emb_col))).alias("_pos", "_val"),
+        )
+        .groupBy(label_col, "_pos")
+        .agg(
+            F.sum(F.expr("cast(_val as decimal(21, 10))")).alias("_s"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+    )
+    centroids = dims.groupBy(label_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(_pos, "
+            "cast(_s as double) / cast(_c as double) as _cd))), t -> t._cd)"
+        ).alias("_cvec")
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("cos_sim").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.join(F.broadcast(centroids), label_col)
+        .select(
+            F.col(label_col),
+            F.col(id_col),
+            F.round(
+                F.expr(cosine_expr(_dbl(emb_col), "_cvec")), 5
+            ).alias("cos_sim"),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(label_col, id_col, "cos_sim")
+        .orderBy(label_col, id_col)
+    )

@@ -1,0 +1,128 @@
+"""Keyword extraction (pipeline/keywords.py) and the embedding
+label-centroid outlier audit (similarity.label_centroid_outliers).
+
+Semantics tests pin hand-computable TF-IDF values and outlier picks;
+plan tests pin the at-scale contracts — the df count exchange carries
+the 60-bit hash (never term strings), and the centroid table comes
+back as a broadcast, never a shuffled join.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocsf_validator_spark.pipeline import keywords, similarity
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "apple apple banana shared"),
+            (1, "banana cherry shared"),
+            (2, "cherry cherry cherry shared"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_tfidf_values_and_ranking(spark, docs):
+    out = keywords.tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["term"]] = r
+    # 'shared' is in all 3 docs -> idf = ln(1) = 0, never a top term
+    # when a distinctive one exists
+    assert "shared" not in by_doc[0]
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    apple = by_doc[0]["apple"]
+    assert apple["tf"] == 2 and apple["df_docs"] == 1
+    assert apple["tfidf"] == round(2 * math.log(3.0), 6)
+    banana = by_doc[0]["banana"]
+    assert banana["tfidf"] == round(math.log(1.5), 6)
+    # doc 2: cherry tf=3 df=2 dominates; second slot falls to 'shared'
+    # (idf 0) because doc 2 has no other distinctive term
+    assert by_doc[2]["cherry"]["tfidf"] == round(3 * math.log(1.5), 6)
+    assert set(by_doc[2]) == {"cherry", "shared"}
+    # every doc emits exactly k rows (enough vocabulary in fixture)
+    assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_tfidf_tie_breaks_on_term(spark):
+    # two terms with identical tf and df -> identical tfidf; the
+    # alphabetically earlier term must win the last slot
+    docs = spark.createDataFrame(
+        [(0, "zebra apple"), (1, "other")], "doc_id long, text string"
+    )
+    out = keywords.tfidf_topk(docs, k=1).collect()
+    doc0 = [r for r in out if r["doc_id"] == 0]
+    assert len(doc0) == 1 and doc0[0]["term"] == "apple"
+
+
+def test_tfidf_df_exchange_carries_hash_not_strings(spark, docs):
+    """The document-frequency aggregation must key on the 60-bit hash:
+    its exchange's partitioning expression mentions _h and no string
+    term column (the select.py/decontam.py narrow-exchange contract)."""
+    plan = keywords.tfidf_topk(docs, k=2)._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    df_exchanges = [ln for ln in exchanges if "_h#" in ln]
+    assert df_exchanges, plan
+    assert all("term#" not in ln for ln in df_exchanges), df_exchanges
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = []
+    # label 0: tight cluster on e0, one outlier pointing at e1
+    for i in range(6):
+        rows.append((i, 0, [1.0, 0.01 * i, 0.0]))
+    rows.append((6, 0, [0.0, 1.0, 0.0]))
+    # label 1: cluster on e2, outlier on -e2 axis mix
+    for i in range(5):
+        rows.append((10 + i, 1, [0.0, 0.02 * i, 1.0]))
+    rows.append((15, 1, [1.0, 0.0, -1.0]))
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+
+
+def test_outlier_pick_and_order(spark, vectors):
+    out = similarity.label_centroid_outliers(vectors, k=2).collect()
+    got = {(r["label"], r["vec_id"]) for r in out}
+    # the planted outliers must be among the per-label picks
+    assert (0, 6) in got and (1, 15) in got
+    assert len([r for r in out if r["label"] == 0]) == 2
+    # farthest-first rank: the planted outlier has the LOWEST cosine
+    lab0 = {r["vec_id"]: r["cos_sim"] for r in out if r["label"] == 0}
+    assert lab0[6] == min(lab0.values())
+
+
+def test_outlier_centroid_is_order_independent(spark, vectors):
+    """Decimal accumulation: shuffling input order / partitioning must
+    not change a single rounded cosine (float sums would)."""
+    a = similarity.label_centroid_outliers(vectors, k=3).collect()
+    b = similarity.label_centroid_outliers(
+        vectors.repartition(7, "vec_id").sortWithinPartitions(
+            F.col("vec_id").desc()
+        ),
+        k=3,
+    ).collect()
+    key = lambda r: (r["label"], r["vec_id"])
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {key(r): r["cos_sim"] for r in a} == {key(r): r["cos_sim"] for r in b}
+
+
+def test_outlier_centroids_broadcast(spark, vectors):
+    """The centroid table must come back as a BroadcastHashJoin — a
+    shuffled join here would re-exchange the full vector table at
+    scale for a labels-sized build side."""
+    plan = (
+        similarity.label_centroid_outliers(vectors, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
