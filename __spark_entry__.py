@@ -550,6 +550,27 @@ def q_ivf_topk_refined(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 5).alias("cos_sim"))
 
 
+def q_boilerplate_grams(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document boilerplate screen: bigrams present in >= 8% of
+    documents, with document frequency (CCNet-style template residue
+    detection; df counted over 60-bit hashed distinct-per-doc grams)."""
+    from ocsf_validator_spark.pipeline.boilerplate import boilerplate_grams
+
+    return boilerplate_grams(
+        _t(spark, sf, "documents"), n=2, min_doc_frac=0.08
+    )
+
+
+def q_strip_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate removal: every token position covered by a flagged
+    bigram is stripped; clean docs pass through with n_removed = 0."""
+    from ocsf_validator_spark.pipeline.boilerplate import strip_boilerplate
+
+    return strip_boilerplate(
+        _t(spark, sf, "documents"), n=2, min_doc_frac=0.08
+    )
+
+
 def q_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label centroid-distance outlier audit: the 5 vectors per
     label farthest (lowest cosine) from their label centroid. Centroid
@@ -1041,6 +1062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_outliers": q_embedding_outliers,
         "tfidf_topterms": q_tfidf_topterms,
+        "boilerplate_grams": q_boilerplate_grams,
+        "strip_boilerplate": q_strip_boilerplate,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_refined": q_ivf_topk_refined,
@@ -1507,6 +1530,49 @@ FROM common
 JOIN sizes sa ON sa.doc_id = a_id
 JOIN sizes sb ON sb.doc_id = b_id
 WHERE c / (sa.sz + sb.sz - c) >= 0.5
+"""
+
+    # boilerplate detection/removal: distinct-per-doc gram document
+    # frequency over the 60-bit md5-prefix hash (relational DISTINCT —
+    # this DuckDB build lacks list_distinct over struct lists), the
+    # HAVING threshold mirrors Spark's df_docs >= frac * N in double
+    sqls["boilerplate_grams"] = """
+WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      i -> struct_pack(
+        gh := ('0x'||substr(md5(toks[i]||' '||toks[i+1]),1,15))::BIGINT,
+        gram := toks[i]||' '||toks[i+1]))) AS p
+      FROM t WHERE len(toks) >= 2),
+g AS (SELECT DISTINCT doc_id, p.gh AS gh, p.gram AS gram FROM g0)
+SELECT min(gram) AS gram, count(*)::BIGINT AS df_docs
+FROM g, n GROUP BY gh, n.n_docs HAVING count(*) >= 0.08 * n.n_docs
+ORDER BY df_docs DESC, gram ASC
+"""
+
+    sqls["strip_boilerplate"] = """
+WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+o0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      i -> struct_pack(pos := i,
+        gh := ('0x'||substr(md5(toks[i]||' '||toks[i+1]),1,15))::BIGINT))) AS pg
+      FROM t WHERE len(toks) >= 2),
+o AS (SELECT doc_id, pg.pos AS pos, pg.gh AS gh FROM o0),
+g AS (SELECT DISTINCT doc_id, gh FROM o),
+b AS (SELECT gh FROM g, n GROUP BY gh, n.n_docs
+      HAVING count(*) >= 0.08 * n.n_docs),
+hits AS (SELECT o.doc_id, unnest([o.pos, o.pos + 1]) AS cp
+         FROM o JOIN b USING (gh)),
+cov AS (SELECT doc_id, list(DISTINCT cp) AS cov FROM hits GROUP BY doc_id)
+SELECT t.doc_id,
+  array_to_string(list_filter(list_transform(range(1, len(toks) + 1),
+    i -> CASE WHEN cov.cov IS NULL OR NOT list_contains(cov.cov, i)
+         THEN toks[i] END), x -> x IS NOT NULL), ' ') AS text_clean,
+  (len(toks) - len(list_filter(list_transform(range(1, len(toks) + 1),
+    i -> CASE WHEN cov.cov IS NULL OR NOT list_contains(cov.cov, i)
+         THEN toks[i] END), x -> x IS NOT NULL)))::BIGINT AS n_removed
+FROM t LEFT JOIN cov USING (doc_id)
+ORDER BY doc_id
 """
 
     # label-centroid outlier audit: per-dimension sums replayed in
