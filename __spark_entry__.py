@@ -550,6 +550,18 @@ def q_ivf_topk_refined(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 5).alias("cos_sim"))
 
 
+def q_exact_quantiles_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact order-statistic quantiles of events.value via histogram
+    narrowing (two partial-agg scans + a boundary-bin window) — never a
+    global sort; the oracle replays the rank with an explicit
+    row_number. Rank convention: floor((n-1)*q) + 1, 1-based."""
+    from ocsf_validator_spark.pipeline.quantiles import exact_quantiles
+
+    return exact_quantiles(
+        _t(spark, sf, "events"), "value", qs=(0.25, 0.5, 0.75, 0.9, 0.99)
+    )
+
+
 def q_boilerplate_grams(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-document boilerplate screen: bigrams present in >= 8% of
     documents, with document frequency (CCNet-style template residue
@@ -1064,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "boilerplate_grams": q_boilerplate_grams,
         "strip_boilerplate": q_strip_boilerplate,
+        "exact_quantiles_value": q_exact_quantiles_value,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_refined": q_ivf_topk_refined,
@@ -1530,6 +1543,18 @@ FROM common
 JOIN sizes sa ON sa.doc_id = a_id
 JOIN sizes sb ON sb.doc_id = b_id
 WHERE c / (sa.sz + sb.sz - c) >= 0.5
+"""
+
+    # exact quantiles: the oracle IS the definition — the value at
+    # 1-based rank floor((n-1)*q)+1 of the sorted non-null column
+    sqls["exact_quantiles_value"] = """
+WITH v AS (SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL),
+n AS (SELECT count(*) AS n FROM v),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+SELECT t.q::DOUBLE AS q, r.v AS value
+FROM (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) t(q), n
+JOIN r ON r.rn = CAST(floor((n.n - 1) * t.q) AS BIGINT) + 1
+ORDER BY q
 """
 
     # boilerplate detection/removal: distinct-per-doc gram document

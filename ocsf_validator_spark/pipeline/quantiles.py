@@ -1,0 +1,111 @@
+"""Exact distributed quantiles without a global sort.
+
+``percentile_approx`` is merge-order-dependent and approximate; a naive
+exact quantile is ``orderBy(value)`` — a full shuffle + global sort of
+the column at 100 TB. This operator computes EXACT order statistics in
+two data passes plus a boundary pass:
+
+1. one partial-agg scan for (count, min, max) of the non-null values;
+2. one partial-agg histogram scan over ``n_bins`` equi-width bins —
+   the exchange carries at most ``n_partitions x n_bins`` fixed-width
+   rows; the driver walks the (<= n_bins)-row cumulative histogram to
+   locate, for each requested quantile, its bin and rank WITHIN that
+   bin;
+3. one filtered pass over ONLY the boundary bins (~count/n_bins rows
+   each, a handful of bins total): a per-bin ``row_number`` window
+   picks the within-bin order statistic.
+
+The result is the exact global order statistic — the float fuzz of the
+bin boundaries cannot perturb it, because bins only ROUTE ranks; the
+returned value is picked by ordering the VALUES themselves. Rank
+convention: ``rank(q) = floor((n - 1) * q) + 1`` (1-based, lower
+interpolation — the value at that position of the sorted column),
+which the DuckDB oracle replays with an explicit ``row_number``.
+
+Driver-side state is the histogram (<= n_bins rows) and the scalar
+(count, min, max) — bounded collects, same budget class as the
+token_budget_select cutoff grid.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Exact quantiles of ``value_col`` (nulls excluded).
+
+    Returns a DataFrame (q double, value double), one row per
+    requested quantile, ordered by q.
+    """
+    spark = df.sparkSession
+    vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    empty = spark.createDataFrame([], "q double, value double")
+    if n == 0:
+        return empty
+    ranks = {q: int(math.floor((n - 1) * q)) + 1 for q in qs}
+    if lo == hi:
+        return spark.createDataFrame(
+            [(float(q), float(lo)) for q in sorted(qs)], "q double, value double"
+        )
+
+    width = (hi - lo) / n_bins
+    bin_expr = F.least(
+        F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    hist = {
+        r["b"]: r["c"]
+        for r in vals.select(bin_expr.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    # walk the cumulative histogram: rank -> (bin, rank within bin)
+    targets: dict[float, tuple[int, int]] = {}
+    cum = 0
+    remaining = sorted(ranks.items(), key=lambda kv: kv[1])
+    it = iter(sorted(hist.items()))
+    b, c = next(it)
+    for q, r in remaining:
+        while cum + c < r:
+            cum += c
+            b, c = next(it)
+        targets[q] = (b, r - cum)
+    need_bins = sorted({b for b, _ in targets.values()})
+
+    w = Window.partitionBy("b").orderBy(F.col("v").asc())
+    boundary = (
+        vals.select("v", bin_expr.alias("b"))
+        .filter(F.col("b").isin(need_bins))
+        .select("v", "b", F.row_number().over(w).alias("rn"))
+    )
+    # broadcast the (q -> bin, within-bin rank) routing table and join:
+    # one boundary pass no matter how many quantiles are asked, and
+    # several quantiles sharing one (bin, rank) — possible at small n —
+    # each get their own output row
+    targets_df = spark.createDataFrame(
+        [(float(q), b, local) for q, (b, local) in targets.items()],
+        "q double, b int, rn int",
+    )
+    return (
+        boundary.join(F.broadcast(targets_df), ["b", "rn"])
+        .select("q", F.col("v").alias("value"))
+        .orderBy("q")
+    )

@@ -1,0 +1,86 @@
+"""Exact distributed quantiles (pipeline/quantiles.py).
+
+The load-bearing property: the histogram-narrowing path returns
+EXACTLY the order statistic a naive global sort would, for adversarial
+shapes — ties straddling bin edges, heavy skew into one bin, tiny n,
+n_bins >> n — plus the plan contract that no global sort appears.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocsf_validator_spark.pipeline.quantiles import exact_quantiles
+
+QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def naive(values, qs=QS):
+    vs = sorted(v for v in values if v is not None)
+    n = len(vs)
+    return {q: vs[int(math.floor((n - 1) * q))] for q in qs}
+
+
+def check(spark, values, n_bins=64):
+    df = spark.createDataFrame([(v,) for v in values], "value double")
+    got = {
+        r["q"]: r["value"]
+        for r in exact_quantiles(df, "value", qs=QS, n_bins=n_bins).collect()
+    }
+    assert got == naive(values), (got, naive(values))
+
+
+def test_uniform_and_seeded_random(spark):
+    rng = random.Random(42)
+    check(spark, [rng.uniform(-100, 100) for _ in range(997)])
+
+
+def test_heavy_ties_across_bins(spark):
+    # 70% of mass is one repeated value -> its bin holds several ranks
+    vals = [5.0] * 700 + [float(i) for i in range(300)]
+    check(spark, vals, n_bins=16)
+
+
+def test_skew_into_last_bin_and_max_clamp(spark):
+    # all but one value equal to the max: the least() clamp must route
+    # the max into bin n_bins-1, not one past the end
+    vals = [1.0] + [9.0] * 99
+    check(spark, vals, n_bins=8)
+
+
+def test_tiny_n_smaller_than_bins(spark):
+    check(spark, [3.0, 1.0, 2.0], n_bins=4096)
+
+
+def test_nulls_excluded_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [(None,), (2.0,), (None,), (2.0,)], "value double"
+    )
+    out = {r["q"]: r["value"] for r in exact_quantiles(df, "value", qs=QS).collect()}
+    assert set(out.values()) == {2.0} and len(out) == len(QS)
+    empty = spark.createDataFrame([(None,)], "value double")
+    assert exact_quantiles(empty, "value").count() == 0
+
+
+def test_no_global_sort_in_plan(spark):
+    rng = random.Random(7)
+    df = spark.createDataFrame(
+        [(rng.uniform(0, 1),) for _ in range(500)], "value double"
+    )
+    plan = (
+        exact_quantiles(df, "value", qs=QS, n_bins=32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only global (range-partitioned) sort allowed is the final
+    # orderBy over the <= len(QS) OUTPUT rows, keyed on q; the VALUE
+    # column must only ever see the per-bin LOCAL sort behind the
+    # hashpartitioning-on-bin exchange
+    ranged = [
+        ln for ln in plan.splitlines() if "rangepartitioning" in ln.lower()
+    ]
+    assert all("q#" in ln and "v#" not in ln for ln in ranged), ranged
+    assert "hashpartitioning" in plan.lower(), plan
