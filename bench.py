@@ -176,6 +176,11 @@ def main() -> None:
         "rollup_events",
         "salted_join_events",
         "star_revenue_region",
+        # round-5 additions
+        "tfidf_topterms",
+        "strip_boilerplate",
+        "exact_quantiles_value",
+        "embedding_outliers",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:
