@@ -562,6 +562,18 @@ def q_exact_quantiles_value(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quantiles_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group exact quantiles (events.value by event_type) — the
+    per-stratum percentile baseline table; same histogram-narrowing
+    path, driver state bounded by group-cardinality x n_bins."""
+    from ocsf_validator_spark.pipeline.quantiles import exact_group_quantiles
+
+    return exact_group_quantiles(
+        _t(spark, sf, "events"), "event_type", "value",
+        qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+    )
+
+
 def q_boilerplate_grams(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-document boilerplate screen: bigrams present in >= 8% of
     documents, with document frequency (CCNet-style template residue
@@ -1077,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_grams": q_boilerplate_grams,
         "strip_boilerplate": q_strip_boilerplate,
         "exact_quantiles_value": q_exact_quantiles_value,
+        "quantiles_by_event_type": q_quantiles_by_event_type,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_refined": q_ivf_topk_refined,
@@ -1555,6 +1568,19 @@ SELECT t.q::DOUBLE AS q, r.v AS value
 FROM (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) t(q), n
 JOIN r ON r.rn = CAST(floor((n.n - 1) * t.q) AS BIGINT) + 1
 ORDER BY q
+"""
+
+    sqls["quantiles_by_event_type"] = """
+WITH v AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+n AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+      FROM v)
+SELECT r.g AS event_type, t.q::DOUBLE AS q, r.v AS value
+FROM (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) t(q)
+JOIN n ON true
+JOIN r ON r.g = n.g AND r.rn = CAST(floor((n.n - 1) * t.q) AS BIGINT) + 1
+ORDER BY event_type, q
 """
 
     # boilerplate detection/removal: distinct-per-doc gram document

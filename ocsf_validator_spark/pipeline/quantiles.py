@@ -109,3 +109,106 @@ def exact_quantiles(
         .select("q", F.col("v").alias("value"))
         .orderBy("q")
     )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Exact per-group quantiles of ``value_col`` — the per-stratum
+    percentile table drift baselines want (per event type, language,
+    source, ...).
+
+    Same histogram-narrowing contract as :func:`exact_quantiles`, with
+    every driver-side structure bounded by GROUP CARDINALITY x n_bins
+    (the token_budget_select budget class): per-group (count, min, max)
+    from one partial-agg scan; a (group x bin) histogram scan whose
+    exchange carries fixed-width rows; one boundary pass windowed per
+    (group, bin) and joined to a broadcast routing table. Designed for
+    bounded group cardinality (types/languages/sources) — NOT for
+    per-user groups; there the per-group rank table itself is the
+    output size and a different operator applies.
+
+    Degenerate groups (all values equal, incl. single-row groups) short
+    -circuit to driver literals — a zero bin width never reaches the
+    binning expression.
+
+    Returns (group_col, q, value) ordered by (group_col, q).
+    """
+    spark = df.sparkSession
+    vals = df.select(
+        # string-normalized so the broadcast grid/routing frames (typed
+        # "_g string") join without an implicit cast on the big side
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull() & F.col("_g").isNotNull())
+    stats = {
+        r["_g"]: (r["n"], r["lo"], r["hi"])
+        for r in vals.groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    schema = f"{group_col} string, q double, value double"
+    if not stats:
+        return spark.createDataFrame([], schema)
+
+    literal_rows = []  # degenerate groups resolved driver-side
+    live = {}  # group -> (lo, width, {q: global rank})
+    for g, (n, lo, hi) in stats.items():
+        ranks = {q: int(math.floor((n - 1) * q)) + 1 for q in qs}
+        if lo == hi:
+            literal_rows += [(g, float(q), float(lo)) for q in sorted(qs)]
+        else:
+            live[g] = (lo, (hi - lo) / n_bins, ranks)
+    lit_df = spark.createDataFrame(literal_rows, schema)
+    if not live:
+        return lit_df.orderBy(group_col, "q")
+
+    grid = spark.createDataFrame(
+        [(g, lo, w) for g, (lo, w, _) in live.items()],
+        "_g string, _lo double, _w double",
+    )
+    binned = vals.join(F.broadcast(grid), "_g").select(
+        "_g",
+        "v",
+        F.least(
+            F.floor((F.col("v") - F.col("_lo")) / F.col("_w")).cast("int"),
+            F.lit(n_bins - 1),
+        ).alias("b"),
+    )
+    hist: dict[str, dict[int, int]] = {}
+    for r in binned.groupBy("_g", "b").agg(F.count(F.lit(1)).alias("c")).collect():
+        hist.setdefault(r["_g"], {})[r["b"]] = r["c"]
+
+    routing = []  # (group, bin, within-bin rank, q)
+    for g, (_lo, _w, ranks) in live.items():
+        cum = 0
+        it = iter(sorted(hist[g].items()))
+        b, c = next(it)
+        for q, r in sorted(ranks.items(), key=lambda kv: kv[1]):
+            while cum + c < r:
+                cum += c
+                b, c = next(it)
+            routing.append((g, b, r - cum, float(q)))
+    routes = spark.createDataFrame(
+        routing, "_g string, b int, rn int, q double"
+    )
+    w = Window.partitionBy("_g", "b").orderBy(F.col("v").asc())
+    picked = (
+        binned.join(
+            F.broadcast(routes.select("_g", "b").distinct()), ["_g", "b"]
+        )
+        .select("_g", "b", "v", F.row_number().over(w).alias("rn"))
+        .join(F.broadcast(routes), ["_g", "b", "rn"])
+        .select(
+            F.col("_g").alias(group_col), "q", F.col("v").alias("value")
+        )
+    )
+    return picked.unionByName(lit_df).orderBy(group_col, "q")

@@ -84,3 +84,42 @@ def test_no_global_sort_in_plan(spark):
     ]
     assert all("q#" in ln and "v#" not in ln for ln in ranged), ranged
     assert "hashpartitioning" in plan.lower(), plan
+
+
+from ocsf_validator_spark.pipeline.quantiles import exact_group_quantiles
+
+
+def naive_grouped(rows, qs=QS):
+    groups: dict[str, list[float]] = {}
+    for g, v in rows:
+        if v is not None and g is not None:
+            groups.setdefault(g, []).append(v)
+    out = {}
+    for g, vs in groups.items():
+        vs.sort()
+        for q in qs:
+            out[(g, q)] = vs[int(math.floor((len(vs) - 1) * q))]
+    return out
+
+
+def test_grouped_matches_naive_with_degenerates(spark):
+    rng = random.Random(11)
+    rows = []
+    for i in range(600):
+        rows.append((f"t{i % 3}", rng.uniform(0, 50)))
+    rows += [("const", 4.0)] * 10     # degenerate group (lo == hi)
+    rows += [("single", 8.25)]        # single-row group
+    rows += [(None, 1.0), ("t0", None)]  # excluded
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        (r["event_type"], r["q"]): r["value"]
+        for r in exact_group_quantiles(
+            df, "event_type", "value", qs=QS, n_bins=32
+        ).collect()
+    }
+    assert got == naive_grouped(rows)
+
+
+def test_grouped_empty_input(spark):
+    df = spark.createDataFrame([], "event_type string, value double")
+    assert exact_group_quantiles(df, "event_type", "value").count() == 0
