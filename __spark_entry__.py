@@ -562,6 +562,19 @@ def q_exact_quantiles_value(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-split sequence packing of the documents table into
+    2048-token windows (doc_id order) via the two-phase distributed
+    prefix sum — never the single-reducer global cumsum window."""
+    from ocsf_validator_spark.pipeline.packing import pack_sequences
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(docs, max_tokens=2048)
+
+
 def q_quantiles_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group exact quantiles (events.value by event_type) — the
     per-stratum percentile baseline table; same histogram-narrowing
@@ -1090,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "exact_quantiles_value": q_exact_quantiles_value,
         "quantiles_by_event_type": q_quantiles_by_event_type,
+        "pack_sequences": q_pack_sequences,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_refined": q_ivf_topk_refined,
@@ -1568,6 +1582,24 @@ SELECT t.q::DOUBLE AS q, r.v AS value
 FROM (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) t(q), n
 JOIN r ON r.rn = CAST(floor((n.n - 1) * t.q) AS BIGINT) + 1
 ORDER BY q
+"""
+
+    # sequence packing: the oracle IS the naive global cumsum window
+    # the two-phase prefix sum replaces; integer // division mirrors
+    # Spark's `div`
+    sqls["pack_sequences"] = """
+WITH v AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents),
+s AS (SELECT doc_id, n_tokens,
+        (sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_tokens) AS st
+      FROM v WHERE n_tokens IS NOT NULL AND n_tokens > 0)
+SELECT doc_id, n_tokens,
+       (st // 2048)::BIGINT AS pack_id,
+       (st % 2048)::BIGINT AS pack_offset,
+       ((st + n_tokens - 1) // 2048 - st // 2048 + 1)::BIGINT AS spans_packs
+FROM s ORDER BY doc_id
 """
 
     sqls["quantiles_by_event_type"] = """
