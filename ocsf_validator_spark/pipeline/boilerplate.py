@@ -19,11 +19,19 @@ Scale discipline (the 100 TB design point):
   sum(doc grams) * frac⁻¹ pigeonholing, in practice a few thousand) →
   it BROADCASTS back for the occurrence probe.
 - Covered-position aggregation is occurrence-proportional: only
-  (doc, flagged-gram-position) hits cross the exchange, grouped by
-  doc_id; clean documents never shuffle at all (left join, NULL
-  coverage short-circuits the rebuild).
-- The rebuild is a pure projection: positional ``filter`` over the
-  token array + ``concat_ws`` — scan speed, no UDF.
+  (doc, flagged-gram-position) hits cross that exchange, grouped by
+  doc_id.
+- The rebuild joins the coverage back on doc_id: when the hit set is
+  small AQE broadcasts it and clean documents never shuffle; in the
+  generic plan (boilerplate pervasive — hits ~ docs) it is a
+  sort-merge join on doc_id, which is the right shape since the
+  coverage side is then itself corpus-sized. The rebuild expression is
+  a pure projection: positional ``filter`` over the token array +
+  ``concat_ws`` — scan speed, no UDF.
+- The text column is scanned three times (df pass, occurrence pass,
+  rebuild pass) rather than materializing the token stream — the same
+  trade the ngram/decontam passes document; production persists the
+  tokenized projection once and feeds all three.
 
 The threshold compare is ``df_docs >= min_doc_frac * N`` in double on
 both engines, so the flagged set is bit-identical cross-engine.

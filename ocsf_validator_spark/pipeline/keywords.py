@@ -61,6 +61,14 @@ def tfidf_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("_h", F.expr(_MD5_60.format(x="term")))
     )
+    # both the scoring join's probe side and the df aggregation consume
+    # tf; without this the whole scan+tokenize+explode subtree executes
+    # TWICE (Catalyst does not reuse the exchange across the branches —
+    # verified on the executed plan). Checkpointing the per-doc
+    # vocabulary projection — the smallest common intermediate — makes
+    # it one corpus scan; this is the "persist the tokenized
+    # projection" production advice, automated.
+    tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("_h").agg(F.count(F.lit(1)).alias("df_docs"))
     totals = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     w = Window.partitionBy(id_col).orderBy(
