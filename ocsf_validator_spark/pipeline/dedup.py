@@ -309,6 +309,12 @@ def jaccard_pairs(
         F.col(id_col),
         F.explode(shingle_col(text_col, k)).alias("_sh"),
     ).select(*block_cols, id_col, F.xxhash64("_sh").alias("_h"))
+    # the shingle frame feeds the doc-freq cap, the per-doc sizes, and
+    # BOTH self-join sides; without lineage truncation every consumer
+    # re-runs scan+explode+hash — 8 corpus scans measured on the
+    # executed plan. Checkpoint the 8-byte-keyed projection once (the
+    # persist-the-tokenized-projection trade, automated).
+    sh = sh.localCheckpoint(eager=False)
     if max_doc_freq is not None:
         # shingles are distinct per doc, so count(*) per (block, hash)
         # IS the doc frequency; semi join keeps only sub-cap shingles
@@ -318,7 +324,11 @@ def jaccard_pairs(
             .filter(F.col("_df") <= max_doc_freq)
             .select(*block_cols, "_h")
         )
-        sh = sh.join(ok, [*block_cols, "_h"], "semi")
+        # the capped frame again has three consumers (sizes + both
+        # self-join sides): truncate so the semi join runs once
+        sh = sh.join(ok, [*block_cols, "_h"], "semi").localCheckpoint(
+            eager=False
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     a = sh.select(*block_cols, F.col(id_col).alias("a_id"), "_h")
     b = sh.select(*block_cols, F.col(id_col).alias("b_id"), "_h")
