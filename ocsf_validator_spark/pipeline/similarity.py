@@ -318,14 +318,21 @@ def embedding_near_dup_pairs(
     quadratic inside the block, while 2^n_planes buckets keep every
     block ~n/2^n_planes regardless of label skew. ``block_cols`` adds
     exact equality keys on top (pairs must also agree on those)."""
+    # the base projection feeds both sides of every table's self-join —
+    # 2 x n_tables scans of the (wide) vector table without lineage
+    # truncation; bucket assignment stays lazy so each leg's plane set
+    # computes from the cached vectors
+    base = df.select(
+        *block_cols, F.col(id_col), F.col(vec_col).alias("_v")
+    ).localCheckpoint(eager=False)
     legs = []
     for t in range(n_tables):
-        bucket = hyperplane_bucket_col(vec_col, dim, n_planes, seed + t)
-        keyed = df.select(
+        bucket = hyperplane_bucket_col("_v", dim, n_planes, seed + t)
+        keyed = base.select(
             bucket.alias("_bucket"),
             *block_cols,
             F.col(id_col),
-            F.col(vec_col).alias("_v"),
+            F.col("_v"),
         )
         a = keyed.select(
             "_bucket",
