@@ -488,6 +488,19 @@ def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Directional shingle containment (|A∩B|/|A|): the one-sided
+    near-dup / quote-embedding screen Jaccard misses; same blocking,
+    64-bit shingle hashing, and hot-shingle cap as jaccard_pairs."""
+    return dedup.containment_pairs(
+        _t(spark, sf, "documents"),
+        ("lang", "source"),
+        k=5,
+        threshold=0.6,
+        max_doc_freq=50,
+    )
+
+
 def q_ann_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -1099,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "simhash_documents": q_simhash_documents,
         "jaccard_pairs": q_jaccard_pairs,
+        "containment_pairs": q_containment_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_outliers": q_embedding_outliers,
@@ -1574,6 +1588,30 @@ FROM common
 JOIN sizes sa ON sa.doc_id = a_id
 JOIN sizes sb ON sb.doc_id = b_id
 WHERE c / (sa.sz + sb.sz - c) >= 0.5
+"""
+
+    # directional containment over the same capped-shingle universe;
+    # thresholds compare the ROUNDED values, mirroring the Spark side
+    sqls["containment_pairs"] = f"""
+WITH {shingles},
+capped AS (
+  SELECT * FROM sh
+  QUALIFY COUNT(*) OVER (PARTITION BY lang, source, sh) <= 50),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+  FROM capped a JOIN capped b
+    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id,
+       ROUND(c / sa.sz, 6) AS containment_a_in_b,
+       ROUND(c / sb.sz, 6) AS containment_b_in_a
+FROM common
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE ROUND(c / sa.sz, 6) >= 0.6 OR ROUND(c / sb.sz, 6) >= 0.6
+ORDER BY a_id, b_id
 """
 
     # exact quantiles: the oracle IS the definition — the value at

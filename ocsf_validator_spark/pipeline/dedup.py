@@ -277,20 +277,18 @@ def drop_duplicate_docs(
     return df.join(losers, on=id_col, how="left_anti")
 
 
-def jaccard_pairs(
+def _shingle_pair_stats(
     df: DataFrame,
-    block_cols: tuple[str, ...] = ("lang", "source"),
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 5,
-    threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    block_cols: tuple[str, ...],
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_doc_freq: int | None,
 ) -> DataFrame:
-    """Pairwise word-k-gram Jaccard within blocking-key groups —
-    (a_id, b_id, jaccard). The inverted-index formulation: explode
-    shingles, self-join to count the intersection, then join per-doc
-    shingle counts for the union size. Blocking bounds the candidate
-    set; without it this is a full O(n²).
+    """Shared candidate machinery for the set-overlap family
+    (:func:`jaccard_pairs`, :func:`containment_pairs`): per blocked
+    candidate pair, the intersection size and both documents' shingle
+    set sizes — (a_id, b_id, _common, _sza, _szb), a_id < b_id.
 
     Scale shape: the raw ~k-word shingle string is replaced by its
     64-bit xxhash64 IMMEDIATELY after the explode, so the self-join
@@ -340,12 +338,69 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("a_id"), F.col("_sz").alias("_sza"))
     sb = sizes.select(F.col(id_col).alias("b_id"), F.col("_sz").alias("_szb"))
+    return common.join(sa, "a_id").join(sb, "b_id")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Pairwise word-k-gram Jaccard within blocking-key groups —
+    (a_id, b_id, jaccard). The inverted-index formulation: explode
+    shingles, self-join to count the intersection, then join per-doc
+    shingle counts for the union size. Blocking bounds the candidate
+    set; without it this is a full O(n²). Scale/cap notes on
+    :func:`_shingle_pair_stats`."""
+    stats = _shingle_pair_stats(
+        df, block_cols, text_col, id_col, k, max_doc_freq
+    )
     jac = F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common"))
+    return stats.select("a_id", "b_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directional set containment — the one-sided near-dup Jaccard
+    misses. ``c(A in B) = |A ∩ B| / |A|``: a short document quoted or
+    embedded wholesale inside a long one scores near 1.0 on
+    containment while its Jaccard stays tiny (the union is dominated by
+    the long doc). The standard screen for quote/subset contamination
+    between a corpus and itself.
+
+    Emits (a_id, b_id, containment_a_in_b, containment_b_in_a) for
+    pairs where EITHER direction >= ``threshold``; same blocking,
+    hashing, and hot-shingle cap as :func:`_shingle_pair_stats`."""
+    stats = _shingle_pair_stats(
+        df, block_cols, text_col, id_col, k, max_doc_freq
+    )
+    c_ab = F.col("_common") / F.col("_sza")
+    c_ba = F.col("_common") / F.col("_szb")
     return (
-        common.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select("a_id", "b_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        stats.select(
+            "a_id",
+            "b_id",
+            F.round(c_ab, 6).alias("containment_a_in_b"),
+            F.round(c_ba, 6).alias("containment_b_in_a"),
+        )
+        .filter(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+        .orderBy("a_id", "b_id")
     )
 
 

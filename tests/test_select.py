@@ -183,3 +183,31 @@ def test_token_budget_single_boundary_exchange(docs):
     out = select.token_budget_select(docs, budget=100, n_bins=64)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from ocsf_validator_spark.pipeline.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long = short + " " + " ".join(f"filler{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [
+            (0, short, "en", "s"),
+            (1, long, "en", "s"),
+            (2, "totally different words here entirely", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    cont = containment_pairs(df, ("lang", "source"), k=3, threshold=0.9).collect()
+    assert [(r["a_id"], r["b_id"]) for r in cont] == [(0, 1)]
+    # the short doc's shingles are all in the long one
+    assert cont[0]["containment_a_in_b"] == 1.0
+    assert cont[0]["containment_b_in_a"] < 0.2
+    # Jaccard at the same strictness sees nothing (union is dominated
+    # by the long doc)
+    assert (
+        jaccard_pairs(df, ("lang", "source"), k=3, threshold=0.5).count() == 0
+    )
