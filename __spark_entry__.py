@@ -563,6 +563,13 @@ def q_ivf_topk_refined(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 5).alias("cos_sim"))
 
 
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """KenLM-style quality signal at its unigram core: per-doc average
+    negative log-probability under the corpus's own unigram
+    distribution (low = templated/degenerate, high = lexically rich)."""
+    return keywords.unigram_logprob_score(_t(spark, sf, "documents"))
+
+
 def q_exact_quantiles_value(spark: SparkSession, sf: str) -> DataFrame:
     """Exact order-statistic quantiles of events.value via histogram
     narrowing (two partial-agg scans + a boundary-bin window) — never a
@@ -1117,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_outliers": q_embedding_outliers,
         "tfidf_topterms": q_tfidf_topterms,
+        "unigram_logprob": q_unigram_logprob,
         "boilerplate_grams": q_boilerplate_grams,
         "strip_boilerplate": q_strip_boilerplate,
         "exact_quantiles_value": q_exact_quantiles_value,
@@ -1624,6 +1632,22 @@ SELECT t.q::DOUBLE AS q, r.v AS value
 FROM (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) t(q), n
 JOIN r ON r.rn = CAST(floor((n.n - 1) * t.q) AS BIGINT) + 1
 ORDER BY q
+"""
+
+    sqls["unigram_logprob"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+  FROM tok GROUP BY 1, 2
+), c AS (SELECT h, sum(tf)::BIGINT AS cnt FROM tf GROUP BY 1),
+t AS (SELECT sum(tf)::DOUBLE AS total FROM tf)
+SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+       round(-sum(tf.tf * ln(c.cnt / t.total)) / sum(tf.tf), 6)
+         AS avg_neg_logprob
+FROM tf JOIN c USING (h) CROSS JOIN t
+GROUP BY tf.doc_id ORDER BY tf.doc_id
 """
 
     # sequence packing: the oracle IS the naive global cumsum window

@@ -86,3 +86,56 @@ def tfidf_topk(
         .select(id_col, "term", "tf", "df_docs", "tfidf")
         .orderBy(id_col, "term")
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average unigram negative log-probability — the
+    KenLM-style perplexity filter reduced to its unigram core: score a
+    document by how surprising its tokens are under the corpus's own
+    unigram distribution. Degenerate/templated pages score LOW
+    (predictable tokens), lexically rich pages score HIGH; both tails
+    are the usual cut candidates.
+
+    score(d) = - sum_w tf(d,w) * ln( cnt(w) / total ) / len(d)
+
+    Same scale shape as :func:`tfidf_topk`: one corpus scan into the
+    checkpointed per-doc vocabulary projection; the global unigram
+    counts ride the 60-bit term-hash exchange (8-byte ints, never
+    strings); the corpus total crosses as a broadcast 1-row frame; the
+    per-doc reduction is a partial-agg groupBy on the id.
+
+    Returns (id_col, n_tokens, avg_neg_logprob) with the score rounded
+    to 6 dp, ordered by id.
+    """
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.expr(f"split({text_col}, ' ')")).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("_h", F.expr(_MD5_60.format(x="term")))
+        .localCheckpoint(eager=False)
+    )
+    counts = tf.groupBy("_h").agg(F.sum("tf").alias("cnt"))
+    totals = tf.agg(F.sum("tf").cast("double").alias("_total"))
+    return (
+        tf.join(counts, "_h")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                -F.sum(
+                    F.col("tf") * F.log(F.col("cnt") / F.col("_total"))
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+        .orderBy(id_col)
+    )

@@ -126,3 +126,21 @@ def test_outlier_centroids_broadcast(spark, vectors):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_unigram_logprob_semantics(spark):
+    from math import log
+
+    df = spark.createDataFrame(
+        [(0, "common common common"), (1, "common rare")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in keywords.unigram_logprob_score(df).collect()}
+    # corpus: common x4, rare x1, total 5
+    p_common, p_rare = 4 / 5, 1 / 5
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["avg_neg_logprob"] == round(-log(p_common), 6)
+    want1 = -(log(p_common) + log(p_rare)) / 2
+    assert out[1]["avg_neg_logprob"] == round(want1, 6)
+    # rarer vocabulary scores strictly higher
+    assert out[1]["avg_neg_logprob"] > out[0]["avg_neg_logprob"]
