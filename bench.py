@@ -180,7 +180,11 @@ def main() -> None:
         "tfidf_topterms",
         "strip_boilerplate",
         "exact_quantiles_value",
+        "quantiles_by_event_type",
         "embedding_outliers",
+        "unigram_logprob",
+        "pack_sequences",
+        "containment_pairs",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:
