@@ -595,6 +595,27 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(docs, max_tokens=2048)
 
 
+def q_plan_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-token shard planning (8 balanced output shards of the
+    documents corpus): per-shard doc and token totals prove the split
+    is token-balanced, not doc-count-balanced."""
+    from ocsf_validator_spark.pipeline.packing import plan_shards
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("bigint").alias("n_tokens"),
+    )
+    return (
+        plan_shards(docs, n_shards=8)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 def q_quantiles_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group exact quantiles (events.value by event_type) — the
     per-stratum percentile baseline table; same histogram-narrowing
@@ -1130,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles_value": q_exact_quantiles_value,
         "quantiles_by_event_type": q_quantiles_by_event_type,
         "pack_sequences": q_pack_sequences,
+        "plan_shards": q_plan_shards,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_refined": q_ivf_topk_refined,
@@ -1666,6 +1688,26 @@ SELECT doc_id, n_tokens,
        (st % 2048)::BIGINT AS pack_offset,
        ((st + n_tokens - 1) // 2048 - st // 2048 + 1)::BIGINT AS spans_packs
 FROM s ORDER BY doc_id
+"""
+
+    # shard planning: boundaries at total/n_shards-token marks of the
+    # naive cumsum; integer // mirrors Spark's div. The total is a
+    # correlated scalar, exact in DuckDB's 128-bit window sum
+    sqls["plan_shards"] = """
+WITH v AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents),
+s AS (SELECT doc_id, n_tokens,
+        (sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_tokens) AS st
+      FROM v WHERE n_tokens IS NOT NULL AND n_tokens > 0),
+t AS (SELECT sum(n_tokens) AS total FROM s),
+a AS (SELECT doc_id, n_tokens,
+        ((st * 8) // t.total)::BIGINT AS shard_id
+      FROM s, t)
+SELECT shard_id, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens
+FROM a GROUP BY shard_id ORDER BY shard_id
 """
 
     sqls["quantiles_by_event_type"] = """

@@ -7,7 +7,7 @@ assignment is a pure function of the GLOBAL prefix sum of token counts
 in that order. The naive Spark spelling is a cumulative-sum window
 over everything — ONE reducer sorting the whole corpus.
 
-This operator computes the same global prefix sum with a distributed
+This module computes the global prefix sum with a distributed
 two-phase scan (the classic parallel prefix):
 
 1. ``repartitionByRange`` on the order key — the one exchange the
@@ -23,10 +23,10 @@ place partition boundaries: boundaries only split the work, the prefix
 sum is order-determined. (Pinned by a repartition-count equivalence
 test.)
 
-Docs longer than ``max_tokens`` are reported where they START; a doc
-may straddle pack boundaries (``spans_packs`` > 1) — whether to split
-or re-route oversized docs is a consumer decision, the layout is the
-operator's contract.
+Two consumers: :func:`pack_sequences` (fixed-capacity training
+windows; docs longer than ``max_tokens`` are reported where they START
+and may straddle packs — ``spans_packs`` > 1) and :func:`plan_shards`
+(equal-token output shards for writing a balanced corpus).
 """
 
 from __future__ import annotations
@@ -35,20 +35,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def pack_sequences(
+def _global_token_starts(
     df: DataFrame,
-    max_tokens: int,
-    token_col: str = "n_tokens",
-    id_col: str = "doc_id",
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Assign each document a (pack_id, pack_offset) under
-    concat-and-split packing in ascending ``id_col`` order.
-
-    Returns (id_col, n_tokens, pack_id, pack_offset, spans_packs)
-    ordered by ``id_col``; rows with NULL or non-positive token counts
-    are excluded (they occupy no window space).
-    """
+    token_col: str,
+    id_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame | None, int]:
+    """(frame with ``id_col, n_tokens, _start``, corpus token total).
+    ``_start`` is the exact global prefix sum (exclusive) of token
+    counts in ascending ``id_col`` order; rows with NULL/non-positive
+    counts are excluded. Returns (None, 0) when nothing survives."""
     spark = df.sparkSession
     vals = df.select(
         F.col(id_col), F.col(token_col).cast("bigint").alias("n_tokens")
@@ -67,16 +63,12 @@ def pack_sequences(
         .agg(F.sum("n_tokens").alias("t"))
         .collect()
     }
+    if not totals:
+        return None, 0
     prefix, acc = {}, 0
     for pid in sorted(totals):
         prefix[pid] = acc
         acc += totals[pid]
-    if not totals:
-        return spark.createDataFrame(
-            [],
-            f"{id_col} long, n_tokens long, pack_id long, "
-            "pack_offset long, spans_packs long",
-        )
     offsets = spark.createDataFrame(
         [(pid, off) for pid, off in prefix.items()], "_pid int, _off long"
     )
@@ -85,19 +77,80 @@ def pack_sequences(
         F.col("_off") + F.sum("n_tokens").over(w) - F.col("n_tokens")
     ).alias("_start")
     return (
-        ranged.join(F.broadcast(offsets), "_pid")
-        .select(id_col, "n_tokens", start)
-        .select(
-            id_col,
-            "n_tokens",
-            # integer `div`, not floor(double /): a corpus-level prefix
-            # sum can pass 2^53 where double division loses exactness
-            F.expr(f"_start div {max_tokens}").alias("pack_id"),
-            (F.col("_start") % max_tokens).alias("pack_offset"),
-            F.expr(
-                f"(_start + n_tokens - 1) div {max_tokens} "
-                f"- _start div {max_tokens} + 1"
-            ).alias("spans_packs"),
-        )
-        .orderBy(id_col)
+        ranged.join(F.broadcast(offsets), "_pid").select(
+            id_col, "n_tokens", start
+        ),
+        acc,
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each document a (pack_id, pack_offset) under
+    concat-and-split packing in ascending ``id_col`` order.
+
+    Returns (id_col, n_tokens, pack_id, pack_offset, spans_packs)
+    ordered by ``id_col``; rows with NULL or non-positive token counts
+    are excluded (they occupy no window space).
+    """
+    starts, _total = _global_token_starts(
+        df, token_col, id_col, num_partitions
+    )
+    if starts is None:
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, n_tokens long, pack_id long, "
+            "pack_offset long, spans_packs long",
+        )
+    return starts.select(
+        id_col,
+        "n_tokens",
+        # integer `div`, not floor(double /): a corpus-level prefix
+        # sum can pass 2^53 where double division loses exactness
+        F.expr(f"_start div {max_tokens}").alias("pack_id"),
+        (F.col("_start") % max_tokens).alias("pack_offset"),
+        F.expr(
+            f"(_start + n_tokens - 1) div {max_tokens} "
+            f"- _start div {max_tokens} + 1"
+        ).alias("spans_packs"),
+    ).orderBy(id_col)
+
+
+def plan_shards(
+    df: DataFrame,
+    n_shards: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Equal-token shard assignment for writing a balanced corpus:
+    shard boundaries fall at ``total/n_shards``-token marks of the
+    global prefix sum, so every shard holds within one document of the
+    ideal token share — the layout step before
+    ``repartition(n).write`` that keeps training-shard sizes even when
+    document lengths are skewed (a doc-COUNT split would not).
+
+    shard_id(d) = (start(d) * n_shards) div total — exact integer
+    arithmetic (start * n_shards stays under 2^63 for any real corpus),
+    monotone in ``id_col`` order, every shard non-empty when
+    n_shards <= corpus docs is satisfied in the typical token>0 regime.
+
+    Returns (id_col, n_tokens, shard_id) ordered by ``id_col``.
+    """
+    starts, total = _global_token_starts(
+        df, token_col, id_col, num_partitions
+    )
+    if starts is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_tokens long, shard_id long"
+        )
+    return starts.select(
+        id_col,
+        "n_tokens",
+        F.expr(f"(_start * {n_shards}) div {total}").alias("shard_id"),
+    ).orderBy(id_col)

@@ -89,3 +89,32 @@ def test_no_global_cumsum_window_in_plan(spark, rows):
     # window would show an empty partition spec
     windows = [ln for ln in plan.splitlines() if "Window " in ln or "RunningWindowFunction" in ln]
     assert windows and all("_pid" in ln for ln in windows), plan
+
+
+from ocsf_validator_spark.pipeline.packing import plan_shards
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_plan_shards_token_balance_and_naive_equality(spark, rows, parts):
+    df = make_df(spark, rows)
+    out = plan_shards(df, n_shards=5, num_partitions=parts).collect()
+    got = {r["doc_id"]: r["shard_id"] for r in out}
+    # naive: shard = (start * n) // total over the id-ordered cumsum
+    clean = [(i, n) for i, n in sorted(rows) if n and n > 0]
+    total = sum(n for _, n in clean)
+    start, want = 0, {}
+    for i, n in clean:
+        want[i] = (start * 5) // total
+        start += n
+    assert got == want
+    # shard ids are monotone in doc order and cover 0..n-1
+    ordered = [got[i] for i, _ in clean]
+    assert ordered == sorted(ordered)
+    assert set(ordered) == set(range(5))
+    # token balance: every shard within one max-doc of the ideal share
+    sums: dict[int, int] = {}
+    for i, n in clean:
+        sums[want[i]] = sums.get(want[i], 0) + n
+    ideal = total / 5
+    max_doc = max(n for _, n in clean)
+    assert all(abs(s - ideal) <= max_doc for s in sums.values()), sums
