@@ -41,34 +41,59 @@ def exact_quantiles(
     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
     n_bins: int = 4096,
 ) -> DataFrame:
-    """Exact quantiles of ``value_col`` (nulls excluded).
+    """Exact quantiles of ``value_col``.
+
+    NULL and NaN are excluded (NaN has no place in a total order);
+    ±infinity participate — they route to sentinel bins below/above the
+    finite range (-1 / n_bins), which keeps the rank arithmetic exact
+    because bins only need to respect the sort order, and the finite
+    bin widths come from the FINITE min/max so an infinity can never
+    poison the binning arithmetic (an inf lo/hi would make every finite
+    bin NaN and blow the ANSI int cast).
 
     Returns a DataFrame (q double, value double), one row per
     requested quantile, ordered by q.
     """
     spark = df.sparkSession
     vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
-        F.col("v").isNotNull()
+        F.col("v").isNotNull() & ~F.isnan("v")
     )
+    inf, ninf = float("inf"), float("-inf")
+    finite = (F.col("v") > ninf) & (F.col("v") < inf)
     stats = vals.agg(
         F.count(F.lit(1)).alias("n"),
-        F.min("v").alias("lo"),
-        F.max("v").alias("hi"),
+        F.min(F.when(finite, F.col("v"))).alias("lo"),
+        F.max(F.when(finite, F.col("v"))).alias("hi"),
+        F.count(F.when(~finite, F.lit(1))).alias("n_inf"),
     ).collect()[0]
     n, lo, hi = stats["n"], stats["lo"], stats["hi"]
     empty = spark.createDataFrame([], "q double, value double")
     if n == 0:
         return empty
     ranks = {q: int(math.floor((n - 1) * q)) + 1 for q in qs}
-    if lo == hi:
+    if stats["n_inf"] == 0 and lo == hi:
         return spark.createDataFrame(
             [(float(q), float(lo)) for q in sorted(qs)], "q double, value double"
         )
 
-    width = (hi - lo) / n_bins
-    bin_expr = F.least(
-        F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
-        F.lit(n_bins - 1),
+    # degenerate finite range (all-inf, or one distinct finite value
+    # alongside infs): park every finite row in bin 0
+    if lo is None or lo == hi:
+        lo, width = 0.0, 1.0
+        finite_bin = F.lit(0)
+    else:
+        width = (hi - lo) / n_bins
+        finite_bin = F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.lit(n_bins - 1),
+            ),
+        )
+    bin_expr = (
+        F.when(F.col("v") == ninf, F.lit(-1))
+        .when(F.col("v") == inf, F.lit(n_bins))
+        .otherwise(finite_bin)
     )
     hist = {
         r["b"]: r["c"]
@@ -139,19 +164,22 @@ def exact_group_quantiles(
     Returns (group_col, q, value) ordered by (group_col, q).
     """
     spark = df.sparkSession
+    inf, ninf = float("inf"), float("-inf")
     vals = df.select(
         # string-normalized so the broadcast grid/routing frames (typed
         # "_g string") join without an implicit cast on the big side
         F.col(group_col).cast("string").alias("_g"),
         F.col(value_col).cast("double").alias("v"),
-    ).filter(F.col("v").isNotNull() & F.col("_g").isNotNull())
+    ).filter(F.col("v").isNotNull() & ~F.isnan("v") & F.col("_g").isNotNull())
+    finite = (F.col("v") > ninf) & (F.col("v") < inf)
     stats = {
-        r["_g"]: (r["n"], r["lo"], r["hi"])
+        r["_g"]: (r["n"], r["lo"], r["hi"], r["n_inf"])
         for r in vals.groupBy("_g")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.min("v").alias("lo"),
-            F.max("v").alias("hi"),
+            F.min(F.when(finite, F.col("v"))).alias("lo"),
+            F.max(F.when(finite, F.col("v"))).alias("hi"),
+            F.count(F.when(~finite, F.lit(1))).alias("n_inf"),
         )
         .collect()
     }
@@ -161,10 +189,14 @@ def exact_group_quantiles(
 
     literal_rows = []  # degenerate groups resolved driver-side
     live = {}  # group -> (lo, width, {q: global rank})
-    for g, (n, lo, hi) in stats.items():
+    for g, (n, lo, hi, n_inf) in stats.items():
         ranks = {q: int(math.floor((n - 1) * q)) + 1 for q in qs}
-        if lo == hi:
+        if n_inf == 0 and lo == hi:
             literal_rows += [(g, float(q), float(lo)) for q in sorted(qs)]
+        elif lo is None or lo == hi:
+            # all-inf group, or one distinct finite value among infs:
+            # finite rows park in bin 0, the inf sentinels do the rest
+            live[g] = (0.0, 1.0, ranks)
         else:
             live[g] = (lo, (hi - lo) / n_bins, ranks)
     lit_df = spark.createDataFrame(literal_rows, schema)
@@ -178,10 +210,20 @@ def exact_group_quantiles(
     binned = vals.join(F.broadcast(grid), "_g").select(
         "_g",
         "v",
-        F.least(
-            F.floor((F.col("v") - F.col("_lo")) / F.col("_w")).cast("int"),
-            F.lit(n_bins - 1),
-        ).alias("b"),
+        F.when(F.col("v") == ninf, F.lit(-1))
+        .when(F.col("v") == inf, F.lit(n_bins))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.floor(
+                        (F.col("v") - F.col("_lo")) / F.col("_w")
+                    ).cast("int"),
+                    F.lit(n_bins - 1),
+                ),
+            )
+        )
+        .alias("b"),
     )
     hist: dict[str, dict[int, int]] = {}
     for r in binned.groupBy("_g", "b").agg(F.count(F.lit(1)).alias("c")).collect():

@@ -123,3 +123,53 @@ def test_grouped_matches_naive_with_degenerates(spark):
 def test_grouped_empty_input(spark):
     df = spark.createDataFrame([], "event_type string, value double")
     assert exact_group_quantiles(df, "event_type", "value").count() == 0
+
+
+def test_nonfinite_values(spark):
+    """NaN excluded; ±inf participate as extreme order statistics and
+    never poison the finite binning arithmetic."""
+    inf = float("inf")
+    vals = [-inf, -inf] + [float(i) for i in range(20)] + [inf]
+    rows = [(v,) for v in vals] + [(float("nan"),), (None,)]
+    df = spark.createDataFrame(rows, "value double")
+    got = {
+        r["q"]: r["value"]
+        for r in exact_quantiles(df, "value", qs=(0.0, 0.1, 0.5, 1.0), n_bins=8).collect()
+    }
+    clean = sorted(vals)
+    want = {q: clean[int(math.floor((len(clean) - 1) * q))] for q in (0.0, 0.1, 0.5, 1.0)}
+    assert got == want
+    assert got[0.0] == -inf and got[1.0] == inf
+
+
+def test_all_inf_and_single_finite_with_inf(spark):
+    inf = float("inf")
+    df = spark.createDataFrame(
+        [(-inf,), (inf,), (inf,)], "value double"
+    )
+    got = {r["q"]: r["value"] for r in exact_quantiles(df, "value", qs=(0.0, 1.0)).collect()}
+    assert got == {0.0: -inf, 1.0: inf}
+    df2 = spark.createDataFrame([(5.0,), (5.0,), (inf,)], "value double")
+    got2 = {r["q"]: r["value"] for r in exact_quantiles(df2, "value", qs=(0.0, 1.0)).collect()}
+    assert got2 == {0.0: 5.0, 1.0: inf}
+
+
+def test_grouped_nonfinite(spark):
+    inf = float("inf")
+    rows = (
+        [("a", float(i)) for i in range(10)]
+        + [("a", inf), ("a", float("nan"))]
+        + [("b", -inf), ("b", -inf)]          # all-inf group
+        + [("c", 3.0), ("c", 3.0), ("c", inf)]  # one finite value + inf
+    )
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        (r["event_type"], r["q"]): r["value"]
+        for r in exact_group_quantiles(
+            df, "event_type", "value", qs=(0.0, 0.5, 1.0), n_bins=4
+        ).collect()
+    }
+    assert got[("a", 1.0)] == inf and got[("a", 0.0)] == 0.0
+    assert got[("a", 0.5)] == 5.0
+    assert got[("b", 0.0)] == -inf and got[("b", 1.0)] == -inf
+    assert got[("c", 0.0)] == 3.0 and got[("c", 1.0)] == inf
