@@ -218,6 +218,15 @@ def q_conversation_stats(spark: SparkSession, sf: str) -> DataFrame:
     return conversation_stats(_transcripts(spark, sf))
 
 
+def q_render_conversations(spark: SparkSession, sf: str) -> DataFrame:
+    """SFT-export render over the transcripts view: one ordered
+    training-text document per conversation plus the token count /
+    content key the packing + dedup stages consume."""
+    from ocsf_validator_spark.pipeline.render import render_conversations
+
+    return render_conversations(_transcripts(spark, sf))
+
+
 def q_column_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     s = column_stats(
@@ -1119,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
         "conversation_stats": q_conversation_stats,
+        "render_conversations": q_render_conversations,
         "column_stats_documents": q_column_stats_documents,
         "ref_orphan_orders": q_ref_orphan_orders,
         "coverage_unused_customers": q_coverage_unused_customers,
@@ -1315,6 +1325,19 @@ SELECT conv_id, COUNT(*) AS n_turns, COUNT(DISTINCT turn_idx) AS n_distinct_turn
        (MIN(turn_idx) = 0 AND COUNT(*) = COUNT(DISTINCT turn_idx)
         AND MAX(turn_idx) - MIN(turn_idx) + 1 = COUNT(*)) AS dense_ordered
 FROM t GROUP BY conv_id
+"""
+
+    sqls["render_conversations"] = f"""
+WITH {_T_CTE}, r AS (
+  SELECT conv_id, COUNT(*)::BIGINT AS n_turns,
+         string_agg(coalesce(role,'') || ': ' || coalesce(text,''), chr(10)
+                    ORDER BY turn_idx, coalesce(role,'') || ': ' || coalesce(text,'')) AS rendered
+  FROM t GROUP BY conv_id
+)
+SELECT conv_id, n_turns, rendered,
+       len(string_split(rendered, ' '))::BIGINT AS n_tokens,
+       md5(rendered) AS content_key
+FROM r
 """
 
     sqls["column_stats_documents"] = """

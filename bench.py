@@ -185,6 +185,7 @@ def main() -> None:
         "unigram_logprob",
         "pack_sequences",
         "containment_pairs",
+        "render_conversations",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -10,5 +10,8 @@ Modules: dedup (exact/MinHash-LSH/SimHash/Jaccard + components),
 similarity (ANN brute/LSH/IVF), textstats (tokens/quality/lang-ID/
 fingerprints), select (n-gram top-k, stratified sampling, token-budget
 cuts), decontam (benchmark overlap), temporal (as-of join, range join,
-time rollup), multimodal (binary columns + decode plumbing).
+time rollup), multimodal (binary columns + decode plumbing), keywords
+(TF-IDF, unigram log-prob), boilerplate (cross-doc template removal),
+quantiles (exact distributed order stats), packing (sequence packing,
+shard planning), render (conversation → training-text export).
 """
