@@ -218,6 +218,17 @@ def q_conversation_stats(spark: SparkSession, sf: str) -> DataFrame:
     return conversation_stats(_transcripts(spark, sf))
 
 
+def q_mad_outliers_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust (median ± 3·MAD) outlier screen on events.value — the
+    data-derived Range constraint: exact fences from the histogram-
+    narrowed order statistics, no global sort."""
+    from ocsf_validator_spark.pipeline.quantiles import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf, "events"), "value", id_cols=("event_id",), k=3
+    )
+
+
 def q_render_conversations(spark: SparkSession, sf: str) -> DataFrame:
     """SFT-export render over the transcripts view: one ordered
     training-text document per conversation plus the token count /
@@ -1129,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_verdicts": q_suite_verdicts,
         "conversation_stats": q_conversation_stats,
         "render_conversations": q_render_conversations,
+        "mad_outliers_value": q_mad_outliers_value,
         "column_stats_documents": q_column_stats_documents,
         "ref_orphan_orders": q_ref_orphan_orders,
         "coverage_unused_customers": q_coverage_unused_customers,
@@ -1325,6 +1337,24 @@ SELECT conv_id, COUNT(*) AS n_turns, COUNT(DISTINCT turn_idx) AS n_distinct_turn
        (MIN(turn_idx) = 0 AND COUNT(*) = COUNT(DISTINCT turn_idx)
         AND MAX(turn_idx) - MIN(turn_idx) + 1 = COUNT(*)) AS dense_ordered
 FROM t GROUP BY conv_id
+"""
+
+    sqls["mad_outliers_value"] = """
+WITH v AS (SELECT event_id, value::DOUBLE AS v FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)),
+n AS (SELECT count(*)::BIGINT AS n FROM v),
+m AS (SELECT r.v AS med
+      FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v) r
+      JOIN n ON r.rn = CAST(floor((n.n - 1) * 0.5) AS BIGINT) + 1),
+m2 AS (SELECT r.dd AS mad
+       FROM (SELECT abs(v.v - m.med) AS dd,
+                    row_number() OVER (ORDER BY abs(v.v - m.med)) AS rn
+             FROM v, m) r
+       JOIN n ON r.rn = CAST(floor((n.n - 1) * 0.5) AS BIGINT) + 1)
+SELECT v.event_id, v.v AS value, m.med AS median, m2.mad AS mad,
+       m.med - 3 * m2.mad AS lo, m.med + 3 * m2.mad AS hi
+FROM v, m, m2
+WHERE v.v < m.med - 3 * m2.mad OR v.v > m.med + 3 * m2.mad
 """
 
     sqls["render_conversations"] = f"""

@@ -254,3 +254,60 @@ def exact_group_quantiles(
         )
     )
     return picked.unionByName(lit_df).orderBy(group_col, "q")
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    id_cols: tuple[str, ...] = ("event_id",),
+    k: int = 3,
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Robust outlier screen: rows whose ``value_col`` falls outside
+    ``median ± k * MAD`` (MAD = median absolute deviation, the classic
+    breakdown-point-0.5 robust spread — unlike mean/stddev bounds, a
+    contaminated tail cannot drag the fence toward itself).
+
+    Composes :func:`exact_quantiles` twice (median of the values, then
+    median of ``|v - median|``) — each an exact histogram-narrowed order
+    statistic, so the fences are EXACT data values with no global sort:
+    ~7 column-pruned scans of one double column total, bounded driver
+    state, and the final flag pass is a scan-speed filter. ``k`` is kept
+    integral and the fences are computed as ``med - k * mad`` /
+    ``med + k * mad`` (one multiply + one add over exact data values, in
+    that order) so any engine replays them to the ULP; callers wanting
+    the Gaussian-consistency constant (1.4826) fold it into k upstream.
+
+    NULL/NaN values are excluded (as in exact_quantiles). Returns
+    ``(*id_cols, value, median, mad, lo, hi)`` — empty when the column
+    is empty or the spread degenerates to mad == 0 with nothing outside
+    the point fence.
+    """
+    spark = df.sparkSession
+    schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols]
+        + ["value double, median double, mad double, lo double, hi double"]
+    )
+    med_rows = exact_quantiles(df, value_col, qs=(0.5,), n_bins=n_bins).collect()
+    if not med_rows:
+        return spark.createDataFrame([], schema)
+    med = med_rows[0]["value"]
+    dev = df.select(
+        F.abs(F.col(value_col).cast("double") - F.lit(med)).alias("_d")
+    )
+    mad = exact_quantiles(dev, "_d", qs=(0.5,), n_bins=n_bins).collect()[0][
+        "value"
+    ]
+    lo, hi = med - k * mad, med + k * mad
+    v = F.col(value_col).cast("double")
+    return (
+        df.filter(v.isNotNull() & ~F.isnan(v) & ((v < F.lit(lo)) | (v > F.lit(hi))))
+        .select(
+            *[F.col(c) for c in id_cols],
+            v.alias("value"),
+            F.lit(med).alias("median"),
+            F.lit(mad).alias("mad"),
+            F.lit(lo).alias("lo"),
+            F.lit(hi).alias("hi"),
+        )
+    )

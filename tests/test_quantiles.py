@@ -173,3 +173,64 @@ def test_grouped_nonfinite(spark):
     assert got[("a", 0.5)] == 5.0
     assert got[("b", 0.0)] == -inf and got[("b", 1.0)] == -inf
     assert got[("c", 0.0)] == 3.0 and got[("c", 1.0)] == inf
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------------
+
+from ocsf_validator_spark.pipeline.quantiles import mad_outliers
+
+
+def naive_mad(values, k=3):
+    vs = sorted(v for v in values if v is not None and not math.isnan(v))
+    med = vs[int(math.floor((len(vs) - 1) * 0.5))]
+    devs = sorted(abs(v - med) for v in vs)
+    mad = devs[int(math.floor((len(devs) - 1) * 0.5))]
+    lo, hi = med - k * mad, med + k * mad
+    return {
+        (i, v): (v, med, mad, lo, hi)
+        for i, v in enumerate(values)
+        if v is not None and not math.isnan(v) and (v < lo or v > hi)
+    }
+
+
+def run_mad(spark, values, k=3, n_bins=32):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id int, value double"
+    )
+    return {
+        (r.id, r.value): (r.value, r.median, r.mad, r.lo, r.hi)
+        for r in mad_outliers(df, "value", id_cols=("id",), k=k, n_bins=n_bins).collect()
+    }
+
+
+def test_mad_matches_naive_skewed_tail(spark):
+    rng = random.Random(7)
+    # bulk near 10, a contaminated heavy tail the fences must NOT chase
+    values = [rng.uniform(8, 12) for _ in range(400)] + [
+        rng.uniform(500, 1000) for _ in range(25)
+    ]
+    got = run_mad(spark, values)
+    assert got == naive_mad(values)
+    assert len(got) == 25  # every tail point flagged, no bulk point
+
+
+def test_mad_with_nulls_nans_and_ties(spark):
+    values = [1.0] * 50 + [2.0] * 50 + [None, float("nan"), 100.0, -100.0]
+    got = run_mad(spark, values)
+    exp = naive_mad(values)
+    assert got == exp and len(exp) == 2  # only ±100 flagged
+
+
+def test_mad_degenerate_spread(spark):
+    # mad == 0: the fence collapses to the point median; off-median
+    # values are the outliers
+    values = [5.0] * 99 + [6.0]
+    got = run_mad(spark, values)
+    assert got == naive_mad(values) and len(got) == 1
+
+
+def test_mad_empty_and_all_null(spark):
+    assert run_mad(spark, []) == {}
+    assert run_mad(spark, [None, None]) == {}
