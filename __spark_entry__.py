@@ -229,6 +229,19 @@ def q_mad_outliers_value(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mad_outliers_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum robust (median ± 3·MAD within each event_type)
+    outlier screen — each type has its own scale, so the fences are
+    per-group; flag pass is broadcast-join + filter, big side never
+    shuffles."""
+    from ocsf_validator_spark.pipeline.quantiles import group_mad_outliers
+
+    return group_mad_outliers(
+        _t(spark, sf, "events"), "event_type", "value",
+        id_cols=("event_id",), k=3,
+    )
+
+
 def q_render_conversations(spark: SparkSession, sf: str) -> DataFrame:
     """SFT-export render over the transcripts view: one ordered
     training-text document per conversation plus the token count /
@@ -1141,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": q_conversation_stats,
         "render_conversations": q_render_conversations,
         "mad_outliers_value": q_mad_outliers_value,
+        "mad_outliers_by_type": q_mad_outliers_by_type,
         "column_stats_documents": q_column_stats_documents,
         "ref_orphan_orders": q_ref_orphan_orders,
         "coverage_unused_customers": q_coverage_unused_customers,
@@ -1354,6 +1368,28 @@ m2 AS (SELECT r.dd AS mad
 SELECT v.event_id, v.v AS value, m.med AS median, m2.mad AS mad,
        m.med - 3 * m2.mad AS lo, m.med + 3 * m2.mad AS hi
 FROM v, m, m2
+WHERE v.v < m.med - 3 * m2.mad OR v.v > m.med + 3 * m2.mad
+"""
+
+    sqls["mad_outliers_by_type"] = """
+WITH v AS (SELECT event_type AS g, event_id, value::DOUBLE AS v FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+             AND event_type IS NOT NULL),
+cnt AS (SELECT g, count(*)::BIGINT AS n FROM v GROUP BY g),
+m AS (SELECT r.g, r.v AS med
+      FROM (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+            FROM v) r
+      JOIN cnt ON cnt.g = r.g
+       AND r.rn = CAST(floor((cnt.n - 1) * 0.5) AS BIGINT) + 1),
+d AS (SELECT v.g, abs(v.v - m.med) AS dd FROM v JOIN m ON m.g = v.g),
+m2 AS (SELECT r.g, r.dd AS mad
+       FROM (SELECT g, dd, row_number() OVER (PARTITION BY g ORDER BY dd) AS rn
+             FROM d) r
+       JOIN cnt ON cnt.g = r.g
+        AND r.rn = CAST(floor((cnt.n - 1) * 0.5) AS BIGINT) + 1)
+SELECT v.g AS event_type, v.event_id, v.v AS value, m.med AS median,
+       m2.mad AS mad, m.med - 3 * m2.mad AS lo, m.med + 3 * m2.mad AS hi
+FROM v JOIN m ON m.g = v.g JOIN m2 ON m2.g = v.g
 WHERE v.v < m.med - 3 * m2.mad OR v.v > m.med + 3 * m2.mad
 """
 

@@ -186,6 +186,9 @@ def main() -> None:
         "pack_sequences",
         "containment_pairs",
         "render_conversations",
+        "plan_shards",
+        "mad_outliers_value",
+        "mad_outliers_by_type",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -311,3 +311,85 @@ def mad_outliers(
             F.lit(hi).alias("hi"),
         )
     )
+
+
+def group_mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: tuple[str, ...] = ("event_id",),
+    k: int = 3,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Per-stratum robust outlier screen: rows outside their OWN group's
+    ``median ± k * MAD`` — the realistic shape of the data-derived Range
+    constraint, since each event type / language / source has its own
+    scale (a value ordinary for one type is a gross outlier for
+    another; one global fence sees neither).
+
+    Composes :func:`exact_group_quantiles` twice (per-group median of
+    the values, then per-group median of ``|v - median_g|``). Driver
+    state is two group-cardinality-sized median tables; the fences land
+    as a BROADCAST (group, lo, hi) frame, so the flag pass is one
+    broadcast-join + filter over the base scan — the big side never
+    shuffles. Same bounded-group-cardinality contract as
+    exact_group_quantiles (types/languages, not per-user). Fences are
+    ``med - k*mad`` / ``med + k*mad`` on exact data values in a fixed
+    order (ULP-replayable cross-engine, as in :func:`mad_outliers`).
+
+    NULL/NaN values and NULL groups are excluded. Returns
+    ``(group_col, *id_cols, value, median, mad, lo, hi)``; groups whose
+    spread degenerates to mad == 0 keep the point fence (off-median
+    rows flag, as in the global screen).
+    """
+    spark = df.sparkSession
+    schema = ", ".join(
+        [f"`{group_col}` string"]
+        + [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols]
+        + ["value double, median double, mad double, lo double, hi double"]
+    )
+    meds = {
+        r[group_col]: r["value"]
+        for r in exact_group_quantiles(
+            df, group_col, value_col, qs=(0.5,), n_bins=n_bins
+        ).collect()
+    }
+    if not meds:
+        return spark.createDataFrame([], schema)
+    med_df = spark.createDataFrame(
+        list(meds.items()), "_g string, _med double"
+    )
+    g = F.col(group_col).cast("string")
+    dev = (
+        df.select(g.alias("_g"), F.col(value_col).cast("double").alias("_v"))
+        .join(F.broadcast(med_df), "_g")
+        .select("_g", F.abs(F.col("_v") - F.col("_med")).alias("_d"))
+    )
+    mads = {
+        r["_g"]: r["value"]
+        for r in exact_group_quantiles(
+            dev, "_g", "_d", qs=(0.5,), n_bins=n_bins
+        ).collect()
+    }
+    fences = spark.createDataFrame(
+        [
+            (grp, med, mads[grp], med - k * mads[grp], med + k * mads[grp])
+            for grp, med in meds.items()
+        ],
+        "_g string, _med double, _mad double, _lo double, _hi double",
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.filter(v.isNotNull() & ~F.isnan(v) & g.isNotNull())
+        .join(F.broadcast(fences), g == F.col("_g"))
+        .filter((v < F.col("_lo")) | (v > F.col("_hi")))
+        .select(
+            F.col("_g").alias(group_col),
+            *[F.col(c) for c in id_cols],
+            v.alias("value"),
+            F.col("_med").alias("median"),
+            F.col("_mad").alias("mad"),
+            F.col("_lo").alias("lo"),
+            F.col("_hi").alias("hi"),
+        )
+    )

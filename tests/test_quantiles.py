@@ -234,3 +234,79 @@ def test_mad_degenerate_spread(spark):
 def test_mad_empty_and_all_null(spark):
     assert run_mad(spark, []) == {}
     assert run_mad(spark, [None, None]) == {}
+
+
+# ---------------------------------------------------------------------------
+# group_mad_outliers
+# ---------------------------------------------------------------------------
+
+from ocsf_validator_spark.pipeline.quantiles import group_mad_outliers
+
+
+def naive_group_mad(rows, k=3):
+    """rows: (group, value). Mirrors naive_mad per group."""
+    by_g = {}
+    for g, v in rows:
+        if g is not None and v is not None and not math.isnan(v):
+            by_g.setdefault(g, []).append(v)
+    out = {}
+    for g, vs in by_g.items():
+        svs = sorted(vs)
+        med = svs[int(math.floor((len(svs) - 1) * 0.5))]
+        devs = sorted(abs(v - med) for v in svs)
+        mad = devs[int(math.floor((len(devs) - 1) * 0.5))]
+        lo, hi = med - k * mad, med + k * mad
+        for i, (gg, v) in enumerate(rows):
+            if gg == g and v is not None and not math.isnan(v) and (v < lo or v > hi):
+                out[(g, i)] = (v, med, mad, lo, hi)
+    return out
+
+
+def run_group_mad(spark, rows, k=3, n_bins=32):
+    df = spark.createDataFrame(
+        [(g, i, v) for i, (g, v) in enumerate(rows)],
+        "g string, id int, value double",
+    )
+    return {
+        (r.g, r.id): (r.value, r.median, r.mad, r.lo, r.hi)
+        for r in group_mad_outliers(
+            df, "g", "value", id_cols=("id",), k=k, n_bins=n_bins
+        ).collect()
+    }
+
+
+def test_group_mad_per_group_scales(spark):
+    # group a lives near 10, group b near 1000: 60 is unremarkable
+    # globally-pooled (inside the pooled fence) but a gross outlier
+    # within a — the per-stratum screen must flag it and the global
+    # screen (same k) must NOT
+    rng = random.Random(11)
+    rows = [("a", rng.uniform(8, 12)) for _ in range(200)] + [
+        ("b", rng.uniform(990, 1010)) for _ in range(200)
+    ]
+    rows.append(("a", 60.0))
+    got = run_group_mad(spark, rows)
+    exp = naive_group_mad(rows)
+    assert got == exp
+    assert ("a", 400) in got and len(got) == len(exp)
+    pooled = naive_mad([v for _, v in rows])
+    assert not any(v == 60.0 for (_, v) in pooled)
+
+
+def test_group_mad_nulls_and_degenerate_group(spark):
+    rows = (
+        [("a", 5.0)] * 40
+        + [("a", 6.0)]          # degenerate spread in a: mad == 0
+        + [("b", float(i)) for i in range(21)]
+        + [("b", 500.0), (None, 1e9), ("c", None), ("c", float("nan"))]
+    )
+    got = run_group_mad(spark, rows)
+    exp = naive_group_mad(rows)
+    assert got == exp
+    flagged_vals = sorted(v for (v, *_rest) in got.values())
+    assert flagged_vals == [6.0, 500.0]  # NULL-group row never flags
+
+
+def test_group_mad_empty(spark):
+    assert run_group_mad(spark, []) == {}
+    assert run_group_mad(spark, [("a", None), (None, 1.0)]) == {}
