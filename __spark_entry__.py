@@ -229,6 +229,17 @@ def q_mad_outliers_value(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis, md5-derived draws): 50 documents drawn proportional to
+    n_chars — one scan + TakeOrderedAndProject, no shuffle."""
+    from ocsf_validator_spark.pipeline.select import weighted_sample_topk
+
+    return weighted_sample_topk(
+        _t(spark, sf, "documents"), "n_chars", 50, id_col="doc_id"
+    )
+
+
 def q_mad_outliers_by_type(spark: SparkSession, sf: str) -> DataFrame:
     """Per-stratum robust (median ± 3·MAD within each event_type)
     outlier screen — each type has its own scale, so the fences are
@@ -1155,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_conversations": q_render_conversations,
         "mad_outliers_value": q_mad_outliers_value,
         "mad_outliers_by_type": q_mad_outliers_by_type,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "column_stats_documents": q_column_stats_documents,
         "ref_orphan_orders": q_ref_orphan_orders,
         "coverage_unused_customers": q_coverage_unused_customers,
@@ -1391,6 +1403,23 @@ SELECT v.g AS event_type, v.event_id, v.v AS value, m.med AS median,
        m2.mad AS mad, m.med - 3 * m2.mad AS lo, m.med + 3 * m2.mad AS hi
 FROM v JOIN m ON m.g = v.g JOIN m2 ON m2.g = v.g
 WHERE v.v < m.med - 3 * m2.mad OR v.v > m.med + 3 * m2.mad
+"""
+
+    # bit-for-bit replay of weighted_sample_topk's md5-derived
+    # Efraimidis-Spirakis key (60-bit md5 prefix -> u in (0,1),
+    # round(-ln(u)/w, 6) strictly positive so no -0.0/0.0 cross-engine
+    # representation split, tie-break doc_id, smallest k win)
+    sqls["weighted_sample_docs"] = """
+WITH v AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'ws0'),
+                                    1, 15))::BIGINT + 1)
+                   / 1152921504606846977e0)
+               / CAST(n_chars AS DOUBLE), 6) AS sample_key
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, weight, sample_key FROM v
+ORDER BY sample_key ASC, doc_id ASC LIMIT 50
 """
 
     sqls["render_conversations"] = f"""

@@ -189,6 +189,7 @@ def main() -> None:
         "plan_shards",
         "mad_outliers_value",
         "mad_outliers_by_type",
+        "weighted_sample_docs",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

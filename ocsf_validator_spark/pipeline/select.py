@@ -290,3 +290,57 @@ def token_budget_select(
         .select(*out_cols)
     )
     return whole.unionByName(boundary)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ws0",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: ``k`` rows
+    drawn with probability proportional to ``weight_col`` — the data-
+    mixing selection step (sample a corpus slice by quality weight,
+    upweight rare sources) where the stratified sampler's fixed
+    per-stratum rates are too coarse.
+
+    Efraimidis–Spirakis A-Res one-pass reservoir scheme: each row gets
+    key ``-ln(u)/w`` (the exponential-draw spelling of ``u^(1/w)``,
+    monotone-reversed and overflow-free), the ``k`` SMALLEST keys win.
+    ``u`` is NOT an RNG draw — it is md5-derived from ``(id, salt)``
+    like stratified_sample's threshold, so the draw is reproducible
+    across runs, retries, partitionings, and engines (the DuckDB oracle
+    replays it bit-for-bit). The key is rounded to 6 dp with ``id_col``
+    as tie-break, so a sub-rounding libm ``ln`` ULP difference cannot
+    flip ranks cross-engine (the tfidf trick); the rounding perturbs
+    the ideal real-number draw only at the 1e-6 key margin, far below
+    the sampling noise floor. The negated spelling is also what keeps
+    the key strictly positive — a near-zero NEGATIVE key would round to
+    ``-0.0`` on some engines and ``0.0`` on others, a representation
+    mismatch that is invisible to the ordering but not to a value hash.
+
+    At scale: one column-pruned scan, key math in the row path is one
+    md5 + one ln, and the top-k is ``TakeOrderedAndProject`` —
+    per-partition heaps merged on the driver, NO shuffle of the table.
+
+    Rows with NULL ids or NULL/non-positive weights never win (weight 0
+    must have probability 0; the guard also keeps ``ln(u)/w`` finite).
+    Returns (id_col, weight, sample_key), the k winners.
+    """
+    h = _MD5_60.format(
+        x=f"concat(cast(`{id_col}` as string), '|', '{salt}')"
+    )
+    # h+1 in [1, 2^60] over 2^60+1 -> u in (0, 1) exclusive both ends
+    u = f"(({h}) + 1) / 1152921504606846977e0"
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(id_col).isNotNull() & w.isNotNull() & (w > 0))
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            F.round(-F.expr(f"ln({u})") / w, 6).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

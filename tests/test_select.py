@@ -211,3 +211,76 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert (
         jaccard_pairs(df, ("lang", "source"), k=3, threshold=0.5).count() == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_topk
+# ---------------------------------------------------------------------------
+
+import hashlib
+import math
+
+from ocsf_validator_spark.pipeline.select import weighted_sample_topk
+
+
+def naive_weighted(rows, k, salt="ws0"):
+    """(id, weight) -> top-k by the md5-derived ES key, Python replay."""
+    keyed = []
+    for i, w in rows:
+        if i is None or w is None or w <= 0:
+            continue
+        h = int(hashlib.md5(f"{i}|{salt}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / 1152921504606846977.0
+        keyed.append((round(-math.log(u) / w, 6), i, float(w)))
+    keyed.sort(key=lambda t: (t[0], t[1]))
+    return [(i, w, key) for key, i, w in keyed[:k]]
+
+
+def test_weighted_sample_matches_replay(spark):
+    rows = [(f"d{i:03d}", float(1 + (i % 7))) for i in range(120)]
+    rows += [("dnull", None), (None, 5.0), ("dzero", 0.0), ("dneg", -2.0)]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    for salt in ("ws0", "ws1"):
+        got = [
+            (r.doc_id, r.weight, r.sample_key)
+            for r in weighted_sample_topk(
+                df, "w", 25, id_col="doc_id", salt=salt
+            ).collect()
+        ]
+        assert got == naive_weighted(rows, 25, salt=salt)
+    # excluded rows can never win even with k > table size
+    all_got = weighted_sample_topk(df, "w", 1000).collect()
+    assert len(all_got) == 120
+
+
+def test_weighted_sample_is_weight_proportional():
+    # statistical law checked on the replay (engine == replay above):
+    # across salts, a weight-20 row must win far more often than a
+    # weight-1 row; expected inclusion ratio is ~weight ratio for small
+    # k/n, so even a loose 4x bound is a real test of proportionality
+    heavy = [(f"h{i}", 20.0) for i in range(10)]
+    light = [(f"l{i}", 1.0) for i in range(190)]
+    h_wins = l_wins = 0
+    for s in range(200):
+        win_ids = {i for i, _, _ in naive_weighted(heavy + light, 20, salt=f"s{s}")}
+        h_wins += sum(1 for i, _ in heavy if i in win_ids)
+        l_wins += sum(1 for i, _ in light if i in win_ids)
+    # per-row inclusion frequency
+    assert h_wins / 10 > 4 * (l_wins / 190)
+
+
+def test_weighted_sample_plan_no_shuffle(spark):
+    # the whole operator must be scan -> project -> TakeOrderedAndProject:
+    # per-partition heaps merged on the driver, never an Exchange
+    df = spark.createDataFrame(
+        [(f"d{i}", float(i + 1)) for i in range(100)],
+        "doc_id string, w double",
+    )
+    plan = (
+        weighted_sample_topk(df, "w", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
