@@ -229,6 +229,32 @@ def q_mad_outliers_value(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pii_scrub_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detect + redact over documents. The corpus text is synthetic
+    word salad, so deterministic PII (email/IP/phone derived from
+    doc_id) is injected first — the oracle replays the same injection —
+    making the redaction path really fire on driver data."""
+    from ocsf_validator_spark.pipeline.scrub import pii_scrub
+
+    d = _t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" call +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-0199"),
+        ).alias("text"),
+    )
+    return pii_scrub(injected)
+
+
 def q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis-
     Spirakis, md5-derived draws): 50 documents drawn proportional to
@@ -1167,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_value": q_mad_outliers_value,
         "mad_outliers_by_type": q_mad_outliers_by_type,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "pii_scrub_docs": q_pii_scrub_docs,
         "column_stats_documents": q_column_stats_documents,
         "ref_orphan_orders": q_ref_orphan_orders,
         "coverage_unused_customers": q_coverage_unused_customers,
@@ -1420,6 +1447,35 @@ WITH v AS (
   WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)
 SELECT doc_id, weight, sample_key FROM v
 ORDER BY sample_key ASC, doc_id ASC LIMIT 50
+"""
+
+    # replay of q_pii_scrub_docs: same deterministic PII injection,
+    # same RE2-safe patterns (scrub.PII_PATTERNS), 'g' flag for
+    # replace-all parity with Spark's regexp_replace
+    _email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    _phone = r"\+\d[\d -]{7,}\d"
+    sqls["pii_scrub_docs"] = f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+              || ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || '-0199' AS text
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN 0
+       ELSE len(regexp_extract_all(text, '{_email}')) END AS n_email,
+  CASE WHEN text IS NULL THEN 0
+       ELSE len(regexp_extract_all(text, '{_ipv4}')) END AS n_ipv4,
+  CASE WHEN text IS NULL THEN 0
+       ELSE len(regexp_extract_all(text, '{_phone}')) END AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{_email}', '<EMAIL>', 'g'),
+      '{_ipv4}', '<IP>', 'g'),
+      '{_phone}', '<PHONE>', 'g') AS text_scrubbed
+FROM inj
 """
 
     sqls["render_conversations"] = f"""
