@@ -515,6 +515,18 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def q_cluster_split_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup-aware train/holdout split: every member of an LSH
+    duplicate cluster lands on the same side (split keyed on the
+    cluster representative's md5, so near-dups can never straddle and
+    later-added docs never reshuffle existing assignments)."""
+    docs = _t(spark, sf, "documents")
+    sig = dedup.minhash_signatures(docs, n_hashes=8, k=5)
+    pairs = dedup.lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
+    clusters = dedup.connected_components(pairs)
+    return dedup.cluster_split(docs, clusters, num=9, den=10)
+
+
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_signatures(
         _t(spark, sf, "documents").filter(F.col("doc_id") < 100),
@@ -1213,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
+        "cluster_split_docs": q_cluster_split_docs,
         "simhash_documents": q_simhash_documents,
         "jaccard_pairs": q_jaccard_pairs,
         "containment_pairs": q_containment_pairs,
@@ -1749,6 +1762,20 @@ r(u, lbl) AS (
     sqls["dedup_clusters"] = f"""
 WITH RECURSIVE {components_ctes}
 SELECT u AS doc_id, MIN(lbl) AS canonical_id FROM r GROUP BY u
+"""
+
+    # cluster-aware split: rep = component min-label (or own id for
+    # docs outside every cluster); side = md5(rep|salt) 32-bit prefix
+    # mod-threshold, the stratified_sample determinism trick
+    sqls["cluster_split_docs"] = f"""
+WITH RECURSIVE {components_ctes},
+c AS (SELECT u AS doc_id, MIN(lbl) AS canonical_id FROM r GROUP BY u)
+SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS rep_id,
+       CASE WHEN ('0x' || substr(md5(
+                    CAST(COALESCE(c.canonical_id, d.doc_id) AS VARCHAR)
+                    || '|' || 'split0'), 1, 8))::BIGINT % 10 < 9
+            THEN 'train' ELSE 'holdout' END AS split
+FROM documents d LEFT JOIN c USING (doc_id)
 """
 
     # deduped corpus = documents minus non-canonical cluster members;

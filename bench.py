@@ -191,6 +191,7 @@ def main() -> None:
         "mad_outliers_by_type",
         "weighted_sample_docs",
         "pii_scrub_docs",
+        "cluster_split_docs",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -277,6 +277,55 @@ def drop_duplicate_docs(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def cluster_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    num: int = 9,
+    den: int = 10,
+    id_col: str = "doc_id",
+    salt: str = "split0",
+) -> DataFrame:
+    """Near-dup-aware train/holdout split: every member of a duplicate
+    CLUSTER lands on the same side. A per-document random split leaks —
+    a near-duplicate of a holdout document ends up in train and the
+    holdout stops measuring generalization; splitting on the cluster
+    REPRESENTATIVE (the component's canonical_id from
+    :func:`connected_components`; a doc outside every cluster is its
+    own representative) makes straddling impossible by construction.
+
+    The side is ``md5(rep|salt) % den < num`` — the stratified_sample
+    determinism trick, so the split is reproducible across runs,
+    engines, and re-partitioning, and ADDING documents later never
+    reshuffles existing assignments (each cluster's side depends only
+    on its representative id).
+
+    At scale: the clusters frame is collision-proportional (pairs
+    exist only where near-dups exist), so the left join broadcasts
+    under AQE; the hash + threshold is map-side. Returns
+    ``(id_col, rep_id, split)`` with split in {'train', 'holdout'}.
+    """
+    rep = F.coalesce(F.col("canonical_id"), F.col(id_col))
+    h = _MD5_HASH.format(x=f"concat(cast(rep_id as string), '|', '{salt}')")
+    return (
+        df.select(id_col)
+        .join(
+            clusters.withColumnRenamed("doc_id", id_col).select(
+                id_col, "canonical_id"
+            ),
+            id_col,
+            "left",
+        )
+        .select(F.col(id_col), rep.alias("rep_id"))
+        .select(
+            id_col,
+            "rep_id",
+            F.when(F.expr(h) % den < num, F.lit("train"))
+            .otherwise(F.lit("holdout"))
+            .alias("split"),
+        )
+    )
+
+
 def _shingle_pair_stats(
     df: DataFrame,
     block_cols: tuple[str, ...],
