@@ -119,3 +119,110 @@ def test_strip_conserves_tokens(spark, docs, frac):
         assert all(any(w == k for w in it) for k in kept)
         if frac > 1.0:
             assert r["text_clean"] == " ".join(words)
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers / weighted_sample_topk / pii_scrub — round-5 additions
+# ---------------------------------------------------------------------------
+
+import re
+
+from ocsf_validator_spark.pipeline.quantiles import mad_outliers
+from ocsf_validator_spark.pipeline.scrub import PII_PATTERNS, pii_scrub
+from ocsf_validator_spark.pipeline.select import weighted_sample_topk
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            st.sampled_from([5.0, 5.0, -3.25]),  # tie mass
+        ),
+        min_size=1,
+        max_size=100,
+    ),
+    k=st.sampled_from([1, 3]),
+)
+@settings(**_SETTINGS)
+def test_mad_equal_naive(spark, vals, k):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, value double"
+    )
+    got = {
+        (r.id, r.value, r.median, r.mad, r.lo, r.hi)
+        for r in mad_outliers(df, "value", id_cols=("id",), k=k, n_bins=16).collect()
+    }
+    vs = sorted(vals)
+    med = vs[(len(vs) - 1) // 2]
+    devs = sorted(abs(v - med) for v in vs)
+    mad = devs[(len(devs) - 1) // 2]
+    lo, hi = med - k * mad, med + k * mad
+    want = {
+        (i, v, med, mad, lo, hi)
+        for i, v in enumerate(vals)
+        if v < lo or v > hi
+    }
+    assert got == want
+
+
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.01, max_value=1e4, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.sampled_from([1, 5, 100]),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_equal_replay(spark, weights, k):
+    import hashlib
+
+    rows = [(f"d{i}", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    got = [
+        (r.doc_id, r.weight, r.sample_key)
+        for r in weighted_sample_topk(df, "w", k, id_col="doc_id").collect()
+    ]
+    keyed = []
+    for i, w in rows:
+        h = int(hashlib.md5(f"{i}|ws0".encode()).hexdigest()[:15], 16)
+        keyed.append(
+            (round(-math.log((h + 1) / 1152921504606846977.0) / w, 6), i, w)
+        )
+    keyed.sort(key=lambda t: (t[0], t[1]))
+    assert got == [(i, w, key) for key, i, w in keyed[:k]]
+
+
+_TEXT_ALPHA = st.lists(
+    st.sampled_from(
+        list("abz09._%+-@ ")
+        + ["@example.com", "10.0.0.1", "+1 555-123-4567", "u@x.io"]
+    ),
+    min_size=0,
+    max_size=12,
+).map("".join)
+
+
+@given(texts=st.lists(_TEXT_ALPHA, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_scrub_equal_python_re(spark, texts):
+    # the fragment alphabet splices PII-shaped tokens into random noise,
+    # hitting partial/adjacent matches hand fixtures don't
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_email, r.n_ipv4, r.n_phone, r.text_scrubbed)
+        for r in pii_scrub(df).collect()
+    }
+    for i, t in enumerate(texts):
+        counts = [len(re.findall(p, t)) for _, p, _ in PII_PATTERNS]
+        out = t
+        for _, p, repl in PII_PATTERNS:
+            out = re.sub(p, repl, out)
+        assert got[i] == (*counts, out), repr(t)
