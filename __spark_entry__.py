@@ -229,6 +229,17 @@ def q_mad_outliers_value(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_weighted_sample_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum weighted sampling: 10 docs per language drawn
+    proportional to n_chars (md5-derived ES keys; two-stage top-k so
+    no hot language funnels through one reducer)."""
+    from ocsf_validator_spark.pipeline.select import weighted_sample_per_group
+
+    return weighted_sample_per_group(
+        _t(spark, sf, "documents"), "lang", "n_chars", 10, id_col="doc_id"
+    )
+
+
 def q_pii_scrub_docs(spark: SparkSession, sf: str) -> DataFrame:
     """PII detect + redact over documents. The corpus text is synthetic
     word salad, so deterministic PII (email/IP/phone derived from
@@ -1206,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_by_type": q_mad_outliers_by_type,
         "weighted_sample_docs": q_weighted_sample_docs,
         "pii_scrub_docs": q_pii_scrub_docs,
+        "weighted_sample_by_lang": q_weighted_sample_by_lang,
         "column_stats_documents": q_column_stats_documents,
         "ref_orphan_orders": q_ref_orphan_orders,
         "coverage_unused_customers": q_coverage_unused_customers,
@@ -1460,6 +1472,24 @@ WITH v AS (
   WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)
 SELECT doc_id, weight, sample_key FROM v
 ORDER BY sample_key ASC, doc_id ASC LIMIT 50
+"""
+
+    # per-group variant: same ES key, naive partitioned window (the
+    # engine's two-stage plan is pinned equal to this window by test)
+    sqls["weighted_sample_by_lang"] = """
+WITH v AS (
+  SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'ws0'),
+                                    1, 15))::BIGINT + 1)
+                   / 1152921504606846977e0)
+               / CAST(n_chars AS DOUBLE), 6) AS sample_key
+  FROM documents
+  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+    AND n_chars IS NOT NULL AND n_chars > 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY sample_key ASC, doc_id ASC) AS rk
+      FROM v)
+SELECT lang, doc_id, weight, sample_key FROM r WHERE rk <= 10
 """
 
     # replay of q_pii_scrub_docs: same deterministic PII injection,

@@ -192,6 +192,7 @@ def main() -> None:
         "weighted_sample_docs",
         "pii_scrub_docs",
         "cluster_split_docs",
+        "weighted_sample_by_lang",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

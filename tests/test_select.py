@@ -284,3 +284,63 @@ def test_weighted_sample_plan_no_shuffle(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_weighted_sample_per_group_equals_naive_window(spark):
+    from ocsf_validator_spark.pipeline.select import weighted_sample_per_group
+
+    rows = [
+        (f"d{i:03d}", ["en", "de", "zh"][i % 3], float(1 + (i % 9)))
+        for i in range(150)
+    ]
+    rows += [("dnull", None, 3.0), ("dzero", "en", 0.0), (None, "de", 2.0)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, w double")
+
+    def naive(sdf, k):
+        keyed = sdf.filter(
+            F.col("doc_id").isNotNull()
+            & F.col("lang").isNotNull()
+            & F.col("w").isNotNull()
+            & (F.col("w") > 0)
+        ).select(
+            "lang",
+            "doc_id",
+            F.col("w").alias("weight"),
+            F.round(
+                -F.expr(
+                    "ln((cast(conv(substring(md5(concat(cast(doc_id as string),"
+                    " '|', 'ws0')), 1, 15), 16, 10) as bigint) + 1)"
+                    " / 1152921504606846977e0)"
+                )
+                / F.col("w"),
+                6,
+            ).alias("sample_key"),
+        )
+        w = Window.partitionBy("lang").orderBy(
+            F.col("sample_key").asc(), F.col("doc_id").asc()
+        )
+        return (
+            keyed.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+
+    for k in (1, 7, 1000):
+        want = sorted(map(tuple, naive(df, k).collect()))
+        # stage-1's per-partition cut must be invisible at any layout
+        for parts in (1, 3, 16):
+            got = sorted(
+                map(
+                    tuple,
+                    weighted_sample_per_group(
+                        df.repartition(parts), "lang", "w", k
+                    ).collect(),
+                )
+            )
+            assert got == want, f"k={k} parts={parts}"
+    # per-group counts: k per group when the group is big enough
+    got7 = weighted_sample_per_group(df, "lang", "w", 7).collect()
+    by_lang = {}
+    for r in got7:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    assert by_lang == {"en": 7, "de": 7, "zh": 7}
