@@ -290,6 +290,15 @@ def q_mad_outliers_by_type(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_role_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Role→next-role transition matrix over the transcripts view —
+    one conv_id-keyed window exchange + a tiny-key partial-agg
+    groupBy; fraction via a broadcast 1-row total."""
+    from ocsf_validator_spark.stats import role_transitions
+
+    return role_transitions(_transcripts(spark, sf))
+
+
 def q_render_conversations(spark: SparkSession, sf: str) -> DataFrame:
     """SFT-export render over the transcripts view: one ordered
     training-text document per conversation plus the token count /
@@ -1213,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_verdicts": q_suite_verdicts,
         "conversation_stats": q_conversation_stats,
         "render_conversations": q_render_conversations,
+        "role_transitions": q_role_transitions,
         "mad_outliers_value": q_mad_outliers_value,
         "mad_outliers_by_type": q_mad_outliers_by_type,
         "weighted_sample_docs": q_weighted_sample_docs,
@@ -1519,6 +1529,20 @@ SELECT doc_id,
       '{_ipv4}', '<IP>', 'g'),
       '{_phone}', '<PHONE>', 'g') AS text_scrubbed
 FROM inj
+"""
+
+    sqls["role_transitions"] = f"""
+WITH {_T_CTE},
+p AS (SELECT role,
+             lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role,
+             lead(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nt
+      FROM t),
+c AS (SELECT role, next_role, COUNT(*)::BIGINT AS n FROM p WHERE nt IS NOT NULL
+      GROUP BY role, next_role),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+SELECT c.role, c.next_role, c.n,
+       round(CAST(c.n AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS frac
+FROM c, tot
 """
 
     sqls["render_conversations"] = f"""

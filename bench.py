@@ -193,6 +193,7 @@ def main() -> None:
         "pii_scrub_docs",
         "cluster_split_docs",
         "weighted_sample_by_lang",
+        "role_transitions",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -238,3 +238,55 @@ def conversation_stats(
             & (F.col("max_idx") - F.col("min_idx") + 1 == F.col("n_turns")),
         )
     )
+
+
+def role_transitions(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Conversation-structure analytics: the corpus role→next-role
+    transition matrix with counts and fractions — the agent-transcript
+    health dashboard (assistant-after-assistant runs, tool calls
+    without a following tool result, user→user double-sends all show
+    up as off-diagonal mass).
+
+    ``lead`` over the per-conversation turn order — deterministic
+    because (conv_col, order_col) is unique in the transcript contract
+    (the Uniqueness constraint validates exactly that upstream). The
+    next-row probe leads ``order_col`` (never NULL mid-conversation),
+    so transitions INTO a NULL role are kept as real rows while the
+    end-of-conversation sentinel is not counted.
+
+    At scale: ONE exchange keyed on conv_col (the engine's standard,
+    skew-routable key) for the window, then a partial-agg groupBy on
+    the tiny (role, next_role) key space; the total for the fraction is
+    a broadcast 1-row frame (the drift.py pattern), never a global
+    window. Returns (role, next_role, n, frac) with frac rounded to
+    6 dp for cross-engine hash stability.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    pairs = df.select(
+        F.col(role_col).alias("role"),
+        F.lead(role_col).over(w).alias("next_role"),
+        F.lead(order_col).over(w).alias("_nt"),
+    ).filter(F.col("_nt").isNotNull())
+    counts = pairs.groupBy("role", "next_role").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "role",
+            "next_role",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_tot").cast("double"), 6).alias(
+                "frac"
+            ),
+        )
+        .orderBy("role", "next_role")
+    )

@@ -140,3 +140,30 @@ def test_bucketed_probe_stats_fused(spark):
     for m in re.finditer(r"ObjectHashAggregate\(keys=\[(\w+)", plan):
         assert m.group(1) == "bucket", plan
     assert "ObjectHashAggregate" in plan  # the probe leg exists
+
+
+def test_role_transitions_matrix(spark):
+    from ocsf_validator_spark.stats import role_transitions
+
+    rows = [
+        # conv a: user -> assistant -> NULL -> assistant
+        ("a", 0, "user"), ("a", 1, "assistant"), ("a", 2, None),
+        ("a", 3, "assistant"),
+        # conv b: a single turn contributes no transition
+        ("b", 0, "user"),
+        # conv c: user -> user double-send
+        ("c", 0, "user"), ("c", 1, "user"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = {
+        (r.role, r.next_role): (r.n, r.frac)
+        for r in role_transitions(df).collect()
+    }
+    # 4 transitions total: NULL roles are real matrix entries on both
+    # sides; the end-of-conversation lead sentinel is NOT a transition
+    assert got == {
+        ("user", "assistant"): (1, 0.25),
+        ("assistant", None): (1, 0.25),
+        (None, "assistant"): (1, 0.25),
+        ("user", "user"): (1, 0.25),
+    }
