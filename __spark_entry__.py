@@ -299,6 +299,34 @@ def q_role_transitions(spark: SparkSession, sf: str) -> DataFrame:
     return role_transitions(_transcripts(spark, sf))
 
 
+def q_latency_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Turn-latency percentiles per role transition (agent SLO
+    analytics): lag(ts) deltas in integer MICROseconds over the
+    conv_id turn order (unix_micros after an NTZ->timestamp cast —
+    exact under the session's pinned UTC, replayed by DuckDB
+    epoch_us; whole-second unix_timestamp would truncate the
+    sub-second part DuckDB keeps), then the exact histogram-narrowed
+    per-group quantiles — one window exchange + bounded-driver-state
+    quantiles, no global sort."""
+    from ocsf_validator_spark.pipeline.quantiles import exact_group_quantiles
+
+    t = _transcripts(spark, sf)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    d = t.select(
+        F.concat_ws(">", F.lag("role").over(w), F.col("role")).alias(
+            "transition"
+        ),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+        ).cast("double").alias("latency_us"),
+        F.lag("turn_idx").over(w).alias("_pt"),
+    ).filter(F.col("_pt").isNotNull())
+    return exact_group_quantiles(
+        d, "transition", "latency_us", qs=(0.5, 0.9, 0.99)
+    )
+
+
 def q_render_conversations(spark: SparkSession, sf: str) -> DataFrame:
     """SFT-export render over the transcripts view: one ordered
     training-text document per conversation plus the token count /
@@ -1223,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": q_conversation_stats,
         "render_conversations": q_render_conversations,
         "role_transitions": q_role_transitions,
+        "latency_quantiles": q_latency_quantiles,
         "mad_outliers_value": q_mad_outliers_value,
         "mad_outliers_by_type": q_mad_outliers_by_type,
         "weighted_sample_docs": q_weighted_sample_docs,
@@ -1543,6 +1572,26 @@ tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
 SELECT c.role, c.next_role, c.n,
        round(CAST(c.n AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS frac
 FROM c, tot
+"""
+
+    sqls["latency_quantiles"] = f"""
+WITH {_T_CTE},
+p AS (SELECT role, ts,
+             lag(role) OVER w AS prev_role,
+             lag(ts) OVER w AS prev_ts,
+             lag(turn_idx) OVER w AS pt
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+v AS (SELECT concat_ws('>', prev_role, role) AS g,
+             CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE) AS v
+      FROM p WHERE pt IS NOT NULL),
+v2 AS (SELECT g, v FROM v WHERE v IS NOT NULL AND g IS NOT NULL),
+n AS (SELECT g, count(*) AS n FROM v2 GROUP BY g),
+r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM v2)
+SELECT r.g AS transition, t2.q::DOUBLE AS q, r.v AS value
+FROM (VALUES (0.5),(0.9),(0.99)) t2(q)
+JOIN n ON true
+JOIN r ON r.g = n.g AND r.rn = CAST(floor((n.n - 1) * t2.q) AS BIGINT) + 1
+ORDER BY transition, q
 """
 
     sqls["render_conversations"] = f"""

@@ -194,6 +194,7 @@ def main() -> None:
         "cluster_split_docs",
         "weighted_sample_by_lang",
         "role_transitions",
+        "latency_quantiles",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:
