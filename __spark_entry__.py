@@ -299,6 +299,15 @@ def q_role_transitions(spark: SparkSession, sf: str) -> DataFrame:
     return role_transitions(_transcripts(spark, sf))
 
 
+def q_embedding_health(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding-table QA: exact decimal-sum means,
+    finite min/max, non-finite counts — one posexplode + partial-agg
+    groupBy(dim), exchange carries dims x partitions fixed rows."""
+    from ocsf_validator_spark.pipeline.similarity import embedding_health
+
+    return embedding_health(_t(spark, sf, "embeddings"))
+
+
 def q_latency_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Turn-latency percentiles per role transition (agent SLO
     analytics): lag(ts) deltas in integer MICROseconds over the
@@ -1252,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_conversations": q_render_conversations,
         "role_transitions": q_role_transitions,
         "latency_quantiles": q_latency_quantiles,
+        "embedding_health": q_embedding_health,
         "mad_outliers_value": q_mad_outliers_value,
         "mad_outliers_by_type": q_mad_outliers_by_type,
         "weighted_sample_docs": q_weighted_sample_docs,
@@ -1572,6 +1582,35 @@ tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
 SELECT c.role, c.next_role, c.n,
        round(CAST(c.n AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS frac
 FROM c, tot
+"""
+
+    # replay of embedding_health: decimal(21,10) per-dim sums (exact,
+    # order-independent) -> one double division; non-finite excluded
+    sqls["embedding_health"] = """
+WITH d AS (
+  SELECT unnest(list_transform(range(1, len(embedding) + 1),
+         i -> struct_pack(pos := i - 1, val := embedding[i]::DOUBLE))) AS pv
+  FROM embeddings WHERE embedding IS NOT NULL
+), v AS (
+  SELECT pv.pos AS dim, pv.val AS v,
+         (NOT isnan(pv.val)) AND pv.val > '-inf'::DOUBLE
+          AND pv.val < 'inf'::DOUBLE AS fin
+  FROM d
+)
+SELECT dim,
+  CAST(COUNT(*) FILTER (fin) AS BIGINT) AS n_finite,
+  CAST(COUNT(*) FILTER (NOT fin) AS BIGINT) AS n_nonfinite,
+  round(CASE WHEN COUNT(*) FILTER (fin) > 0 THEN
+    (SUM(round(v, 7)::DECIMAL(21,7)) FILTER (fin))::DOUBLE
+      / (COUNT(*) FILTER (fin))
+  END, 6) AS mean,
+  round(CASE WHEN COUNT(*) FILTER (fin) > 0 THEN
+    (SUM(round(abs(v), 7)::DECIMAL(21,7)) FILTER (fin))::DOUBLE
+      / (COUNT(*) FILTER (fin))
+  END, 6) AS mean_abs,
+  MIN(v) FILTER (fin) AS min_val,
+  MAX(v) FILTER (fin) AS max_val
+FROM v GROUP BY dim ORDER BY dim
 """
 
     sqls["latency_quantiles"] = f"""

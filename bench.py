@@ -195,6 +195,7 @@ def main() -> None:
         "weighted_sample_by_lang",
         "role_transitions",
         "latency_quantiles",
+        "embedding_health",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -424,3 +424,82 @@ def label_centroid_outliers(
         .select(label_col, id_col, "cos_sim")
         .orderBy(label_col, id_col)
     )
+
+
+def embedding_health(
+    df: DataFrame,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-table QA: per-DIMENSION health statistics — the screen
+    run before a vector table is trusted for ANN or training. A dead
+    dimension (mean_abs ~ 0: the encoder collapsed it), a saturated one
+    (|min|/|max| at the clip boundary), or any non-finite leakage
+    (NaN/inf from a failed encode) all surface as one bad row here,
+    invisible to per-vector norms alone.
+
+    Scale shape: one posexplode + partial-aggregating groupBy(dim) —
+    map-side combine collapses each partition to n_dims fixed-width
+    partial rows, so the exchange carries n_partitions x dims rows,
+    never vectors (the label_centroid_outliers reduction without the
+    label key). Cross-engine determinism: values are PRE-ROUNDED to
+    7 dp (float32 carries ~7 significant digits, so nothing real is
+    lost) so the double->decimal cast is tie-free — a raw float64 cast
+    to decimal(_, 10) rounds its 10th decimal differently across
+    engines (caught by the gate: one value in 500 flipped the sum by
+    1e-10); sums then accumulate in decimal(21,7) (exact,
+    order-independent — the centroid trick), means are one double
+    division off the exact sums rounded to 6 dp (the tfidf precision
+    contract); abs() instead of squares so no decimal multiply can
+    overflow precision. Non-finite values are counted but excluded
+    from sums/means/min/max (and from the decimal cast, which ANSI
+    mode would throw on for NaN).
+
+    Returns (dim, n_finite, n_nonfinite, mean, mean_abs, min_val,
+    max_val) ordered by dim; mean/mean_abs NULL for an all-non-finite
+    dimension. NULL embeddings contribute nothing (posexplode skips).
+    """
+    val = F.col("_val")
+    inf = float("inf")
+    finite = ~F.isnan(val) & (val > -inf) & (val < inf)
+    n_fin = F.count(F.when(finite, F.lit(1)))
+    dec = "cast(round({x}, 7) as decimal(21, 7))"
+    return (
+        df.select(F.posexplode(F.expr(_dbl(emb_col))).alias("_pos", "_val"))
+        .groupBy("_pos")
+        .agg(
+            n_fin.alias("n_finite"),
+            F.count(F.when(~finite, F.lit(1))).alias("n_nonfinite"),
+            F.round(
+                F.when(
+                    n_fin > 0,
+                    F.sum(
+                        F.when(finite, F.expr(dec.format(x="_val")))
+                    ).cast("double")
+                    / n_fin,
+                ),
+                6,
+            ).alias("mean"),
+            F.round(
+                F.when(
+                    n_fin > 0,
+                    F.sum(
+                        F.when(finite, F.expr(dec.format(x="abs(_val)")))
+                    ).cast("double")
+                    / n_fin,
+                ),
+                6,
+            ).alias("mean_abs"),
+            F.min(F.when(finite, val)).alias("min_val"),
+            F.max(F.when(finite, val)).alias("max_val"),
+        )
+        .select(
+            F.col("_pos").alias("dim"),
+            "n_finite",
+            "n_nonfinite",
+            "mean",
+            "mean_abs",
+            "min_val",
+            "max_val",
+        )
+        .orderBy("dim")
+    )

@@ -319,3 +319,41 @@ def test_connected_components_chain_and_dedup(spark):
     # the backstop raises instead of emitting half-merged clusters
     with pytest.raises(RuntimeError, match="converge"):
         dedup.connected_components(pairs, max_iters=1)
+
+
+def test_embedding_health_per_dim(spark):
+    from ocsf_validator_spark.pipeline.similarity import embedding_health
+
+    rows = [
+        (0, [1.0, 0.0, float("nan"), 2.0]),
+        (1, [3.0, 0.0, 5.0, float("inf")]),
+        (2, [-1.0, 0.0, 7.0, 6.0]),
+        (3, None),  # NULL vector contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.dim: r.asDict() for r in embedding_health(df).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # dim 0: healthy
+    assert got[0]["n_finite"] == 3 and got[0]["n_nonfinite"] == 0
+    assert got[0]["mean"] == 1.0 and got[0]["mean_abs"] == round(5 / 3, 6)
+    assert (got[0]["min_val"], got[0]["max_val"]) == (-1.0, 3.0)
+    # dim 1: dead dimension — mean_abs exactly 0
+    assert got[1]["mean_abs"] == 0.0 and got[1]["mean"] == 0.0
+    # dim 2: one NaN counted as non-finite, excluded from stats
+    assert got[2]["n_finite"] == 2 and got[2]["n_nonfinite"] == 1
+    assert got[2]["mean"] == 6.0 and (got[2]["min_val"], got[2]["max_val"]) == (5.0, 7.0)
+    # dim 3: inf counted, excluded from min/max
+    assert got[3]["n_nonfinite"] == 1 and got[3]["max_val"] == 6.0
+
+
+def test_embedding_health_all_nonfinite_dim(spark):
+    from ocsf_validator_spark.pipeline.similarity import embedding_health
+
+    df = spark.createDataFrame(
+        [(0, [float("nan")]), (1, [float("-inf")])],
+        "vec_id long, embedding array<double>",
+    )
+    r = embedding_health(df).collect()[0]
+    assert r.n_finite == 0 and r.n_nonfinite == 2
+    assert r.mean is None and r.mean_abs is None
+    assert r.min_val is None and r.max_val is None
