@@ -555,6 +555,23 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_duplicates(_t(spark, sf, "documents"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental exact dedup (dedup.dedup_against): today's increment
+    anti-joined on the 128-bit content key against everything already
+    ingested, so an increment never rescans history. The prior corpus
+    is doc_id % 4 != 3 and the increment is the odd ids — the
+    % 4 == 1 docs appear on BOTH sides, so exactly the % 4 == 3 rows
+    survive (text-identity == id-identity in this corpus; the overlap
+    is constructed, not assumed). Lengths, not text, cross to the
+    driver hash."""
+    docs = _t(spark, sf, "documents")
+    prior = docs.filter(F.col("doc_id") % 4 != 3)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.dedup_against(new, prior).select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     sig = dedup.minhash_signatures(_t(spark, sf, "documents"), n_hashes=8, k=5)
     return dedup.lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
@@ -1282,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_click_view": q_ks_click_view,
         "ks_by_bucket_textlen": q_ks_by_bucket_textlen,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1828,6 +1846,18 @@ FROM documents d
 JOIN (SELECT text, MIN(doc_id) AS keep_id FROM documents
       GROUP BY text HAVING COUNT(*) > 1) m USING (text)
 WHERE d.doc_id <> m.keep_id
+"""
+
+    # anti join on raw text == the engine's 128-bit content-key anti
+    # join (collision-free at these cardinalities); NULL text survives
+    # by definition on both sides
+    sqls["dedup_incremental"] = """
+SELECT n.doc_id, length(n.text) AS text_len
+FROM documents n
+WHERE n.doc_id % 2 = 1
+  AND (n.text IS NULL OR n.text NOT IN (
+      SELECT text FROM documents
+      WHERE doc_id % 4 <> 3 AND text IS NOT NULL))
 """
 
     # shared shingle CTE: distinct word 5-gram shingles per doc

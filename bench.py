@@ -196,6 +196,7 @@ def main() -> None:
         "role_transitions",
         "latency_quantiles",
         "embedding_health",
+        "dedup_incremental",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

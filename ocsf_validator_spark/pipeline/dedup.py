@@ -495,3 +495,45 @@ def simhash_near_dup_pairs(
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", "simhash")
     )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    prior_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: rows of ``new_df`` whose ``text_col``
+    does NOT already appear in ``prior_df`` — the daily-increment shape
+    (dedup today's crawl against everything already ingested) where
+    re-running :func:`exact_duplicates` over the full corpus would
+    rescan the whole history for every increment.
+
+    Both sides collapse to the exact-dedup 128-bit content key
+    map-side (the body never crosses an exchange; same derivation as
+    exact_duplicates so the two ops can never disagree about what "the
+    same text" means), the prior side deduplicates to DISTINCT keys
+    before the anti join, and at production scale the prior key set is
+    exactly what a checkpoint manifest persists between increments —
+    20 bytes/doc instead of the corpus. NULL text never matches
+    anything (SQL anti-join NULL semantics would otherwise keep every
+    NULL row; here NULL-text rows are kept, matching the oracle's
+    ``NOT IN (non-null keys)`` reading).
+
+    Returns the surviving ``new_df`` rows unchanged.
+    """
+    key = lambda d: [
+        F.xxhash64(F.col(text_col)).alias("_h1"),
+        F.xxhash64(F.lit(1), F.col(text_col)).alias("_h2"),
+        F.length(F.col(text_col)).alias("_len"),
+    ]
+    seen = (
+        prior_df.filter(F.col(text_col).isNotNull())
+        .select(*key(prior_df))
+        .distinct()
+    )
+    new_keyed = new_df.select("*", *key(new_df))
+    return (
+        new_keyed.join(seen, ["_h1", "_h2", "_len"], "left_anti")
+        .drop("_h1", "_h2", "_len")
+    )

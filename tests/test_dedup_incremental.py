@@ -1,0 +1,83 @@
+"""Incremental exact dedup (dedup.dedup_against): new-increment rows
+whose text already exists in the prior corpus are dropped; NULL text
+never matches anything (kept — the oracle's NOT IN (non-null keys)
+reading, not SQL anti-join NULL semantics); the prior side collapses
+to DISTINCT content keys so increment cost is keys-not-corpus.
+"""
+
+from __future__ import annotations
+
+from ocsf_validator_spark.pipeline.dedup import dedup_against, exact_duplicates
+
+
+def test_dedup_against_drops_prior_texts_keeps_null(spark):
+    prior = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None), (4, "beta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha"),   # dup of prior 1 -> dropped
+            (11, "gamma"),   # fresh -> kept
+            (12, None),      # NULL never matches (even prior NULL) -> kept
+            (13, "beta"),    # dup of prior 2/4 -> dropped
+            (14, "ALPHA"),   # case-sensitive: distinct -> kept
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_against(new, prior)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "text"]
+    assert sorted(r.doc_id for r in out.collect()) == [11, 12, 14]
+
+
+def test_dedup_against_empty_prior_is_identity(spark):
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None)], "doc_id long, text string"
+    )
+    prior = new.limit(0)
+    got = sorted(map(tuple, dedup_against(new, prior).collect()))
+    assert got == [(1, "a"), (2, "a"), (3, None)]
+
+
+def test_dedup_against_agrees_with_exact_duplicates(spark):
+    """Running full-corpus exact_duplicates and applying dedup_against
+    to a later increment must agree about what 'the same text' means:
+    an increment row is dropped by dedup_against iff a full-corpus run
+    over prior+new flags it as a duplicate of a PRIOR doc."""
+    prior = spark.createDataFrame(
+        [(i, f"doc {i % 5}") for i in range(10)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100, "doc 0"), (101, "brand new"), (102, "doc 4")],
+        "doc_id long, text string",
+    )
+    survivors = {r.doc_id for r in dedup_against(new, prior).collect()}
+    full = prior.unionByName(new)
+    dup_of_prior = {
+        r.doc_id
+        for r in exact_duplicates(full).collect()
+        if r.doc_id >= 100 and r.keep_id < 100
+    }
+    assert survivors == {101}
+    assert dup_of_prior == {100, 102}
+    assert survivors.isdisjoint(dup_of_prior)
+    assert survivors | dup_of_prior == {100, 101, 102}
+
+
+def test_dedup_against_plan_no_text_through_exchange(spark):
+    """The anti join must key on the 128-bit content key, not text:
+    no raw text column appears in any Exchange of the physical plan
+    (the body never shuffles — at 100 TB the join moves 20-byte keys)."""
+    prior = spark.createDataFrame(
+        [(1, "alpha")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "alpha"), (3, "x")], "doc_id long, text string"
+    )
+    plan = (
+        dedup_against(new, prior)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
