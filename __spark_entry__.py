@@ -35,6 +35,8 @@ from ocsf_validator_spark.spec import (
     MaxLen,
     Monotonic,
     NotNull,
+    OpeningRole,
+    Precedence,
     Range,
     Severity,
     TurnOrdering,
@@ -137,6 +139,41 @@ _SQL_MD5I = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
 
 def q_suite_violations(spark: SparkSession, sf: str) -> DataFrame:
     return all_violations(_transcripts(spark, sf), _events_suite())
+
+
+def q_precedence_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential-structure check (spec.Precedence): a 'purchase' turn
+    requires a prior 'view'/'click' in the same conversation — the
+    funnel-integrity analogue of tool-call/result pairing. Evaluated
+    through all_violations so the running prereq-count rides the fused
+    single-scan window pass (1 Exchange, plan-pinned in tests)."""
+    suite = ConstraintSet(
+        name="structure",
+        constraints=[
+            Precedence(
+                column="role", trigger="purchase", prereq=("view", "click")
+            )
+        ],
+    )
+    return all_violations(
+        _transcripts(spark, sf), suite, include_coverage=False
+    )
+
+
+def q_opening_role_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversation-opening check (spec.OpeningRole): the first turn of
+    each conversation must be view/click/signup — a transcript opening
+    with 'purchase' or 'error' was truncated upstream. row_number()==1
+    leg on the same fused conversation window."""
+    suite = ConstraintSet(
+        name="structure",
+        constraints=[
+            OpeningRole(column="role", allowed=("view", "click", "signup"))
+        ],
+    )
+    return all_violations(
+        _transcripts(spark, sf), suite, include_coverage=False
+    )
 
 
 def q_quarantine_rows(spark: SparkSession, sf: str) -> DataFrame:
@@ -1271,6 +1308,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "suite_violations": q_suite_violations,
+        "precedence_purchase": q_precedence_purchase,
+        "opening_role_events": q_opening_role_events,
         "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
@@ -1383,6 +1422,33 @@ def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
     sqls["suite_violations"] = f"WITH {_T_CTE} {_SUITE_VIOLATION_LEGS}"
+
+    sqls["precedence_purchase"] = f"""
+WITH {_T_CTE},
+c AS (
+  SELECT conv_id, turn_idx, role,
+         SUM(CASE WHEN role IN ('view','click') THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prereq
+  FROM t)
+SELECT 'precedence.role.purchase' AS constraint_id, conv_id, turn_idx,
+       'role ''purchase'' with no prior view|click' AS reason,
+       'ERROR' AS severity
+FROM c WHERE role = 'purchase' AND COALESCE(prereq, 0) = 0
+"""
+
+    sqls["opening_role_events"] = f"""
+WITH {_T_CTE},
+c AS (
+  SELECT conv_id, turn_idx, role,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM t)
+SELECT 'opening.role' AS constraint_id, conv_id, turn_idx,
+       'conversation opens with ' || COALESCE(role, 'NULL') AS reason,
+       'ERROR' AS severity
+FROM c WHERE rn = 1
+  AND (role IS NULL OR role NOT IN ('view','click','signup'))
+"""
 
     # quarantine routing: the same proven violation legs, reduced to
     # the distinct >= ERROR row keys, semi-joined back to the input —

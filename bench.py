@@ -197,6 +197,8 @@ def main() -> None:
         "latency_quantiles",
         "embedding_health",
         "dedup_incremental",
+        "precedence_purchase",
+        "opening_role_events",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -54,7 +54,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ocsf_validator_spark.spec import Monotonic, Unique
+from ocsf_validator_spark.spec import Monotonic, Precedence, Unique
 
 CARRY_PREV_IDX = "_c_prev_idx"
 CARRY_COUNT = "_c_tail_count"
@@ -63,6 +63,13 @@ CARRY_FIRST = "_c_tail_first"
 
 def carry_mono_col(column: str) -> str:
     return f"_c_prev_{column}"
+
+
+def carry_seen_col(c: Precedence) -> str:
+    """Per-Precedence-constraint 'prereq seen in any prior increment'
+    bit (0/1). Monotone under merge (greatest) — once a conversation
+    has seen a prereq, later increments can never unsee it."""
+    return f"_c_seen_{c.seen_slug}"
 
 
 def boundary_state(
@@ -84,15 +91,19 @@ def boundary_state(
 
     part, idx = keys[0], keys[1]
     mono_cols = [c.column for c in cs if isinstance(c, Monotonic)]
+    prec_cs = [c for c in cs if isinstance(c, Precedence)]
+    full_cols = list(
+        dict.fromkeys([*mono_cols, *[c.column for c in prec_cs]])
+    )
     proj = [F.col(part), F.col(idx)]
     for t in ties:
         if t in (part, idx):
             continue
-        if t in mono_cols:
+        if t in full_cols:
             proj.append(F.col(t))
         else:
             proj.append(_tie_display(F.col(t), df.schema[t].dataType).alias(t))
-    proj += [F.col(m) for m in mono_cols if m not in (part, idx, *ties)]
+    proj += [F.col(m) for m in full_cols if m not in (part, idx, *ties)]
     pre = df.select(*proj)
     tie_order = [F.col(t).asc_nulls_last() for t in ties]
     w = Window.partitionBy(part).orderBy(F.col(idx).asc(), *tie_order)
@@ -105,6 +116,16 @@ def boundary_state(
         idx,
         F.last(F.col(idx)).over(wf).alias("_last_idx"),
         *[F.last(F.col(m)).over(wf).alias(carry_mono_col(m)) for m in mono_cols],
+        *[
+            F.max(
+                F.when(F.col(c.column).isin(*c.prereq), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .over(wf)
+            .alias(carry_seen_col(c))
+            for c in prec_cs
+        ],
         F.count(F.lit(1)).over(w2f).alias("_grp_n"),
         F.first(tie_str).over(w2o).alias("_grp_first"),
     )
@@ -114,6 +135,7 @@ def boundary_state(
     return at_tail.groupBy(part).agg(
         F.min("_last_idx").alias(CARRY_PREV_IDX),
         *[F.min(carry_mono_col(m)).alias(carry_mono_col(m)) for m in mono_cols],
+        *[F.min(carry_seen_col(c)).alias(carry_seen_col(c)) for c in prec_cs],
         F.min("_grp_n").alias(CARRY_COUNT),
         F.min("_grp_first").alias(CARRY_FIRST),
     )
@@ -153,6 +175,7 @@ def attach_carriers(
     nothing themselves."""
     part, idx = keys[0], keys[1]
     mono_cols = [c.column for c in cs if isinstance(c, Monotonic)]
+    prec_cs = [c for c in cs if isinstance(c, Precedence)]
     state = state.join(pre.select(part).distinct(), part, "semi")
     sel = []
     for c in pre.columns:
@@ -165,17 +188,30 @@ def attach_carriers(
             sel.append(F.col(carry_mono_col(c)).cast(dt).alias(c))
         else:  # tie display columns and the row-leg array
             sel.append(F.lit(None).cast(dt).alias(c))
+    # carried 'prereq seen' bits: 0 on real rows, the persisted bit on
+    # carriers (state written before the constraint existed -> 0)
+    seen = [
+        (
+            f"_cr_seen_{c.seen_slug}",
+            F.col(carry_seen_col(c))
+            if carry_seen_col(c) in state.columns
+            else F.lit(0),
+        )
+        for c in prec_cs
+    ]
     carriers = state.select(
         *sel,
         F.lit(True).alias("_cr"),
         F.col(CARRY_COUNT).cast("long").alias("_cr_n"),
         F.col(CARRY_FIRST).cast("string").alias("_cr_first"),
+        *[v.cast("int").alias(k) for k, v in seen],
     )
     real = pre.select(
         *pre.columns,
         F.lit(False).alias("_cr"),
         F.lit(1).cast("long").alias("_cr_n"),
         F.lit(None).cast("string").alias("_cr_first"),
+        *[F.lit(0).alias(k) for k, _ in seen],
     )
     return real.unionByName(carriers)
 
@@ -218,6 +254,13 @@ def merge_state(prior: DataFrame | None, new: DataFrame, part: str = "conv_id") 
                 F.when(advanced, F.col(c))
                 .when(same, F.col(f"_p{c}"))
                 .otherwise(F.col(f"_p{c}"))
+            )
+        elif c.startswith("_c_seen_"):
+            # monotone bit: once any increment saw a prereq, it stays
+            # seen — independent of which side's boundary wins
+            merged = F.greatest(
+                F.coalesce(F.col(c), F.lit(0)),
+                F.coalesce(F.col(f"_p{c}"), F.lit(0)),
             )
         else:
             merged = (

@@ -4,8 +4,10 @@ The fused window pass in violations.py partitions by conv_id, so one
 conversation = one task. A pathological conversation (synth's 5%-skew
 conv; at the design point, a conversation with 10^8 turns) serializes
 that task. This module evaluates the SAME group constraints — Unique
-(first-seen-wins occurrence ranks), TurnOrdering (dup/gap), Monotonic —
-with NO per-conversation partitioning:
+(first-seen-wins occurrence ranks), TurnOrdering (dup/gap), Monotonic,
+Precedence (running prereq-seen carried across partition boundaries via
+the same prefix scan), OpeningRole (conversation-start detection via
+the carried predecessor row) — with NO per-conversation partitioning:
 
 1. ``repartitionByRange(conv_id, turn_idx, *ties)`` +
    ``sortWithinPartitions``: the range partitioner balances rows by
@@ -51,7 +53,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ocsf_validator_spark.spec import Monotonic, TurnOrdering, Unique
+from ocsf_validator_spark.spec import (
+    Monotonic,
+    OpeningRole,
+    Precedence,
+    TurnOrdering,
+    Unique,
+)
 from ocsf_validator_spark.violations import _tie_display
 
 def _violation_ddl(part: str, idx: str) -> str:
@@ -141,10 +149,26 @@ def scalable_group_violations(
     order_specs = [
         (c.constraint_id, c.severity.name) for c in cs if isinstance(c, TurnOrdering)
     ]
+    prec_specs = [
+        (c.constraint_id, c.column, c.trigger, tuple(c.prereq), c.severity.name)
+        for c in cs
+        if isinstance(c, Precedence)
+    ]
+    open_specs = [
+        (c.constraint_id, c.column, tuple(c.allowed), c.severity.name)
+        for c in cs
+        if isinstance(c, OpeningRole)
+    ]
     narrow = [part, idx, *[t for t in ties if t not in (part, idx)]]
     for _, col, _, _ in mono:
         if col not in narrow:
             narrow.append(col)
+    for spec in prec_specs:
+        if spec[1] not in narrow:
+            narrow.append(spec[1])
+    for spec in open_specs:
+        if spec[1] not in narrow:
+            narrow.append(spec[1])
     # row legs may reference any column, but they are evaluated against
     # the PRE-SHUFFLE persist below — only the narrow group-check columns
     # ever cross the range exchange / the Arrow boundary (full text
@@ -162,7 +186,12 @@ def scalable_group_violations(
     # TIE_DISPLAY_LEN): string tie columns are capped map-side before the
     # range exchange, so a transcript's full `text` never crosses it —
     # rows tying on the capped prefix display the same peer either way.
-    mono_names = {m[1] for m in mono}
+    # exact-value columns (isin/equality semantics): never tie-capped
+    mono_names = (
+        {m[1] for m in mono}
+        | {s[1] for s in prec_specs}
+        | {s[1] for s in open_specs}
+    )
     narrow_bounded = [
         _tie_display(F.col(c), pre.schema[c].dataType).alias(c)
         if c in ties and c not in mono_names
@@ -193,7 +222,8 @@ def scalable_group_violations(
     # ---- Phase A: per-partition boundary summaries -----------------------
     summary_ddl = (
         "pid int, n long, single_group boolean, "
-        "tail_count long, tail_first string, last_json string"
+        "tail_count long, tail_first string, last_json string, "
+        "conv_single boolean, tail_seen string"
     )
 
     def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -204,6 +234,11 @@ def scalable_group_violations(
         tail_count = 0
         tail_first = None
         last = None
+        first_conv = None
+        tail_conv = None  # conversation at the current end
+        # per Precedence constraint: prereq seen among the TAIL
+        # conversation's rows within THIS partition
+        tail_seen = {cid: False for cid, *_ in prec_specs}
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -211,6 +246,8 @@ def scalable_group_violations(
             pid = int(pdf["_pid"].iloc[0])
             m = len(pdf)
             conv, turn = pdf[part], pdf[idx]
+            if first_conv is None:
+                first_conv = conv.iloc[0]
             first_key = (conv.iloc[0], turn.iloc[0])
             last_key = (conv.iloc[m - 1], turn.iloc[m - 1])
             batch_single = first_key == last_key  # sorted -> ends equal = all equal
@@ -229,6 +266,20 @@ def scalable_group_violations(
                 # string here — not the whole batch
                 tail_first = str(_ties_str(pdf.iloc[[s]], ties).iloc[0])
             tail_key = last_key
+            if prec_specs:
+                # sorted by conv: the batch's last conversation's rows
+                # are a contiguous suffix == all rows with that conv
+                batch_last_conv = conv.iloc[m - 1]
+                in_tail_conv = conv == batch_last_conv
+                for cid, col, _trig, prereq, _sev in prec_specs:
+                    seen = bool(
+                        pdf[col][in_tail_conv].isin(prereq).any()
+                    )
+                    if tail_conv is not None and batch_last_conv == tail_conv:
+                        tail_seen[cid] = tail_seen[cid] or seen
+                    else:
+                        tail_seen[cid] = seen
+                tail_conv = batch_last_conv
             last = {c: pdf[c].iloc[-1] for c in data_cols}
             n += m
         if pid is None:
@@ -253,6 +304,12 @@ def scalable_group_violations(
                 "tail_count": [int(tail_count)],
                 "tail_first": [tail_first],
                 "last_json": [json.dumps({c: enc(v) for c, v in last.items()})],
+                "conv_single": [
+                    bool(first_conv == last[part]) if last else True
+                ],
+                "tail_seen": [
+                    json.dumps({k: int(v) for k, v in tail_seen.items()})
+                ],
             }
         )
 
@@ -271,15 +328,34 @@ def scalable_group_violations(
     run_key = None
     run_count = 0
     run_first = None
+    # per Precedence constraint: prereq seen so far in the conversation
+    # OPEN at the running end (prefix-combined across partitions)
+    seen_run = {cid: False for cid, *_ in prec_specs}
     for s in summaries:
         carry[s.pid] = {
             "prev": dict(prev_last) if prev_last else None,
             "run_key": list(run_key) if run_key else None,
             "run_count": run_count,
             "run_first": run_first,
+            "seen": dict(seen_run),
         }
         last = json.loads(s.last_json)
         this_tail = (last[part], last[idx])
+        if prec_specs:
+            tail_seen = json.loads(s.tail_seen)
+            if (
+                prev_last is not None
+                and s.conv_single
+                and last[part] == prev_last[part]
+            ):
+                # the whole partition extends the open conversation
+                for cid in seen_run:
+                    seen_run[cid] = seen_run[cid] or bool(tail_seen[cid])
+            else:
+                # the tail conversation started inside this partition
+                seen_run = {
+                    cid: bool(tail_seen[cid]) for cid, *_ in prec_specs
+                }
         if prev_last is not None and s.single_group and run_key == this_tail:
             run_count += int(s.tail_count)  # group spans 3+ partitions
         else:
@@ -303,6 +379,7 @@ def scalable_group_violations(
                     "run_key": tuple(c0["run_key"]) if c0.get("run_key") else None,
                     "run_count": int(c0.get("run_count") or 0),
                     "run_first": c0.get("run_first"),
+                    "seen": dict(c0.get("seen") or {}),
                 }
             n = len(pdf)
             conv, turn = pdf[part], pdf[idx]
@@ -330,6 +407,44 @@ def scalable_group_violations(
                     cid_rows.append(cid); sev_rows.append(sev); pos_rows.append(i)
                     out_rows.append(
                         f"{idx} gap: expected {int(expected.iloc[i])} got {turn.iloc[i]}"
+                    )
+
+            if prec_specs or open_specs:
+                # conversation segments within the batch; with carry the
+                # head rows (same_conv[0] True) continue the open
+                # conversation from the previous batch/partition
+                conv_seg = (~same_conv).cumsum()
+            for cid, col, trig, prereq, sev in prec_specs:
+                cur = pdf[col]
+                ind = cur.isin(prereq).fillna(False).astype("int64")
+                prior = ind.groupby(conv_seg).cumsum() - ind
+                if bool(same_conv.iloc[0]) and state["seen"].get(cid):
+                    head = conv_seg == conv_seg.iloc[0]
+                    prior = prior.where(~head, prior + 1)
+                bad = (cur == trig) & (prior == 0)
+                for i in bad[bad].index:
+                    cid_rows.append(cid); sev_rows.append(sev); pos_rows.append(i)
+                    out_rows.append(
+                        f"{col} '{trig}' with no prior {'|'.join(prereq)}"
+                    )
+                # update the open-conversation seen bit for the next batch
+                tail_seg = conv_seg == conv_seg.iloc[n - 1]
+                seen_tail = bool(ind[tail_seg].any())
+                if bool(same_conv.iloc[0]) and conv_seg.iloc[0] == conv_seg.iloc[n - 1]:
+                    state["seen"][cid] = bool(state["seen"].get(cid)) or seen_tail
+                else:
+                    state["seen"][cid] = seen_tail
+
+            for cid, col, allowed, sev in open_specs:
+                cur = pdf[col]
+                is_first = ~same_conv
+                bad = is_first & (cur.isna() | ~cur.isin(allowed))
+                for i in bad[bad].index:
+                    cid_rows.append(cid); sev_rows.append(sev); pos_rows.append(i)
+                    v = cur.iloc[i]
+                    out_rows.append(
+                        "conversation opens with "
+                        + ("NULL" if pd.isna(v) else str(v))
                     )
 
             for cid, col, strict, sev in mono:

@@ -236,6 +236,67 @@ class Monotonic(Constraint):
     KIND = "monotonic"
 
 
+@dataclass(frozen=True)
+class Precedence(Constraint):
+    """Sequential-structure check: a ``trigger`` value of ``column``
+    requires at least one ``prereq`` value STRICTLY EARLIER in the same
+    conversation under stable turn ordering — the tool-call/tool-result
+    pairing shape (a role='tool' turn needs a prior assistant tool
+    call; a 'purchase' event needs a prior 'view'/'click'). The
+    analogue of the reference's dependency-edge requirement that a
+    referenced node exist before its dependents resolve
+    (reference dependencies.py add_dependency/process order), applied
+    to the turn sequence instead of the file graph.
+
+    Evaluated in the fused single-scan window pass as a running
+    prereq-count over the conversation window's PRECEDING frame — it
+    rides the same exchange + sort as Unique/TurnOrdering/Monotonic.
+    Incremental runs carry a per-conversation "prereq seen" bit in the
+    convstate boundary summary, so a trigger in increment 2 whose
+    prereq landed in increment 1 does not false-positive. NULL never
+    matches ``trigger`` or ``prereq``. Cross-batch STREAMING state for
+    this kind is not carried (batch + incremental only).
+    """
+
+    trigger: str = ""
+    prereq: tuple[str, ...] = ()
+    partition_by: str = "conv_id"
+    order_by: str = "turn_idx"
+    KIND = "precedence"
+
+    @property
+    def constraint_id(self) -> str:
+        return self.id_override or f"{self.KIND}.{self.column}.{self.trigger}"
+
+    @property
+    def seen_slug(self) -> str:
+        """Column-name-safe key for carried 'prereq seen' state."""
+        return "".join(
+            ch if ch.isalnum() else "_" for ch in self.constraint_id
+        )
+
+
+@dataclass(frozen=True)
+class OpeningRole(Constraint):
+    """Conversation-opening check: the FIRST turn of each conversation
+    (row 1 under stable turn ordering) must have ``column`` in
+    ``allowed`` — a transcript that opens mid-dialogue (assistant/tool
+    first) or with an out-of-funnel event was truncated upstream.
+    NULL openers violate (the opener is unknown, hence not allowed).
+
+    Rides the fused window pass as a row_number()==1 leg — no extra
+    exchange. In incremental runs a carried conversation's first row
+    of THIS increment is not the true opening, so the leg
+    auto-suppresses on carried conversations (the true opening was
+    checked when increment 1 ran).
+    """
+
+    allowed: tuple[str, ...] = ()
+    partition_by: str = "conv_id"
+    order_by: str = "turn_idx"
+    KIND = "opening"
+
+
 # ---------------------------------------------------------------------------
 # Dataset-level constraints — produce findings without row keys
 # ---------------------------------------------------------------------------
@@ -271,7 +332,7 @@ class EnumCoverage(Constraint):
 ROW_LEVEL = (
     NotNull, InEnum, Deprecated, TypeCast, Regex, Glob, MaxLen, Range, MapKeysIn
 )
-GROUP_LEVEL = (Unique, TurnOrdering, Monotonic)
+GROUP_LEVEL = (Unique, TurnOrdering, Monotonic, Precedence, OpeningRole)
 DATASET_LEVEL = (AllowedColumns, EnumCoverage)
 RESIDUAL_LEVEL = (PandasCheck,)
 

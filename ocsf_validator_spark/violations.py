@@ -41,6 +41,8 @@ from ocsf_validator_spark.spec import (
     ConstraintSet,
     EnumCoverage,
     Monotonic,
+    OpeningRole,
+    Precedence,
     Severity,
     TurnOrdering,
     Unique,
@@ -269,6 +271,70 @@ def monotonic_violations(
     )
 
 
+def precedence_violations(
+    df: DataFrame, c: Precedence, keys: Sequence[str] = DEFAULT_KEYS
+) -> DataFrame:
+    """Standalone Precedence leg (unfused fallback): running prereq
+    count over the conversation window's strictly-preceding frame, one
+    exchange on partition_by. Reason string identical to the fused and
+    skew paths (parity-pinned)."""
+    w = (
+        Window.partitionBy(c.partition_by)
+        .orderBy(F.col(c.order_by).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.sum(
+        F.when(F.col(c.column).isin(*c.prereq), F.lit(1)).otherwise(F.lit(0))
+    ).over(w)
+    staged = df.select(
+        *keys, F.col(c.column).alias("_cur"), prior.alias("_prior")
+    )
+    return (
+        staged.filter(
+            (F.col("_cur") == F.lit(c.trigger))
+            & (F.coalesce(F.col("_prior"), F.lit(0)) == 0)
+        )
+        .select(
+            F.lit(c.constraint_id).alias("constraint_id"),
+            *keys,
+            F.lit(
+                f"{c.column} '{c.trigger}' with no prior "
+                f"{'|'.join(c.prereq)}"
+            ).alias("reason"),
+            F.lit(c.severity.name).alias("severity"),
+        )
+    )
+
+
+def opening_violations(
+    df: DataFrame, c: OpeningRole, keys: Sequence[str] = DEFAULT_KEYS
+) -> DataFrame:
+    """Standalone OpeningRole leg (unfused fallback): the first row of
+    each conversation under stable turn ordering must carry an allowed
+    value; NULL openers violate."""
+    w = Window.partitionBy(c.partition_by).orderBy(F.col(c.order_by).asc())
+    staged = df.select(
+        *keys,
+        F.col(c.column).alias("_cur"),
+        F.row_number().over(w).alias("_rn1"),
+    )
+    return (
+        staged.filter(
+            (F.col("_rn1") == 1)
+            & (F.col("_cur").isNull() | ~F.col("_cur").isin(*c.allowed))
+        )
+        .select(
+            F.lit(c.constraint_id).alias("constraint_id"),
+            *keys,
+            F.concat(
+                F.lit("conversation opens with "),
+                F.coalesce(F.col("_cur").cast("string"), F.lit("NULL")),
+            ).alias("reason"),
+            F.lit(c.severity.name).alias("severity"),
+        )
+    )
+
+
 def _fusable(suite: ConstraintSet, df: DataFrame, keys: Sequence[str]):
     """Group constraints that all live on the same conversation window
     (partition = keys[0], order = keys[1]; Unique over exactly those two
@@ -282,10 +348,14 @@ def _fusable(suite: ConstraintSet, df: DataFrame, keys: Sequence[str]):
             ties = list(c.first_seen_order)
             if not _present(df, ties):
                 return None
-        elif isinstance(c, (TurnOrdering, Monotonic)):
+        elif isinstance(c, (TurnOrdering, Monotonic, Precedence, OpeningRole)):
             if c.partition_by != part or c.order_by != idx:
                 return None
-            need = [c.column] if isinstance(c, Monotonic) else []
+            need = (
+                [c.column]
+                if isinstance(c, (Monotonic, Precedence, OpeningRole))
+                else []
+            )
             if not _present(df, [part, idx, *need]):
                 return None
         else:
@@ -346,13 +416,19 @@ def fused_group_violations(
     part, idx = keys[0], keys[1]
     entry_t = "struct<constraint_id:string,reason:string,severity:string>"
     mono_cols = [c.column for c in cs if isinstance(c, Monotonic)]
+    # Precedence/OpeningRole columns need exact values (isin/equality
+    # semantics — a capped prefix would change them), same as Monotonic
+    seq_cols = [
+        c.column for c in cs if isinstance(c, (Precedence, OpeningRole))
+    ]
+    full_cols = list(dict.fromkeys([*mono_cols, *seq_cols]))
     # ---- map-side stage: keys + bounded ties + mono columns + the row
     # family's violation array, all computed BEFORE the exchange --------
     pre_cols = [F.col(k) for k in keys]
     for t in ties:
         if t in keys:
             continue
-        if t in mono_cols:
+        if t in full_cols:
             # a Monotonic column doubling as a tie must keep its full
             # value — prefix comparison would change mono semantics
             pre_cols.append(F.col(t))
@@ -361,7 +437,7 @@ def fused_group_violations(
                 _tie_display(F.col(t), df.schema[t].dataType).alias(t)
             )
     pre_cols += [
-        F.col(m) for m in mono_cols if m not in keys and m not in ties
+        F.col(m) for m in full_cols if m not in keys and m not in ties
     ]
     if row_cs:
         # defect-proportional: NULL (not an empty array) for clean rows,
@@ -390,6 +466,36 @@ def fused_group_violations(
     cols: dict = {"_prev_idx": prev_idx}
     for m in mono_cols:
         cols[f"_prev_{m}"] = F.lag(F.col(m)).over(w)
+    prec_cs = [c for c in cs if isinstance(c, Precedence)]
+    open_cs = [c for c in cs if isinstance(c, OpeningRole)]
+    for c in prec_cs:
+        # running prereq count over STRICTLY EARLIER rows — same window
+        # spec (partition, order), different frame: rides the one
+        # exchange + sort the pass already pays for. A carrier row
+        # contributes its carried "prereq seen" bit, so increment-1
+        # prereqs reach increment-2 triggers.
+        ind = F.when(F.col(c.column).isin(*c.prereq), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        if carried:
+            ind = F.when(
+                F.col("_cr"),
+                F.coalesce(
+                    F.col(f"_cr_seen_{c.seen_slug}").cast("int"), F.lit(0)
+                ),
+            ).otherwise(ind)
+        cols[f"_prior_{c.seen_slug}"] = F.sum(ind).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+    if open_cs:
+        # row_number rides the same WindowExec; with carry, a carried
+        # conversation's opening was checked when its first increment
+        # ran — suppress via the per-conversation carrier flag
+        cols["_rn1"] = F.row_number().over(w)
+        if carried:
+            cols["_c_has"] = F.max(F.col("_cr").cast("int")).over(
+                Window.partitionBy(part)
+            )
     if carried:
         # the carried boundary idx, visible on every real row of the
         # conversation (full unordered frame; same partitioning as w,
@@ -552,6 +658,48 @@ def fused_group_violations(
                     ),
                 )
             )
+        elif isinstance(c, Precedence):
+            prior = F.coalesce(F.col(f"_prior_{c.seen_slug}"), F.lit(0))
+            legs.append(
+                (
+                    (F.col(c.column) == F.lit(c.trigger))
+                    & (prior == 0)
+                    & ~below_bound,
+                    F.struct(
+                        F.lit(c.constraint_id).alias("constraint_id"),
+                        F.lit(
+                            f"{c.column} '{c.trigger}' with no prior "
+                            f"{'|'.join(c.prereq)}"
+                        ).alias("reason"),
+                        F.lit(c.severity.name).alias("severity"),
+                    ),
+                )
+            )
+        elif isinstance(c, OpeningRole):
+            is_first = F.col("_rn1") == 1
+            if carried:
+                is_first = is_first & (
+                    F.coalesce(F.col("_c_has"), F.lit(0)) == 0
+                )
+            legs.append(
+                (
+                    is_first
+                    & (
+                        F.col(c.column).isNull()
+                        | ~F.col(c.column).isin(*c.allowed)
+                    ),
+                    F.struct(
+                        F.lit(c.constraint_id).alias("constraint_id"),
+                        F.concat(
+                            F.lit("conversation opens with "),
+                            F.coalesce(
+                                F.col(c.column).cast("string"), F.lit("NULL")
+                            ),
+                        ).alias("reason"),
+                        F.lit(c.severity.name).alias("severity"),
+                    ),
+                )
+            )
     # same defect-proportional guard as the row leg: the array of group
     # violation structs is only built (and only non-NULL) when one of
     # the already-computed window conditions actually fired
@@ -606,6 +754,14 @@ def group_violations(
             df, [c.column, c.partition_by, c.order_by]
         ):
             out = out.unionByName(monotonic_violations(df, c, keys))
+        elif isinstance(c, Precedence) and _present(
+            df, [c.column, c.partition_by, c.order_by]
+        ):
+            out = out.unionByName(precedence_violations(df, c, keys))
+        elif isinstance(c, OpeningRole) and _present(
+            df, [c.column, c.partition_by, c.order_by]
+        ):
+            out = out.unionByName(opening_violations(df, c, keys))
     return out
 
 
