@@ -316,6 +316,7 @@ def stateful_ordering_violations(
     ts_col: str = "ts",
     watermark: str = "1 hour",
     idle_timeout: str | None = "2 hours",
+    precedence=None,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: dense
     turn ordering + ts monotonicity ACROSS micro-batches. Per-group
@@ -341,7 +342,19 @@ def stateful_ordering_violations(
     conservative over-report; the nightly batch run is ground truth).
     Size ``idle_timeout`` above the longest plausible conversation idle
     gap. ``idle_timeout=None`` restores unbounded NoTimeout state for
-    bounded backfills where eviction is undesirable."""
+    bounded backfills where eviction is undesirable.
+
+    ``precedence`` (optional spec.Precedence): carries the MINIMUM
+    turn_idx of any prereq row seen so far per conversation, so a
+    trigger turn fires iff no prereq ranks strictly below it in TURN
+    order — exact full-run semantics even when batches arrive out of
+    turn order (a late prereq at turn 0 arriving after the trigger at
+    turn 1 was already reported follows the same
+    violations-are-final-facts contract as the ordering legs: the
+    conservative early report stands, nightly batch is ground truth).
+    State adds one int; NULL never matches trigger or prereq. Equal
+    turn_idx ties are compared strictly (an equal-idx prereq does not
+    count — duplicate-idx rows are already Unique violations)."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -349,6 +362,7 @@ def stateful_ordering_violations(
     part, idx = keys
     bounded = idle_timeout is not None
     horizon_ms = _interval_ms(idle_timeout) if bounded else 0
+    NO_PRE = (1 << 62)  # sentinel: no prereq seen yet
 
     def check(key, pdfs, state: GroupState):
         import numpy as np
@@ -359,9 +373,14 @@ def stateful_ordering_violations(
             state.remove()
             return
         if state.exists:
-            last_idx, last_us = state.get
+            if precedence is not None:
+                last_idx, last_us, min_pre = state.get
+                min_pre = NO_PRE if min_pre is None else min_pre
+            else:
+                last_idx, last_us = state.get
+                min_pre = NO_PRE
         else:
-            last_idx, last_us = None, None
+            last_idx, last_us, min_pre = None, None, NO_PRE
         conv = key[0]
         out = []
         for pdf in pdfs:
@@ -410,12 +429,42 @@ def stateful_ordering_violations(
             for i in np.flatnonzero(regressed):
                 out.append((conv, int(t[i]), "monotonic.ts",
                             f"{ts_col} regressed", "ERROR"))
+            if precedence is not None:
+                pc = precedence
+                ind = (
+                    pdf[pc.column].isin(pc.prereq).fillna(False).to_numpy()
+                )
+                # min prereq turn_idx STRICTLY BEFORE each row: shifted
+                # running min over the (idx, ts)-sorted batch, floored
+                # by the carried cross-batch minimum
+                pre_t = np.where(ind, t, NO_PRE)
+                run_min = np.minimum.accumulate(pre_t)
+                before = np.empty_like(run_min)
+                before[1:] = run_min[:-1]
+                before[0] = NO_PRE
+                before = np.minimum(before, min_pre)
+                trig = (pdf[pc.column] == pc.trigger).fillna(False).to_numpy()
+                bad = trig & ~(before < t)
+                reason = (
+                    f"{pc.column} '{pc.trigger}' with no prior "
+                    f"{'|'.join(pc.prereq)}"
+                )
+                for i in np.flatnonzero(bad):
+                    out.append((conv, int(t[i]), pc.constraint_id,
+                                reason, pc.severity.name))
+                if ind.any():
+                    min_pre = min(min_pre, int(pre_t.min()))
             bmax = int(t.max())
             last_idx = bmax if last_idx is None else max(last_idx, bmax)
             if valid.any():
                 vmax = int(us[valid].max())
                 last_us = vmax if last_us is None else max(last_us, vmax)
-        state.update((last_idx, last_us))
+        if precedence is not None:
+            state.update(
+                (last_idx, last_us, None if min_pre == NO_PRE else min_pre)
+            )
+        else:
+            state.update((last_idx, last_us))
         if bounded:
             # evict once the watermark passes the conversation's last
             # event (or the current watermark, for late-ish data) by the
@@ -435,7 +484,11 @@ def stateful_ordering_violations(
             f"{part} string, {idx} int, constraint_id string, "
             "reason string, severity string"
         ),
-        stateStructType="last_idx int, last_us long",
+        stateStructType=(
+            "last_idx int, last_us long, min_pre long"
+            if precedence is not None
+            else "last_idx int, last_us long"
+        ),
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.EventTimeTimeout

@@ -844,3 +844,59 @@ def test_validate_stream_restart_contract(spark, tmp_path):
     assert cross[0].drain_id in ("d2a", "d2b")  # fired AFTER the restart
     gap = [r for r in got_s if r.conv_id == "cy" and r.turn_idx == 5]
     assert len(gap) == 1 and "expected 3 got 5" in gap[0].reason
+
+
+def test_stateful_precedence_across_batches(spark, tmp_path):
+    """Precedence carried as streaming state (min prereq turn_idx per
+    conversation): a trigger whose prereq landed in an EARLIER
+    micro-batch stays clean; a trigger with no prereq anywhere fires;
+    a carried prereq that ranks ABOVE the trigger in turn order does
+    NOT satisfy it (min-idx state, not a bit)."""
+    from ocsf_validator_spark.spec import Precedence
+
+    prec = Precedence(
+        column="role", trigger="purchase", prereq=("view", "click")
+    )
+    root = str(tmp_path / "in")
+    os.makedirs(root)
+    rows1 = [
+        ("c1", 0, "view", "a", None, "2026-01-01 00:00:00"),
+        ("c2", 0, "error", "x", None, "2026-01-01 00:00:00"),
+        ("c3", 5, "view", "late-prereq", None, "2026-01-01 00:00:00"),
+    ]
+    rows2 = [
+        ("c1", 1, "purchase", "ok", None, "2026-01-01 00:00:10"),      # carried prereq idx 0
+        ("c2", 1, "purchase", "fires", None, "2026-01-01 00:00:10"),   # no prereq ever
+        ("c3", 2, "purchase", "fires-too", None, "2026-01-01 00:00:10"),  # prereq idx 5 > 2
+        ("c3", 6, "purchase", "ok-after", None, "2026-01-01 00:00:11"),   # prereq idx 5 < 6
+    ]
+    for i, rows in enumerate([rows1, rows2]):
+        df = spark.createDataFrame(
+            rows, st.TRANSCRIPT_DDL.replace("timestamp", "string")
+        )
+        df.withColumn("ts", df.ts.cast("timestamp")).coalesce(1).write.parquet(
+            f"{root}/b{i}", mode="overwrite"
+        )
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    sdf = (
+        spark.readStream.schema(st.TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root + "/b*")
+    )
+    q = (
+        st.stateful_ordering_violations(sdf, precedence=prec)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    prec_rows = {
+        (r.conv_id, r.turn_idx)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.constraint_id == "precedence.role.purchase"
+    }
+    assert prec_rows == {("c2", 1), ("c3", 2)}
