@@ -614,6 +614,23 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
 
 
+def q_near_dup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup (dedup.lsh_filter_against): the
+    increment (odd ids) keeps only docs whose LSH bands hit NO band
+    bucket of the prior corpus (doc_id % 4 != 3; the % 4 == 1 overlap
+    self-collides, so exactly those are guaranteed drops). The prior
+    side is its persisted signature table — an increment shingles only
+    itself, and the probe side collapses to distinct band buckets."""
+    docs = _t(spark, sf, "documents")
+    prior = docs.filter(F.col("doc_id") % 4 != 3)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    new_sig = dedup.minhash_signatures(new, n_hashes=8, k=5)
+    prior_sig = dedup.minhash_signatures(prior, n_hashes=8, k=5)
+    return dedup.lsh_filter_against(new, new_sig, prior_sig).select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the LSH
     candidate-pair graph by min-label propagation (deterministic
@@ -1339,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_by_bucket_textlen": q_ks_by_bucket_textlen,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
+        "near_dup_incremental": q_near_dup_incremental,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1965,6 +1983,23 @@ SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
 UNION
 SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
   ON a.m6 = b.m6 AND a.m7 = b.m7 AND a.doc_id < b.doc_id
+"""
+
+    sqls["near_dup_incremental"] = f"""
+WITH {shingles},
+sig AS (
+  SELECT doc_id, {minhash_m(0)}, {minhash_m(1)}, {minhash_m(2)}, {minhash_m(3)},
+         {minhash_m(4)}, {minhash_m(5)}, {minhash_m(6)}, {minhash_m(7)}
+  FROM sh GROUP BY doc_id),
+hit AS (
+  SELECT DISTINCT n.doc_id
+  FROM sig n JOIN sig p
+    ON ((n.m0 = p.m0 AND n.m1 = p.m1) OR (n.m2 = p.m2 AND n.m3 = p.m3)
+        OR (n.m4 = p.m4 AND n.m5 = p.m5) OR (n.m6 = p.m6 AND n.m7 = p.m7))
+  WHERE n.doc_id % 2 = 1 AND p.doc_id % 4 <> 3)
+SELECT d.doc_id, length(d.text) AS text_len
+FROM documents d
+WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM hit)
 """
 
     # shared recursive-CTE body (signatures -> band pairs -> edges ->

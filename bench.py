@@ -197,6 +197,7 @@ def main() -> None:
         "latency_quantiles",
         "embedding_health",
         "dedup_incremental",
+        "near_dup_incremental",
         "precedence_purchase",
         "opening_role_events",
     ]

@@ -160,27 +160,7 @@ def lsh_candidate_pairs(
     the threshold raised to 1M (pure hash path) — 6%, inside the run
     spread. Raise the threshold per-job only if profiling shows the
     sort dominating; it trades executor heap for the sort."""
-    n_bands = n_hashes // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"m{i}").cast("string")
-                        for i in range(b * band_size, (b + 1) * band_size)
-                    ],
-                ).alias("key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    ex = sig.select(F.col(id_col), F.explode(bands).alias("_bk")).select(
-        F.col(id_col),
-        F.col("_bk.band").alias("_band"),
-        F.col("_bk.key").alias("_key"),
-    )
+    ex = _band_rows(sig, id_col, n_hashes, band_size)
     members = (
         ex.groupBy("_band", "_key")
         .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
@@ -537,3 +517,85 @@ def dedup_against(
         new_keyed.join(seen, ["_h1", "_h2", "_len"], "left_anti")
         .drop("_h1", "_h2", "_len")
     )
+
+
+def _band_rows(sig: DataFrame, id_col: str, n_hashes: int, band_size: int):
+    """Explode a signature frame into (id, _band, _key) rows — the
+    shared banding of lsh_candidate_pairs, factored so the incremental
+    ops can never band differently from the full-corpus op."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{i}").cast("string")
+                        for i in range(b * band_size, (b + 1) * band_size)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("_bk")).select(
+        F.col(id_col),
+        F.col("_bk.band").alias("_band"),
+        F.col("_bk.key").alias("_key"),
+    )
+
+
+def lsh_pairs_against(
+    new_sig: DataFrame,
+    prior_sig: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Incremental MinHash-LSH: distinct (new_id, prior_id) candidate
+    pairs between an increment and the already-ingested corpus — the
+    near-dup analogue of :func:`dedup_against`. Both sides band
+    identically to :func:`lsh_candidate_pairs` and meet in ONE
+    (band, key)-keyed equi-join: work is collision-proportional, never
+    new x prior. At production scale ``prior_sig`` is the persisted
+    signature table (n_hashes longs per doc — the state a checkpoint
+    manifest carries between increments), so an increment computes
+    shingles only for ITSELF and never rescans history."""
+    new_b = _band_rows(new_sig, id_col, n_hashes, band_size).withColumnRenamed(
+        id_col, "new_id"
+    )
+    prior_b = _band_rows(
+        prior_sig, id_col, n_hashes, band_size
+    ).withColumnRenamed(id_col, "prior_id")
+    return (
+        new_b.join(prior_b, ["_band", "_key"])
+        .select("new_id", "prior_id")
+        .distinct()
+    )
+
+
+def lsh_filter_against(
+    new_df: DataFrame,
+    new_sig: DataFrame,
+    prior_sig: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Rows of ``new_df`` that are NOT near-duplicates of the prior
+    corpus: a new doc is dropped iff ANY of its LSH bands hits a prior
+    band bucket. The prior side collapses to DISTINCT (band, key)
+    buckets before the probe (prior ids are irrelevant to the filter),
+    so the join's build side is bucket-count-proportional, and the hit
+    set that reaches the final anti join is one id per dropped doc."""
+    prior_keys = _band_rows(
+        prior_sig, id_col, n_hashes, band_size
+    ).select("_band", "_key").distinct()
+    hits = (
+        _band_rows(new_sig, id_col, n_hashes, band_size)
+        .join(prior_keys, ["_band", "_key"], "semi")
+        .select(id_col)
+        .distinct()
+    )
+    return new_df.join(hits, id_col, "left_anti")

@@ -81,3 +81,55 @@ def test_dedup_against_plan_no_text_through_exchange(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+def test_lsh_pairs_against_matches_full_corpus_pairs(spark):
+    """Incremental banding must be bit-identical to the full-corpus op:
+    the (new x prior) pairs of lsh_pairs_against == the cross-side
+    subset of lsh_candidate_pairs run over prior+new together."""
+    from ocsf_validator_spark.pipeline import dedup
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different text with no overlap whatsoever here"),
+        (101, "the quick brown fox jumps over the lazy dog today"),
+        (102, "another unrelated document about spark window functions"),
+    ]
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    prior = full.filter("doc_id < 100")
+    new = full.filter("doc_id >= 100")
+    sig = lambda d: dedup.minhash_signatures(d, n_hashes=8, k=5)
+    inc = {
+        (r.new_id, r.prior_id)
+        for r in dedup.lsh_pairs_against(sig(new), sig(prior)).collect()
+    }
+    cross = {
+        (r.b_id, r.a_id)
+        for r in dedup.lsh_candidate_pairs(sig(full)).collect()
+        if r.a_id < 100 <= r.b_id
+    }
+    assert inc == cross and (101, 1) in inc
+
+
+def test_lsh_filter_against_drops_near_dups_only(spark):
+    from ocsf_validator_spark.pipeline import dedup
+
+    prior = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog today"),
+            (102, "another unrelated document about spark window functions"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = lambda d: dedup.minhash_signatures(d, n_hashes=8, k=5)
+    out = dedup.lsh_filter_against(new, sig(new), sig(prior))
+    assert [r.doc_id for r in out.collect()] == [102]
+    # empty prior keeps everything
+    empty_sig = sig(prior.limit(0))
+    kept = dedup.lsh_filter_against(new, sig(new), empty_sig)
+    assert sorted(r.doc_id for r in kept.collect()) == [101, 102]
