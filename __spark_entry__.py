@@ -876,6 +876,15 @@ def q_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
     return keywords.tfidf_topk(_t(spark, sf, "documents"), k=3)
 
 
+def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token share + Shannon entropy of the corpus mix
+    (pipeline/textstats.corpus_mix) — one partial-agg groupBy, total
+    and entropy broadcast as 1-row frames."""
+    from ocsf_validator_spark.pipeline.textstats import corpus_mix
+
+    return corpus_mix(_t(spark, sf, "documents"), by="source")
+
+
 def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.text_profile(_t(spark, sf, "documents"))
 
@@ -1380,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_topk_refined": q_ivf_topk_refined,
         "text_profile": q_text_profile,
+        "corpus_mix": q_corpus_mix,
         "ngram_topk": q_ngram_topk,
         "stratified_sample": q_stratified_sample,
         "token_budget_select": q_token_budget_select,
@@ -2420,6 +2430,22 @@ LIMIT 10
 """
 
     stop = lambda ws: " OR ".join(f"tk = '{w}'" for w in ws)
+    sqls["corpus_mix"] = """
+WITH g AS (
+  SELECT source, COUNT(*) AS docs,
+         CAST(SUM(CASE WHEN text IS NULL THEN 0
+                       ELSE len(string_split(text, ' ')) END) AS BIGINT) AS tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS t FROM g),
+s AS (SELECT source, docs, tokens,
+             ROUND(tokens / t, 6) AS token_share FROM g, tot),
+e AS (SELECT ROUND(-CAST(SUM(CAST(ROUND(token_share * log2(token_share), 7)
+                               AS DECIMAL(21,7))) AS DOUBLE), 6)
+             AS mix_entropy_bits
+      FROM s WHERE token_share > 0)
+SELECT source, docs, tokens, token_share, mix_entropy_bits FROM s, e
+"""
+
     sqls["text_profile"] = f"""
 WITH f AS (
   SELECT doc_id, text,

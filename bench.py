@@ -200,6 +200,7 @@ def main() -> None:
         "near_dup_incremental",
         "precedence_purchase",
         "opening_role_events",
+        "corpus_mix",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

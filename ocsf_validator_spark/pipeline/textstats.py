@@ -164,3 +164,49 @@ def repetition_profile(
 ) -> DataFrame:
     """Per-document repetition signals — one scan-speed projection."""
     return df.select(F.col(id_col), *repetition_cols(text_col, n))
+
+
+def corpus_mix(
+    df: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Data-mixing dashboard: per-``by`` document/token counts, token
+    share of the corpus, and the mix's Shannon entropy in bits (how
+    evenly the token mass spreads across sources — the number a
+    training-mix rebalance moves; log2(n_groups) = uniform).
+
+    One partial-agg groupBy(by) over a 2-column pruned scan; the total
+    and the entropy are broadcast 1-row frames (never a global window).
+    The tiny grouped frame is localCheckpoint'd so its two consumers
+    (share projection, entropy fold) cannot re-scan the source.
+    Determinism (cross-engine value-hash): shares are ratios of exact
+    BIGINTs rounded to 6 dp; entropy terms are computed FROM the
+    rounded shares, rounded to 7 dp, and summed in decimal(21,7) —
+    exact and order-independent, so libm log2 ULP and fold order can
+    never flip the 6 dp output (the embedding_health pattern)."""
+    tok = (
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.expr(f"size({_tokens(text_col)})"))
+        .cast("bigint")
+    )
+    g = (
+        df.groupBy(by)
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum(tok).alias("tokens"))
+        .localCheckpoint(eager=False)
+    )
+    tot = g.agg(F.sum("tokens").cast("double").alias("_t"))
+    s = g.crossJoin(F.broadcast(tot)).select(
+        by,
+        "docs",
+        "tokens",
+        F.round(F.col("tokens") / F.col("_t"), 6).alias("token_share"),
+    )
+    term = F.round(
+        F.col("token_share") * F.log2("token_share"), 7
+    ).cast("decimal(21,7)")
+    ent = (
+        s.filter(F.col("token_share") > 0)
+        .agg(
+            F.round(-F.sum(term).cast("double"), 6).alias("mix_entropy_bits")
+        )
+    )
+    return s.crossJoin(F.broadcast(ent))

@@ -344,3 +344,30 @@ def test_weighted_sample_per_group_equals_naive_window(spark):
     for r in got7:
         by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
     assert by_lang == {"en": 7, "de": 7, "zh": 7}
+
+
+def test_corpus_mix_shares_and_entropy(spark):
+    """corpus_mix: shares sum to ~1; a perfectly uniform token mix has
+    entropy log2(n_groups); NULL text counts 0 tokens; a single-source
+    corpus has entropy 0."""
+    from ocsf_validator_spark.pipeline.textstats import corpus_mix
+
+    df = spark.createDataFrame(
+        [
+            ("a", "w x y z"),      # 4 tokens
+            ("b", "p q r s"),      # 4 tokens
+            ("c", "m n"),          # 2 tokens
+            ("c", "o t"),          # +2 -> 4
+            ("d", None),           # 0 tokens
+            ("d", "u v w1 w2"),    # 4
+        ],
+        "source string, text string",
+    )
+    rows = {r.source: r for r in corpus_mix(df, by="source").collect()}
+    assert rows["a"].tokens == 4 and rows["c"].tokens == 4
+    assert rows["d"].docs == 2 and rows["d"].tokens == 4
+    assert abs(sum(r.token_share for r in rows.values()) - 1.0) < 1e-5
+    # uniform over 4 groups -> exactly 2 bits (rounded shares are exact)
+    assert rows["a"].mix_entropy_bits == 2.0
+    one = spark.createDataFrame([("only", "x y z")], "source string, text string")
+    assert corpus_mix(one, by="source").collect()[0].mix_entropy_bits == 0.0
