@@ -524,6 +524,25 @@ def q_psi_value_drift(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame([(round(val, 4),)], "psi double")
 
 
+def q_increment_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Increment-vs-corpus drift gate: PSI of the text-length
+    distribution between today's increment (odd ids) and the ingested
+    corpus (doc_id % 4 != 3) — the check an incremental validation run
+    applies before trusting an append (a crawler regression that
+    truncates documents shows here before any per-row constraint
+    fires). psi_split: both histograms from ONE scan; the overlap
+    (% 4 == 1) legitimately counts on both sides."""
+    d = _t(spark, sf, "documents")
+    val = drift.psi_split(
+        d,
+        "doc_id % 2 = 1",
+        "length(text)",
+        "floor(_v / 50)",
+        ref_pred="doc_id % 4 != 3",
+    )
+    return spark.createDataFrame([(round(val, 4),)], "psi double")
+
+
 def q_psi_by_bucket(spark: SparkSession, sf: str) -> DataFrame:
     """Per-bucket PSI (the partitioned drift path): even/odd event split
     inside each md5(user_id) bucket, one scan, portable bucket+bin math
@@ -1361,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram_documents": q_length_histogram_documents,
         "psi_value_drift": q_psi_value_drift,
         "psi_by_bucket": q_psi_by_bucket,
+        "increment_drift": q_increment_drift,
         "ks_click_view": q_ks_click_view,
         "ks_by_bucket_textlen": q_ks_by_bucket_textlen,
         "dedup_exact": q_dedup_exact,
@@ -1885,6 +1905,21 @@ tot AS (SELECT CAST(SUM(cc) AS DOUBLE) AS ct, CAST(SUM(rc) AS DOUBLE) AS rt FROM
 SELECT ROUND(SUM((cc / ct - rc / rt)
         * (LN(GREATEST(cc / ct, 1e-6)) - LN(GREATEST(rc / rt, 1e-6)))), 4) AS psi
 FROM j, tot
+"""
+
+    sqls["increment_drift"] = """
+WITH d AS (
+  SELECT CAST(FLOOR(length(text) / 50.0) AS BIGINT) AS bin,
+         (doc_id % 2 = 1) AS is_cur, (doc_id % 4 <> 3) AS is_ref
+  FROM documents
+  WHERE text IS NOT NULL AND ((doc_id % 2 = 1) OR (doc_id % 4 <> 3))),
+h AS (SELECT bin, SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS cc,
+             SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS rc
+      FROM d GROUP BY 1),
+tot AS (SELECT CAST(SUM(cc) AS DOUBLE) AS ct, CAST(SUM(rc) AS DOUBLE) AS rt FROM h)
+SELECT ROUND(SUM((cc / ct - rc / rt)
+        * (LN(GREATEST(cc / ct, 1e-6)) - LN(GREATEST(rc / rt, 1e-6)))), 4) AS psi
+FROM h, tot
 """
 
     sqls["psi_by_bucket"] = """

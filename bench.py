@@ -201,6 +201,7 @@ def main() -> None:
         "precedence_purchase",
         "opening_role_events",
         "corpus_mix",
+        "increment_drift",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:
