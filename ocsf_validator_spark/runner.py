@@ -441,6 +441,26 @@ def main(argv: list[str] | None = None) -> int:
         "--severity deprecated.role=ERROR --severity ref.tool=IGNORE "
         "(reference ValidatorOptions, runner.py:57-116)",
     )
+    p.add_argument(
+        "--precedence",
+        action="append",
+        default=[],
+        metavar="COL:TRIGGER=PRE1,PRE2",
+        help="add a Precedence constraint (repeatable): a TRIGGER value "
+        "of COL requires one of the prereq values STRICTLY EARLIER in "
+        "the same conversation, e.g. --precedence role:tool=assistant "
+        "(a tool-result turn needs a prior assistant turn). Fuses into "
+        "the single-scan window pass; carried across --incremental runs",
+    )
+    p.add_argument(
+        "--opening",
+        action="append",
+        default=[],
+        metavar="COL=V1,V2",
+        help="add an OpeningRole constraint (repeatable): the FIRST "
+        "turn of each conversation must have COL in the listed values, "
+        "e.g. --opening role=system,user",
+    )
     p.add_argument("--buckets", type=int, default=DEFAULT_BUCKETS)
     p.add_argument("--checkpoint", help="manifest directory for resume")
     p.add_argument("--violations-out")
@@ -486,9 +506,10 @@ def main(argv: list[str] | None = None) -> int:
         "recorded run: Iceberg incremental append scan between the "
         "manifest's last snapshot and the current one, or (parquet dir) "
         "only files absent from the manifest's file ledger. Requires "
-        "--checkpoint. Conversations straddling increments are "
-        "order-checked within each increment only (the cross-batch "
-        "analogue is --stream --stateful-ordering)",
+        "--checkpoint. Conversations straddling increments are checked "
+        "with carried per-conversation boundary state (convstate.py): "
+        "in-order appends reproduce the fresh full run row-for-row; "
+        "out-of-order appends are conservatively reported",
     )
     p.add_argument(
         "--stream",
@@ -638,6 +659,28 @@ def main(argv: list[str] | None = None) -> int:
             # a typo'd constraint id or level is a config error — FATAL,
             # never a silently-kept default severity
             print(f"[FATAL] bad --severity: {e}")
+            return 2
+
+    if args.precedence or args.opening:
+        from ocsf_validator_spark.spec import OpeningRole, Precedence
+
+        suite = suite or transcript_suite()
+        try:
+            for s_ in args.precedence:
+                head, pre = s_.split("=", 1)
+                col, trig = head.split(":", 1)
+                prereq = tuple(x for x in pre.split(",") if x)
+                if not (col and trig and prereq):
+                    raise ValueError(s_)
+                suite.add(Precedence(column=col, trigger=trig, prereq=prereq))
+            for s_ in args.opening:
+                col, vals = s_.split("=", 1)
+                allowed = tuple(x for x in vals.split(",") if x)
+                if not (col and allowed):
+                    raise ValueError(s_)
+                suite.add(OpeningRole(column=col, allowed=allowed))
+        except ValueError as e:
+            print(f"[FATAL] bad --precedence/--opening: {e}")
             return 2
 
     res = run_validation(

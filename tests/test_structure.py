@@ -217,3 +217,44 @@ def test_empty_and_all_clean(spark):
         ).count()
         == 0
     )
+
+
+def test_runner_cli_flags(spark, tmp_path):
+    """--precedence/--opening extend the suite from the CLI, flow into
+    verdicts AND carry across --incremental runs (the seen bit persists
+    in the convstate snapshot); malformed specs are FATAL (exit 2)."""
+    from ocsf_validator_spark.runner import main
+
+    root = str(tmp_path / "in")
+    ver1 = str(tmp_path / "v1")
+    rows1 = [("a", 0, "view", "t", None, "2026-01-01 00:00:00"),
+             ("b", 0, "signup", "t", None, "2026-01-01 00:00:00")]
+    rows2 = [("a", 1, "purchase", "t", None, "2026-01-01 00:00:01"),
+             ("b", 1, "purchase", "t", None, "2026-01-01 00:00:01")]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string")
+    df1 = spark.createDataFrame(rows1, schema)
+    df1.withColumn("ts", df1.ts.cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(root)
+    flags = ["--precedence", "role:purchase=view,click",
+             "--opening", "role=view,click,signup"]
+    manifest = str(tmp_path / "m")
+    base = ["--input", root, "--incremental", "--checkpoint", manifest,
+            "--buckets", "4", *flags]
+    assert main([*base, "--verdicts-out", ver1]) in (0, 1)
+    # increment 2: a's purchase has a CARRIED prereq (view@0); b's does not
+    viol2 = str(tmp_path / "viol2")
+    df2 = spark.createDataFrame(rows2, schema)
+    df2.withColumn("ts", df2.ts.cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(root)
+    assert main([*base, "--violations-out", viol2]) == 1
+    got = {(r.constraint_id, r.conv_id, r.turn_idx)
+           for r in spark.read.parquet(viol2).filter(
+               "conv_id is not null").collect()}
+    assert ("precedence.role.purchase", "b", 1) in got
+    assert ("precedence.role.purchase", "a", 1) not in got
+    # malformed specs are config errors, never silently dropped
+    assert main(["--synth", "10", "--precedence", "nonsense"]) == 2
+    assert main(["--synth", "10", "--opening", "role="]) == 2
