@@ -904,6 +904,17 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_mix(_t(spark, sf, "documents"), by="source")
 
 
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window token chunking (pipeline/packing.chunk_documents):
+    32-token windows advancing 24 (8-token overlap), emitted as offsets
+    so nothing wide leaves the scan — zero shuffle."""
+    from ocsf_validator_spark.pipeline.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
 def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.text_profile(_t(spark, sf, "documents"))
 
@@ -1410,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_refined": q_ivf_topk_refined,
         "text_profile": q_text_profile,
         "corpus_mix": q_corpus_mix,
+        "chunk_documents": q_chunk_documents,
         "ngram_topk": q_ngram_topk,
         "stratified_sample": q_stratified_sample,
         "token_budget_select": q_token_budget_select,
@@ -2465,6 +2477,19 @@ LIMIT 10
 """
 
     stop = lambda ws: " OR ".join(f"tk = '{w}'" for w in ws)
+    sqls["chunk_documents"] = """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+       CAST(u.s / 24 AS INTEGER) AS chunk_idx,
+       CAST(u.s AS INTEGER) AS start_tok,
+       CAST(len(list_slice(toks, u.s + 1, u.s + 32)) AS INTEGER) AS n_tokens,
+       CAST(length(array_to_string(list_slice(toks, u.s + 1, u.s + 32), ' '))
+            AS INTEGER) AS chunk_chars
+FROM tk, UNNEST(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS u(s)
+"""
+
     sqls["corpus_mix"] = """
 WITH g AS (
   SELECT source, COUNT(*) AS docs,

@@ -154,3 +154,61 @@ def plan_shards(
         "n_tokens",
         F.expr(f"(_start * {n_shards}) div {total}").alias("shard_id"),
     ).orderBy(id_col)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking: each document becomes overlapping
+    ``chunk_tokens``-token windows advancing by ``chunk_tokens -
+    overlap`` — the context-window prep step (embedding indexing, long
+    -doc SFT) between raw documents and :func:`pack_sequences`' packer.
+
+    Pure column algebra over a 2-column pruned scan: tokens =
+    whitespace split, starts = sequence(0, n-1, stride), one
+    transform + explode — ZERO shuffle, composes into any scan. Window
+    starts are emitted while start < n, so the final window is partial
+    (>= ``overlap`` + 1 tokens when the document overflows a whole
+    window, never empty); documents shorter than one window yield
+    exactly one chunk; NULL text yields none. Output carries
+    (chunk_idx, start_tok, n_tokens, chunk_chars) — offsets, not chunk
+    text, so downstream hashes/joins stay narrow and the chunk body is
+    recoverable from the source row by (start_tok, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = f"split({text_col}, ' ')"
+    # start while start <= n - overlap - 1 (plus start 0 always): the
+    # final window then holds >= overlap + 1 tokens and is never fully
+    # contained in its predecessor, and every token is covered (the
+    # last start is within stride of n - overlap, so start + chunk
+    # reaches past n - 1)
+    chunks = F.expr(
+        f"""
+        transform(
+          sequence(0, greatest(size({toks}) - {overlap} - 1, 0), {stride}),
+          s -> named_struct(
+            'start_tok', s,
+            'n_tokens', size(slice({toks}, s + 1, {chunk_tokens})),
+            'chunk_chars',
+              length(array_join(slice({toks}, s + 1, {chunk_tokens}), ' '))
+          )
+        )
+        """
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("_c.start_tok").alias("start_tok"),
+            F.col("_c.n_tokens").alias("n_tokens"),
+            F.col("_c.chunk_chars").alias("chunk_chars"),
+        )
+    )

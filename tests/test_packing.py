@@ -118,3 +118,78 @@ def test_plan_shards_token_balance_and_naive_equality(spark, rows, parts):
     ideal = total / 5
     max_doc = max(n for _, n in clean)
     assert all(abs(s - ideal) <= max_doc for s in sums.values()), sums
+
+
+from ocsf_validator_spark.pipeline.packing import chunk_documents
+
+
+def naive_chunks(text, chunk, overlap):
+    if text is None:
+        return []
+    toks = text.split(" ")
+    n, stride, out, s, idx = len(toks), chunk - overlap, [], 0, 0
+    while True:
+        window = toks[s : s + chunk]
+        out.append((idx, s, len(window), len(" ".join(window))))
+        idx += 1
+        s += stride
+        if s > max(n - overlap - 1, 0):
+            break
+    return out
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "a",  # shorter than one window -> exactly one chunk
+        " ".join(f"t{i}" for i in range(31)),  # one token short of full
+        " ".join(f"t{i}" for i in range(32)),  # exactly one window
+        " ".join(f"t{i}" for i in range(33)),  # one token past: 2nd chunk
+        " ".join(f"t{i}" for i in range(113)),  # partial final window
+        " ".join(f"t{i}" for i in range(120)),  # stride-aligned end
+        "",  # split('') -> [''] -> one 1-token chunk, like the oracle
+    ],
+)
+def test_chunk_documents_matches_naive(spark, text):
+    df = spark.createDataFrame([(1, text), (2, None)], "doc_id long, text string")
+    got = [
+        (r["chunk_idx"], r["start_tok"], r["n_tokens"], r["chunk_chars"])
+        for r in chunk_documents(df, chunk_tokens=32, overlap=8)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ]
+    assert got == naive_chunks(text, 32, 8)
+
+
+def test_chunk_documents_covers_every_token_and_no_contained_window(spark):
+    rng = random.Random(11)
+    rows = [(i, " ".join(f"w{j}" for j in range(rng.randint(1, 300)))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in chunk_documents(df, chunk_tokens=32, overlap=8).collect():
+        out.setdefault(r["doc_id"], []).append((r["start_tok"], r["n_tokens"]))
+    for doc_id, text in rows:
+        n = len(text.split(" "))
+        spans = sorted(out[doc_id])
+        # full coverage: union of [start, start+len) is [0, n)
+        assert spans[0][0] == 0 and spans[-1][0] + spans[-1][1] == n
+        for (a, la), (b, lb) in zip(spans, spans[1:]):
+            assert b == a + 24  # stride
+            assert b + lb > a + la  # no window fully contained in prior
+
+
+def test_chunk_documents_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        chunk_documents(df, chunk_tokens=32, overlap=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=16, overlap=16)
