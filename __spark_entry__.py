@@ -919,6 +919,13 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.text_profile(_t(spark, sf, "documents"))
 
 
+def q_lang_mismatch(spark: SparkSession, sf: str) -> DataFrame:
+    """Declared-vs-detected language audit per (source, lang)
+    (pipeline/textstats.lang_mismatch_audit): tiny-key partial agg,
+    both report legs over one localCheckpoint'd bounded frame."""
+    return textstats.lang_mismatch_audit(_t(spark, sf, "documents"))
+
+
 def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-wide top-30 word bigrams (select.ngram_topk): map-side
     partial agg + TakeOrderedAndProject, deterministic
@@ -1420,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_topk_refined": q_ivf_topk_refined,
         "text_profile": q_text_profile,
+        "lang_mismatch": q_lang_mismatch,
         "corpus_mix": q_corpus_mix,
         "chunk_documents": q_chunk_documents,
         "ngram_topk": q_ngram_topk,
@@ -2488,6 +2496,41 @@ SELECT doc_id,
        CAST(length(array_to_string(list_slice(toks, u.s + 1, u.s + 32), ' '))
             AS INTEGER) AS chunk_chars
 FROM tk, UNNEST(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS u(s)
+"""
+
+    sqls["lang_mismatch"] = f"""
+WITH p AS (
+  SELECT source, lang,
+    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+         WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+  FROM (
+    SELECT source, lang,
+      len(list_filter(string_split(text, ' '), tk -> {stop(textstats.STOPWORDS['en'])})) AS s_en,
+      len(list_filter(string_split(text, ' '), tk -> {stop(textstats.STOPWORDS['de'])})) AS s_de,
+      len(list_filter(string_split(text, ' '), tk -> {stop(textstats.STOPWORDS['es'])})) AS s_es,
+      len(list_filter(string_split(text, ' '), tk -> {stop(textstats.STOPWORDS['fr'])})) AS s_fr
+    FROM documents)),
+g AS (
+  SELECT source, lang, lang_pred, COUNT(*)::BIGINT AS n
+  FROM p GROUP BY 1, 2, 3),
+tot AS (
+  SELECT source, lang, SUM(n)::BIGINT AS n_docs,
+         SUM(CASE WHEN lang_pred IS DISTINCT FROM lang THEN n ELSE 0 END)::BIGINT
+           AS n_mismatch
+  FROM g GROUP BY 1, 2),
+top AS (
+  SELECT source, lang, lang_pred AS top_mispred, n AS top_mispred_n,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY n DESC, lang_pred ASC) AS rn
+  FROM g WHERE lang_pred IS DISTINCT FROM lang)
+SELECT t.source, t.lang, t.n_docs, t.n_mismatch,
+       ROUND(t.n_mismatch / t.n_docs, 6) AS mismatch_rate,
+       top.top_mispred, top.top_mispred_n
+FROM tot t
+LEFT JOIN top ON t.source = top.source
+             AND t.lang IS NOT DISTINCT FROM top.lang AND top.rn = 1
 """
 
     sqls["corpus_mix"] = """

@@ -210,3 +210,75 @@ def corpus_mix(
         )
     )
     return s.crossJoin(F.broadcast(ent))
+
+
+def lang_mismatch_audit(
+    df: DataFrame,
+    by: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Declared-language vs detected-language QA per (``by``, declared
+    lang): the crawl-metadata audit — a source whose declared ``lang``
+    tag disagrees with the stopword-vote detector (:func:`lang_id_col`)
+    at a high rate has broken upstream labeling (wrong HTTP headers,
+    template-page contamination), and a lang-stratified mix built on
+    the declared tag inherits the error.
+
+    One scan → partial-agg groupBy(by, lang, lang_pred) — the exchange
+    carries at most ``|by| × |langs|²`` fixed-width rows, never text.
+    The tiny grouped frame is localCheckpoint'd for its two consumers:
+    per-(by, lang) totals + mismatch mass, and the most common wrong
+    prediction via a row_number over the SAME bounded frame (count
+    DESC, lang_pred ASC tie-break — deterministic cross-engine).
+    ``IS DISTINCT FROM`` mismatch semantics so a NULL prediction or a
+    NULL declared tag counts as a mismatch rather than vanishing;
+    groups with zero mismatches carry NULL top_mispred. mismatch_rate
+    is a ratio of exact BIGINTs rounded 6 dp (corpus_mix pattern)."""
+    from pyspark.sql import Window
+
+    g = (
+        df.select(
+            F.col(by),
+            F.col(lang_col).alias("lang"),
+            lang_id_col(text_col).alias("lang_pred"),
+        )
+        .groupBy(by, "lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    mismatch = F.expr("lang_pred is distinct from lang")
+    tot = g.groupBy(by, "lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(mismatch, F.col("n")).otherwise(F.lit(0))).alias(
+            "n_mismatch"
+        ),
+    )
+    w = Window.partitionBy(by, "lang").orderBy(
+        F.desc("n"), F.asc("lang_pred")
+    )
+    top = (
+        g.filter(mismatch)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            by,
+            "lang",
+            F.col("lang_pred").alias("top_mispred"),
+            F.col("n").alias("top_mispred_n"),
+        )
+    )
+    # null-safe on lang: a NULL declared tag is a real group and must
+    # keep its top-misprediction leg
+    cond = (tot[by] == top[by]) & tot["lang"].eqNullSafe(top["lang"])
+    return tot.join(top, cond, "left").select(
+        tot[by],
+        tot["lang"],
+        "n_docs",
+        "n_mismatch",
+        F.round(F.col("n_mismatch") / F.col("n_docs"), 6).alias(
+            "mismatch_rate"
+        ),
+        "top_mispred",
+        "top_mispred_n",
+    )

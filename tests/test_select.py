@@ -371,3 +371,49 @@ def test_corpus_mix_shares_and_entropy(spark):
     assert rows["a"].mix_entropy_bits == 2.0
     one = spark.createDataFrame([("only", "x y z")], "source string, text string")
     assert corpus_mix(one, by="source").collect()[0].mix_entropy_bits == 0.0
+
+
+def test_lang_mismatch_audit_edges(spark):
+    """lang_mismatch_audit: NULL text detects 'und' and mismatches a
+    declared tag; zero-mismatch groups carry NULL top_mispred; the top
+    wrong prediction tie-breaks on lang_pred ASC; NULL declared lang
+    mismatches any prediction (IS DISTINCT FROM semantics)."""
+    from ocsf_validator_spark.pipeline.textstats import lang_mismatch_audit
+
+    rows = [
+        # srcA/en: 2 clean en docs + 1 der-doc detected de -> 1/3 mismatch
+        ("srcA", "en", "the a of and is"),
+        ("srcA", "en", "the the a of"),
+        ("srcA", "en", "der die und ist"),
+        # srcB/zh: undetectable -> every doc mismatches (und), incl NULL text
+        ("srcB", "zh", "xi jin ping"),
+        ("srcB", "zh", None),
+        # srcB/fr: tie between 'de' and 'es' mispredictions -> 'de' wins ASC
+        ("srcB", "fr", "der die und ist das"),
+        ("srcB", "fr", "el la y es"),
+        ("srcB", "fr", "le la et est"),
+        # srcC/NULL declared: prediction 'en' IS DISTINCT FROM NULL -> mismatch
+        ("srcC", None, "the a of"),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    got = {
+        (r.source, r.lang): r
+        for r in lang_mismatch_audit(df).collect()
+    }
+    a = got[("srcA", "en")]
+    assert (a.n_docs, a.n_mismatch, a.top_mispred, a.top_mispred_n) == (3, 1, "de", 1)
+    assert a.mismatch_rate == round(1 / 3, 6)
+    b = got[("srcB", "zh")]
+    assert (b.n_docs, b.n_mismatch, b.top_mispred) == (2, 2, "und")
+    f = got[("srcB", "fr")]
+    assert (f.n_docs, f.n_mismatch, f.top_mispred, f.top_mispred_n) == (3, 2, "de", 1)
+    c = got[("srcC", None)]
+    assert (c.n_docs, c.n_mismatch, c.top_mispred) == (1, 1, "en")
+    # a fully-clean group: no mismatch leg row -> NULL top fields
+    clean = spark.createDataFrame(
+        [("s", "en", "the a of and is")], "source string, lang string, text string"
+    )
+    r = lang_mismatch_audit(clean).collect()[0]
+    assert (r.n_mismatch, r.mismatch_rate, r.top_mispred, r.top_mispred_n) == (
+        0, 0.0, None, None,
+    )
