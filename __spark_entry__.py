@@ -904,6 +904,16 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_mix(_t(spark, sf, "documents"), by="source")
 
 
+def q_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch-3 training order (pipeline/packing.
+    epoch_shuffle): global rank of md5(id|salt|epoch) via the two-phase
+    parallel prefix — one range exchange, local windows, no global
+    single-reducer sort."""
+    from ocsf_validator_spark.pipeline.packing import epoch_shuffle
+
+    return epoch_shuffle(_t(spark, sf, "documents"), epoch=3)
+
+
 def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding-window token chunking (pipeline/packing.chunk_documents):
     32-token windows advancing 24 (8-token overlap), emitted as offsets
@@ -1430,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mismatch": q_lang_mismatch,
         "corpus_mix": q_corpus_mix,
         "chunk_documents": q_chunk_documents,
+        "epoch_shuffle": q_epoch_shuffle,
         "ngram_topk": q_ngram_topk,
         "stratified_sample": q_stratified_sample,
         "token_budget_select": q_token_budget_select,
@@ -2485,6 +2496,14 @@ LIMIT 10
 """
 
     stop = lambda ws: " OR ".join(f"tk = '{w}'" for w in ws)
+    sqls["epoch_shuffle"] = """
+SELECT doc_id, 3 AS epoch,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), 'shuffle', '3')),
+                  doc_id) - 1 AS BIGINT) AS pos
+FROM documents WHERE doc_id IS NOT NULL
+"""
+
     sqls["chunk_documents"] = """
 WITH tk AS (
   SELECT doc_id, string_split(text, ' ') AS toks

@@ -156,6 +156,85 @@ def plan_shards(
     ).orderBy(id_col)
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training order for one epoch: each row's
+    position is the global rank of ``md5(id|salt|epoch)`` — a full
+    corpus shuffle that is reproducible across runs, retries,
+    partitionings, and engines (no RNG state), changes completely
+    between epochs, and never needs the driver to hold the permutation.
+
+    The naive spelling is ``row_number() OVER (ORDER BY key)`` — one
+    reducer sorting the whole corpus. This is the same two-phase
+    parallel prefix as :func:`pack_sequences`, counting rows instead of
+    tokens: repartitionByRange on (key, id) — the one exchange a global
+    permutation requires — then per-partition counts prefix-summed on
+    the driver and a LOCAL row_number per ``spark_partition_id`` plus
+    the broadcast offset. Boundary-placement-independent: ranks are
+    order-determined, boundaries only split the work. ``id_col``
+    tie-breaks identical keys so the order is total.
+
+    Returns (id_col, epoch, pos) with pos in [0, n); NULL ids are
+    excluded (no stable key). Downstream batch assignment is
+    ``pos div batch_size``; shard-local files can write with
+    ``repartitionByRange(n, pos)`` without re-shuffling semantics.
+    """
+    spark = df.sparkSession
+    key = F.md5(
+        F.concat_ws(
+            "|",
+            F.col(id_col).cast("string"),
+            F.lit(salt),
+            F.lit(str(int(epoch))),
+        )
+    )
+    vals = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col), key.alias("_k")
+    )
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = vals.repartitionByRange(
+        parts, F.col("_k").asc(), F.col(id_col).asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    # pin the layout the counts collect sees to the layout the local
+    # windows run over (range sampler re-draws per action otherwise)
+    ranged = ranged.localCheckpoint(eager=False)
+    counts = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    if not counts:
+        return spark.createDataFrame(
+            [], f"{id_col} long, epoch int, pos long"
+        )
+    prefix, acc = {}, 0
+    for pid in sorted(counts):
+        prefix[pid] = acc
+        acc += counts[pid]
+    offsets = spark.createDataFrame(
+        [(pid, off) for pid, off in prefix.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(
+        F.col("_k").asc(), F.col(id_col).asc()
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .select(
+            id_col,
+            F.lit(int(epoch)).alias("epoch"),
+            (F.col("_off") + F.row_number().over(w) - 1)
+            .cast("bigint")
+            .alias("pos"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 128,

@@ -193,3 +193,63 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=16, overlap=16)
+
+
+from ocsf_validator_spark.pipeline.packing import epoch_shuffle
+
+
+@pytest.mark.parametrize("parts", [1, 3, 16])
+def test_epoch_shuffle_matches_naive_global_rank(spark, parts):
+    ids = list(range(200)) + [None]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in epoch_shuffle(df, epoch=7, num_partitions=parts).collect()
+    }
+    naive = {
+        r["doc_id"]: r["pos"]
+        for r in df.filter("doc_id is not null")
+        .select(
+            "doc_id",
+            (
+                F.row_number().over(
+                    Window.orderBy(
+                        F.md5(F.concat_ws("|", F.col("doc_id").cast("string"),
+                                          F.lit("shuffle"), F.lit("7"))),
+                        "doc_id",
+                    )
+                )
+                - 1
+            ).alias("pos"),
+        )
+        .collect()
+    }
+    assert got == naive and None not in got
+    assert sorted(got.values()) == list(range(200))  # a true permutation
+
+
+def test_epoch_shuffle_changes_between_epochs_and_is_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    e1 = {r["doc_id"]: r["pos"] for r in epoch_shuffle(df, 1, num_partitions=4).collect()}
+    e1b = {r["doc_id"]: r["pos"] for r in epoch_shuffle(df, 1, num_partitions=4).collect()}
+    e2 = {r["doc_id"]: r["pos"] for r in epoch_shuffle(df, 2, num_partitions=4).collect()}
+    assert e1 == e1b  # reproducible
+    moved = sum(1 for k in e1 if e1[k] != e2[k])
+    assert moved > 250  # epochs genuinely re-permute
+
+
+def test_epoch_shuffle_no_global_sort_window(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    plan = (
+        epoch_shuffle(df, 1, num_partitions=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = [ln for ln in plan.splitlines() if "Window " in ln or "RunningWindowFunction" in ln]
+    assert windows and all("_pid" in ln for ln in windows), plan
+
+
+def test_epoch_shuffle_empty(spark):
+    df = spark.createDataFrame([], "doc_id long")
+    assert epoch_shuffle(df, 1).count() == 0
