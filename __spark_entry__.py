@@ -904,6 +904,16 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_mix(_t(spark, sf, "documents"), by="source")
 
 
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage curve (pipeline/keywords.vocab_coverage):
+    smallest descending-frequency vocab covering 50/90/99% of the token
+    stream — exact integer math from the count histogram, hash-keyed
+    term counts, two-phase prefix (no global cumsum window)."""
+    from ocsf_validator_spark.pipeline.keywords import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf, "documents"))
+
+
 def q_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic epoch-3 training order (pipeline/packing.
     epoch_shuffle): global rank of md5(id|salt|epoch) via the two-phase
@@ -1441,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
+        "vocab_coverage": q_vocab_coverage,
         "ngram_topk": q_ngram_topk,
         "stratified_sample": q_stratified_sample,
         "token_budget_select": q_token_budget_select,
@@ -2496,6 +2507,46 @@ LIMIT 10
 """
 
     stop = lambda ws: " OR ".join(f"tk = '{w}'" for w in ws)
+    sqls["vocab_coverage"] = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text IS NOT NULL),
+tf AS (
+  SELECT ('0x' || substr(md5(term), 1, 15))::BIGINT AS h,
+         COUNT(*)::BIGINT AS cnt
+  FROM tok GROUP BY 1),
+hist AS (
+  SELECT cnt, COUNT(*)::BIGINT AS n_terms,
+         (cnt * COUNT(*))::BIGINT AS mass
+  FROM tf GROUP BY cnt),
+c AS (
+  SELECT cnt, n_terms, mass,
+    CAST(COALESCE(SUM(mass) OVER (ORDER BY cnt DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_mass,
+    CAST(COALESCE(SUM(n_terms) OVER (ORDER BY cnt DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_terms
+  FROM hist),
+need AS (
+  SELECT t.coverage_pct,
+         CAST((tot.total * t.coverage_pct + 99) // 100 AS BIGINT)
+           AS needed_tokens
+  FROM (VALUES (50), (90), (99)) AS t(coverage_pct),
+       (SELECT SUM(mass)::BIGINT AS total FROM hist) AS tot)
+SELECT n.coverage_pct, n.needed_tokens,
+  CAST(c.cum_terms
+       + (n.needed_tokens - c.cum_mass + c.cnt - 1) // c.cnt AS BIGINT)
+    AS vocab_size,
+  c.cnt AS cutoff_cnt,
+  CAST(c.cum_mass
+       + ((n.needed_tokens - c.cum_mass + c.cnt - 1) // c.cnt) * c.cnt
+    AS BIGINT) AS covered_tokens
+FROM need n
+JOIN c ON c.cum_mass < n.needed_tokens
+      AND c.cum_mass + c.mass >= n.needed_tokens
+"""
+
     sqls["epoch_shuffle"] = """
 SELECT doc_id, 3 AS epoch,
        CAST(ROW_NUMBER() OVER (

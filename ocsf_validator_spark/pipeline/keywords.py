@@ -139,3 +139,112 @@ def unigram_logprob_score(
         )
         .orderBy(id_col)
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    coverages_pct: tuple[int, ...] = (50, 90, 99),
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Tokenizer-prep coverage curve: for each requested coverage
+    fraction, the SMALLEST vocabulary (terms taken in descending
+    frequency) whose occurrences cover at least that share of the
+    corpus token stream — the number that sizes a vocab / merges
+    budget before training a tokenizer.
+
+    Never ranks individual terms: within one frequency value terms are
+    interchangeable, so the whole curve is exact from the COUNT
+    HISTOGRAM (cnt -> n_terms, mass): vocab_size at threshold =
+    terms_above_cutoff + ceil((needed - mass_above_cutoff) / cutoff).
+
+    Plan: token stream -> partial-agg term counts on the 60-bit
+    md5-prefix hash (8-byte ints in the exchange, never strings — the
+    X19/X15 discipline) -> count histogram (second exchange, bounded by
+    the number of DISTINCT frequencies, ~O(sqrt(total_tokens)) under a
+    Zipf tail, never vocabulary-sized) -> X23 two-phase parallel prefix
+    over the histogram in cnt DESC order (per-partition totals on the
+    driver, LOCAL windows — no single-reducer global cumsum even when
+    the histogram is wide) -> each coverage picks its crossing row.
+    All integer arithmetic: needed = ceil-div of exact BIGINTs, so the
+    curve is engine-replayable with no float in sight.
+
+    Returns one row per coverage: (coverage_pct, needed_tokens,
+    vocab_size, cutoff_cnt, covered_tokens), covered_tokens >=
+    needed_tokens by construction. Empty corpus -> empty frame.
+    """
+    if not coverages_pct or any(
+        not (0 < int(q) <= 100) for q in coverages_pct
+    ):
+        raise ValueError("coverages_pct must be ints in (0, 100]")
+    spark = df.sparkSession
+    empty_schema = (
+        "coverage_pct int, needed_tokens long, vocab_size long, "
+        "cutoff_cnt long, covered_tokens long"
+    )
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(F.expr(f"split({text_col}, ' ')")).alias("term"))
+        .select(F.expr(_MD5_60.format(x="term")).alias("_h"))
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist = counts.groupBy("cnt").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.col("cnt") * F.count(F.lit(1))).alias("mass"),
+    )
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = hist.repartitionByRange(
+        parts, F.col("cnt").desc()
+    ).withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=False)
+    ptot = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("mass").alias("m"), F.sum("n_terms").alias("t"))
+        .collect()
+    )
+    if not ptot:
+        return spark.createDataFrame([], empty_schema)
+    pm = {r["_pid"]: (r["m"], r["t"]) for r in ptot}
+    offs, am, at = [], 0, 0
+    for pid in sorted(pm):
+        offs.append((pid, am, at))
+        am += pm[pid][0]
+        at += pm[pid][1]
+    total = am
+    offsets = spark.createDataFrame(
+        offs, "_pid int, _om long, _ot long"
+    )
+    w = Window.partitionBy("_pid").orderBy(F.col("cnt").desc())
+    c = ranged.join(F.broadcast(offsets), "_pid").select(
+        "cnt",
+        "n_terms",
+        "mass",
+        (F.col("_om") + F.sum("mass").over(w) - F.col("mass")).alias(
+            "cum_mass"
+        ),
+        (F.col("_ot") + F.sum("n_terms").over(w) - F.col("n_terms")).alias(
+            "cum_terms"
+        ),
+    )
+    cov = spark.createDataFrame(
+        [(int(q), (total * int(q) + 99) // 100) for q in coverages_pct],
+        "coverage_pct int, needed_tokens long",
+    )
+    picked = F.expr("(needed_tokens - cum_mass + cnt - 1) div cnt")
+    return (
+        c.crossJoin(F.broadcast(cov))
+        .filter(
+            (F.col("cum_mass") < F.col("needed_tokens"))
+            & (F.col("cum_mass") + F.col("mass") >= F.col("needed_tokens"))
+        )
+        .select(
+            "coverage_pct",
+            "needed_tokens",
+            (F.col("cum_terms") + picked).cast("bigint").alias("vocab_size"),
+            F.col("cnt").alias("cutoff_cnt"),
+            (F.col("cum_mass") + picked * F.col("cnt"))
+            .cast("bigint")
+            .alias("covered_tokens"),
+        )
+    )

@@ -144,3 +144,74 @@ def test_unigram_logprob_semantics(spark):
     assert out[1]["avg_neg_logprob"] == round(want1, 6)
     # rarer vocabulary scores strictly higher
     assert out[1]["avg_neg_logprob"] > out[0]["avg_neg_logprob"]
+
+
+def test_vocab_coverage_matches_naive_rank_curve(spark):
+    """vocab_coverage equals the naive per-term rank curve (sort terms
+    by cnt desc, take the smallest prefix covering q%), for every q and
+    any partition count — the histogram shortcut loses nothing."""
+    from collections import Counter
+
+    from ocsf_validator_spark.pipeline.keywords import vocab_coverage
+
+    rng = __import__("random").Random(5)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, weights=range(1, 41), k=rng.randint(5, 60))))
+        for i in range(80)
+    ] + [(999, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    counts = Counter()
+    for _, t in docs:
+        if t is not None:
+            counts.update(t.split(" "))
+    total = sum(counts.values())
+    ordered = sorted(counts.values(), reverse=True)
+
+    def naive(q_pct):
+        needed = -(-total * q_pct // 100)
+        acc = vs = 0
+        for c in ordered:
+            acc += c
+            vs += 1
+            if acc >= needed:
+                return needed, vs, c, acc
+        raise AssertionError
+
+    for parts in (1, 4):
+        got = {
+            r["coverage_pct"]: (
+                r["needed_tokens"], r["vocab_size"],
+                r["cutoff_cnt"], r["covered_tokens"],
+            )
+            for r in vocab_coverage(
+                df, coverages_pct=(1, 50, 90, 100), num_partitions=parts
+            ).collect()
+        }
+        for q in (1, 50, 90, 100):
+            want = naive(q)
+            # cutoff_cnt and covered_tokens can differ from the naive
+            # greedy ONLY in which equal-count term closes the prefix —
+            # needed/vocab_size must be exact, covered >= needed
+            assert got[q][0] == want[0] and got[q][1] == want[1], (q, got[q], want)
+            assert got[q][3] >= got[q][0]
+        assert got[100][3] == total
+
+
+def test_vocab_coverage_edges(spark):
+    from ocsf_validator_spark.pipeline.keywords import vocab_coverage
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert vocab_coverage(empty).count() == 0
+    one = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+    got = {r["coverage_pct"]: r for r in vocab_coverage(one, (50, 100)).collect()}
+    # 4 tokens: 50% -> 2 tokens -> just 'a' (vocab 1); 100% -> both
+    assert (got[50].vocab_size, got[50].cutoff_cnt) == (1, 3)
+    assert (got[100].vocab_size, got[100].covered_tokens) == (2, 4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vocab_coverage(one, (0,))
+    with _pytest.raises(ValueError):
+        vocab_coverage(one, ())
