@@ -939,6 +939,13 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.text_profile(_t(spark, sf, "documents"))
 
 
+def q_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style hard quality rules (pipeline/textstats.gopher_rules):
+    per-rule flags + keep verdict, one scan-speed projection, zero
+    shuffle."""
+    return textstats.gopher_rules(_t(spark, sf, "documents"), min_words=30)
+
+
 def q_lang_mismatch(spark: SparkSession, sf: str) -> DataFrame:
     """Declared-vs-detected language audit per (source, lang)
     (pipeline/textstats.lang_mismatch_audit): tiny-key partial agg,
@@ -1448,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_refined": q_ivf_topk_refined,
         "text_profile": q_text_profile,
         "lang_mismatch": q_lang_mismatch,
+        "gopher_rules": q_gopher_rules,
         "corpus_mix": q_corpus_mix,
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
@@ -2566,6 +2574,38 @@ SELECT doc_id,
        CAST(length(array_to_string(list_slice(toks, u.s + 1, u.s + 32), ' '))
             AS INTEGER) AS chunk_chars
 FROM tk, UNNEST(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS u(s)
+"""
+
+    sqls["gopher_rules"] = f"""
+WITH f AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n,
+    LENGTH(REPLACE(text, ' ', '')) AS nonspace,
+    len(list_filter(string_split(text, ' '),
+        t -> t = '#' OR t = '...')) AS symbols,
+    len(list_filter(string_split(text, ' '),
+        t -> regexp_matches(t, '[a-z]'))) AS alpha,
+    len(list_filter(string_split(text, ' '),
+        tk -> {stop(textstats.STOPWORDS['en'])})) AS stops
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    COALESCE(n >= 30 AND n <= 100000, FALSE) AS ok_word_count,
+    COALESCE(nonspace >= 3.0::DOUBLE * n
+         AND nonspace <= 10.0::DOUBLE * n, FALSE) AS ok_mean_word_len,
+    COALESCE(symbols <= 0.1::DOUBLE * n, FALSE) AS ok_symbol_ratio,
+    COALESCE(alpha >= 0.8::DOUBLE * n, FALSE) AS ok_alpha_frac,
+    COALESCE(stops >= 2, FALSE) AS ok_stopwords
+  FROM f)
+SELECT doc_id, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+  ok_alpha_frac, ok_stopwords,
+  CAST((NOT ok_word_count)::INTEGER + (NOT ok_mean_word_len)::INTEGER
+     + (NOT ok_symbol_ratio)::INTEGER + (NOT ok_alpha_frac)::INTEGER
+     + (NOT ok_stopwords)::INTEGER AS INTEGER) AS n_rules_failed,
+  (NOT ok_word_count)::INTEGER + (NOT ok_mean_word_len)::INTEGER
+     + (NOT ok_symbol_ratio)::INTEGER + (NOT ok_alpha_frac)::INTEGER
+     + (NOT ok_stopwords)::INTEGER = 0 AS keep
+FROM g
 """
 
     sqls["lang_mismatch"] = f"""

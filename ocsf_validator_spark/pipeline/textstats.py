@@ -282,3 +282,77 @@ def lang_mismatch_audit(
         "top_mispred",
         "top_mispred_n",
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Rule-based document quality filter in the style of the public
+    Gopher heuristics (Rae et al. 2021, "Scaling Language Models"
+    appendix A1.1): hard per-document rules instead of X9's soft score,
+    each emitted as its own flag so a curation run can report WHY mass
+    was dropped (the reason ledger drives threshold tuning).
+
+    Rules (all whitespace-token based, thresholds parameterized):
+    word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; symbol-token ratio
+    (``#``/``...`` tokens) <= max_symbol_ratio; fraction of words
+    containing an alphabetic character >= min_alpha_frac; at least
+    min_stopword_hits English stopword occurrences. NULL text fails
+    every rule.
+
+    Pure single-projection column algebra over a 2-column pruned scan
+    — whole-stage codegen, ZERO shuffle (plan-pinned), composes into
+    any existing scan for free. Ratios compared as ``count <= ratio *
+    n`` in double — both engines evaluate the identical expression on
+    identical integers, and the OUTPUT is boolean, so no float ever
+    reaches the value hash (the flags are ULP-robust unless a corpus
+    value lands exactly on a threshold, which integer counts vs .0/.1
+    literals cannot)."""
+    tok = _tokens(text_col)
+    n = F.expr(f"size({tok})").cast("bigint")
+    nonspace = F.length(F.regexp_replace(F.col(text_col), " ", "")).cast(
+        "bigint"
+    )
+    symbols = F.expr(
+        f"size(filter({tok}, t -> t = '#' or t = '...'))"
+    ).cast("bigint")
+    alpha = F.expr(
+        f"size(filter({tok}, t -> t rlike '[a-z]'))"
+    ).cast("bigint")
+    stops = F.expr(_stop_hits(text_col, STOPWORDS["en"])).cast("bigint")
+    flags = {
+        "ok_word_count": (n >= min_words) & (n <= max_words),
+        "ok_mean_word_len": (
+            nonspace >= F.lit(float(min_mean_word_len)) * n
+        )
+        & (nonspace <= F.lit(float(max_mean_word_len)) * n),
+        "ok_symbol_ratio": symbols
+        <= F.lit(float(max_symbol_ratio)) * n,
+        "ok_alpha_frac": alpha >= F.lit(float(min_alpha_frac)) * n,
+        "ok_stopwords": stops >= min_stopword_hits,
+    }
+    cols = [
+        F.coalesce(expr, F.lit(False)).alias(name)
+        for name, expr in flags.items()
+    ]
+    failed = sum(
+        (F.when(~F.coalesce(expr, F.lit(False)), 1).otherwise(0)
+         for expr in flags.values()),
+        F.lit(0),
+    )
+    return df.select(
+        F.col(id_col),
+        *cols,
+        failed.cast("int").alias("n_rules_failed"),
+        (failed == 0).alias("keep"),
+    )

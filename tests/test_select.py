@@ -417,3 +417,37 @@ def test_lang_mismatch_audit_edges(spark):
     assert (r.n_mismatch, r.mismatch_rate, r.top_mispred, r.top_mispred_n) == (
         0, 0.0, None, None,
     )
+
+
+def test_gopher_rules_flags_and_keep(spark):
+    """gopher_rules: each rule fires on its crafted failure doc, the
+    clean doc keeps, NULL text fails everything, boundary values are
+    inclusive, and the plan is a zero-Exchange projection."""
+    from ocsf_validator_spark.pipeline.textstats import gopher_rules
+
+    clean = "the a of and is " + " ".join(f"word{i:03d}" for i in range(45))
+    rows = [
+        (1, clean),                                    # passes all
+        (2, "the a of and is"),                        # too few words
+        (3, "the a of and is " + " ".join("xy" for _ in range(60))),   # mean len < 3
+        (4, "the a of and is " + " ".join("#" for _ in range(20))),    # symbols + alpha
+        (5, "the " + " ".join("word%03d" % i for i in range(50))),     # 1 stopword hit
+        (6, None),                                     # NULL fails all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = gopher_rules(df, min_words=30)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].keep and got[1].n_rules_failed == 0
+    assert not got[2].ok_word_count and not got[2].keep
+    assert not got[3].ok_mean_word_len
+    assert not got[4].ok_symbol_ratio and not got[4].ok_alpha_frac
+    assert not got[5].ok_stopwords and got[5].ok_word_count
+    assert got[6].n_rules_failed == 5 and not got[6].keep
+    # inclusive boundary: exactly min_words tokens passes
+    b = spark.createDataFrame(
+        [(7, "the a of and is " + " ".join(f"w{i}" for i in range(25)))],
+        "doc_id long, text string",
+    )
+    assert gopher_rules(b, min_words=30).collect()[0].ok_word_count
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
