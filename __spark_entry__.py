@@ -939,6 +939,15 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.text_profile(_t(spark, sf, "documents"))
 
 
+def q_funnel_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (pipeline/temporal.funnel):
+    one user-keyed partial-collect exchange, per-user linear fold,
+    bounded report legs broadcast."""
+    from ocsf_validator_spark.pipeline.temporal import funnel
+
+    return funnel(_t(spark, sf, "events"), ("view", "click", "purchase"))
+
+
 def q_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style hard quality rules (pipeline/textstats.gopher_rules):
     per-rule flags + keep verdict, one scan-speed projection, zero
@@ -1456,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "lang_mismatch": q_lang_mismatch,
         "gopher_rules": q_gopher_rules,
+        "funnel_events": q_funnel_events,
         "corpus_mix": q_corpus_mix,
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
@@ -2574,6 +2584,41 @@ SELECT doc_id,
        CAST(length(array_to_string(list_slice(toks, u.s + 1, u.s + 32), ' '))
             AS INTEGER) AS chunk_chars
 FROM tk, UNNEST(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS u(s)
+"""
+
+    sqls["funnel_events"] = """
+WITH e AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL),
+u1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM e GROUP BY user_id),
+u2 AS (
+  SELECT u1.user_id, u1.t1,
+         min(CASE WHEN e.event_type = 'click' AND e.ts > u1.t1
+                  THEN e.ts END) AS t2
+  FROM u1 LEFT JOIN e ON e.user_id IS NOT DISTINCT FROM u1.user_id
+  GROUP BY u1.user_id, u1.t1),
+u3 AS (
+  SELECT u2.user_id, u2.t1, u2.t2,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > u2.t2
+                  THEN e.ts END) AS t3
+  FROM u2 LEFT JOIN e ON e.user_id IS NOT DISTINCT FROM u2.user_id
+  GROUP BY u2.user_id, u2.t1, u2.t2),
+r AS (
+  SELECT 1 AS step_idx, 'view' AS step, COUNT(t1)::BIGINT AS users_reached FROM u3
+  UNION ALL
+  SELECT 2, 'click', COUNT(t2)::BIGINT FROM u3
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(t3)::BIGINT FROM u3)
+SELECT r.step_idx, r.step, r.users_reached,
+  ROUND(CASE WHEN p.users_reached > 0
+             THEN r.users_reached / p.users_reached END, 6) AS conv_from_prev,
+  ROUND(CASE WHEN f.users_reached > 0
+             THEN r.users_reached / f.users_reached END, 6) AS conv_from_first
+FROM r
+LEFT JOIN r p ON p.step_idx = r.step_idx - 1
+CROSS JOIN (SELECT users_reached FROM r WHERE step_idx = 1) f
 """
 
     sqls["gopher_rules"] = f"""

@@ -380,3 +380,138 @@ def rollup_time(
             F.sum(cents("_v")).alias("value_cents"),
         )
     )
+
+
+
+
+def _funnel_depths(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Per-user funnel depth (0..len(steps)): one user-keyed exchange
+    with map-side partial collect_list, then a time-sorted linear fold
+    advancing through the steps (strictly-after semantics). Split out
+    so tests can pin the pre-checkpoint physical plan."""
+    idx = F.lit(None).cast("int")
+    for i, s in reversed(list(enumerate(steps))):
+        idx = F.when(F.col(type_col) == s, F.lit(i)).otherwise(idx)
+    ev = (
+        df.filter(F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("_u"),
+            F.struct(
+                F.col(ts_col).alias("ts"), idx.alias("idx")
+            ).alias("_e"),
+        )
+    )
+    return (
+        ev.groupBy("_u")
+        .agg(F.collect_list("_e").alias("_es"))
+        .select(
+            F.expr(
+                """
+                aggregate(
+                  array_sort(_es),
+                  named_struct('nxt', 0, 'last', cast(null as timestamp)),
+                  (a, e) -> if(
+                    e.idx = a.nxt and (a.nxt = 0 or e.ts > a.last),
+                    named_struct('nxt', a.nxt + 1, 'last', e.ts),
+                    a),
+                  a -> a.nxt)
+                """
+            ).alias("_depth")
+        )
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users reach each step of
+    ``steps`` IN ORDER, each step strictly after the previous step's
+    qualifying event — the product-analytics primitive (view → click →
+    purchase) and, over transcripts, the tool-call → tool-result →
+    answer completion funnel. Step k's qualifying time is the MINIMUM
+    ts of a step-k event strictly later than step k-1's qualifying
+    time (the standard funnel semantics), so a user who purchases
+    before ever viewing does not count as converted.
+
+    Plan: filter to the step types (map-side, pushed to the scan) →
+    ONE user-keyed exchange with map-side partial ``collect_list`` of
+    (ts, step_idx) structs (the X27 assembly pattern — no Window, no
+    self-join per step) → per-user ``array_sort`` + one linear fold
+    advancing through the steps (greedy first-qualifying == min-based
+    semantics because the array is time-sorted) → the per-user depth
+    aggregates on a ``len(steps)``-bounded frame; reached/conversion
+    legs broadcast. Per-user state is bounded by that user's step-event
+    count; a pathological hot user is routable by the X17 skew probe.
+
+    Returns one row per step: (step_idx 1-based, step, users_reached,
+    conv_from_prev, conv_from_first) with conversions as exact-count
+    ratios rounded 6 dp; step 1's conv_from_prev is NULL; zero
+    upstream users yield NULL conversions (try_divide).
+    """
+    steps = list(steps)
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError("steps must be non-empty and distinct")
+    spark = df.sparkSession
+    depth = (
+        _funnel_depths(df, steps, user_col, ts_col, type_col)
+        .groupBy("_depth")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
+    )
+    grid = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step string"
+    )
+    reached = (
+        depth.crossJoin(F.broadcast(grid))
+        .filter(F.col("_depth") >= F.col("step_idx"))
+        .groupBy("step_idx", "step")
+        .agg(F.sum("_n").alias("users_reached"))
+        .join(F.broadcast(grid), ["step_idx", "step"], "right")
+        .select(
+            "step_idx",
+            "step",
+            F.coalesce(F.col("users_reached"), F.lit(0)).alias(
+                "users_reached"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    prev = reached.select(
+        (F.col("step_idx") + 1).alias("step_idx"),
+        F.col("users_reached").alias("_prev"),
+    )
+    first = reached.filter(F.col("step_idx") == 1).select(
+        F.col("users_reached").alias("_first")
+    )
+    return (
+        reached.join(F.broadcast(prev), "step_idx", "left")
+        .crossJoin(F.broadcast(first))
+        .select(
+            "step_idx",
+            "step",
+            "users_reached",
+            F.round(
+                F.try_divide(
+                    F.col("users_reached").cast("double"), F.col("_prev")
+                ),
+                6,
+            ).alias("conv_from_prev"),
+            F.round(
+                F.try_divide(
+                    F.col("users_reached").cast("double"), F.col("_first")
+                ),
+                6,
+            ).alias("conv_from_first"),
+        )
+        .orderBy("step_idx")
+    )

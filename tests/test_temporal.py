@@ -251,3 +251,70 @@ def test_rollup_time_grouping_sets(spark):
     assert by[("click", None)].value_cents == 375 and by[("click", None)].gid == 1
     assert by[(None, "2024-01-01")].value_cents == 150 and by[(None, "2024-01-01")].gid == 2
     assert by[(None, None)].value_cents == 400 and by[(None, None)].n == 3
+
+
+def test_funnel_ordered_semantics(spark):
+    """funnel: out-of-order steps don't convert, equal timestamps are
+    strict, partial depths count correctly, empty steps yield 0 with
+    NULL conversions, and invalid step lists raise."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from ocsf_validator_spark.pipeline.temporal import funnel
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1: full ordered funnel
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: purchase BEFORE click -> depth 1 (view only) ... view,purchase,click
+        (2, t(1), "view"), (2, t(2), "purchase"), (2, t(3), "click"),
+        # u3: click at the SAME ts as view -> strict 'after' fails -> depth 1
+        (3, t(1), "view"), (3, t(1), "click"),
+        # u4: click only, never views -> depth 0
+        (4, t(1), "click"), (4, t(2), "purchase"),
+        # u5: view then click, no purchase -> depth 2; early clicks ignored
+        (5, t(1), "click"), (5, t(2), "view"), (5, t(3), "click"),
+        # noise type is filtered out
+        (1, t(9), "error"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.step_idx: r for r in funnel(df, ("view", "click", "purchase")).collect()}
+    # u1 full; u2's click AFTER the early purchase counts (depth 2) but
+    # the out-of-order purchase does not; u3 equal-ts strict -> depth 1;
+    # u4 never views -> 0; u5 early click ignored, later click counts
+    assert [got[i].users_reached for i in (1, 2, 3)] == [4, 3, 1]
+    assert got[1].conv_from_prev is None and got[1].conv_from_first == 1.0
+    assert got[2].conv_from_prev == 0.75 and got[3].conv_from_prev == round(1 / 3, 6)
+    assert got[3].conv_from_first == 0.25
+    # a step nobody reaches: conversions go NULL, count 0
+    g2 = {r.step_idx: r for r in funnel(df, ("view", "signup", "purchase")).collect()}
+    assert g2[2].users_reached == 0 and g2[3].users_reached == 0
+    assert g2[3].conv_from_prev is None
+    with _pytest.raises(ValueError):
+        funnel(df, ())
+    with _pytest.raises(ValueError):
+        funnel(df, ("view", "view"))
+
+
+def test_funnel_single_exchange_no_window(spark):
+    """The per-user leg is one partial-collect exchange; no Window and
+    no per-step self-join of the big side appear in the plan."""
+    import datetime as dt
+
+    from ocsf_validator_spark.pipeline.temporal import _funnel_depths
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    plan = (
+        _funnel_depths(df, ("view", "click"), "user_id", "ts", "event_type")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowExec" not in plan and "Window " not in plan, plan
+    # partial collect_list before the exchange (ObjectHashAggregate x2)
+    assert plan.count("ObjectHashAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan
