@@ -904,6 +904,15 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_mix(_t(spark, sf, "documents"), by="source")
 
 
+def q_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-n diversity per source (pipeline/keywords.
+    ngram_diversity): mode-collapse detector — per-doc-distinct hashed
+    grams pre-explode, tiny totals frame reused across ns."""
+    from ocsf_validator_spark.pipeline.keywords import ngram_diversity
+
+    return ngram_diversity(_t(spark, sf, "documents"))
+
+
 def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary coverage curve (pipeline/keywords.vocab_coverage):
     smallest descending-frequency vocab covering 50/90/99% of the token
@@ -1470,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
         "vocab_coverage": q_vocab_coverage,
+        "ngram_diversity": q_ngram_diversity,
         "ngram_topk": q_ngram_topk,
         "stratified_sample": q_stratified_sample,
         "token_budget_select": q_token_budget_select,
@@ -2525,6 +2535,34 @@ LIMIT 10
 """
 
     stop = lambda ws: " OR ".join(f"tk = '{w}'" for w in ws)
+    def _div_leg(n: int) -> str:
+        gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+        return f"""
+SELECT t.source, {n} AS n, t.total_grams,
+       COALESCE(d.distinct_grams, 0) AS distinct_grams
+FROM (
+  SELECT source,
+         CAST(SUM(greatest(len(toks) - {n - 1}, 0)) AS BIGINT) AS total_grams
+  FROM base GROUP BY source) t
+LEFT JOIN (
+  SELECT source, CAST(COUNT(DISTINCT gh) AS BIGINT) AS distinct_grams
+  FROM (
+    SELECT source,
+      unnest(list_transform(range(1, len(toks) - {n - 2}),
+        i -> ('0x' || substr(md5({gram}), 1, 15))::BIGINT)) AS gh
+    FROM base WHERE len(toks) >= {n})
+  GROUP BY source) d ON d.source = t.source"""
+
+    sqls["ngram_diversity"] = (
+        "WITH base AS (SELECT source, string_split(text, ' ') AS toks "
+        "FROM documents WHERE text IS NOT NULL), u AS ("
+        + " UNION ALL ".join(_div_leg(n) for n in (1, 2, 3))
+        + ") SELECT source, n, total_grams, distinct_grams, "
+        "CASE WHEN total_grams = 0 THEN NULL ELSE "
+        "ROUND(distinct_grams / CAST(total_grams AS DOUBLE), 6) END "
+        "AS distinct_ratio FROM u"
+    )
+
     sqls["vocab_coverage"] = """
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS term

@@ -248,3 +248,87 @@ def vocab_coverage(
             .alias("covered_tokens"),
         )
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 3),
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-n diversity per ``by`` group: distinct n-grams / total
+    n-grams for each requested n — the standard generation-diversity
+    metric (a synthetic-transcript source whose distinct-2/3 ratios
+    collapse is mode-collapsed long before per-doc repetition flags
+    fire, because the repeats live ACROSS documents).
+
+    One tiny totals agg (all ns in one scan, groupBy(by) with one sum
+    per n) reused by every leg via localCheckpoint; per n, corpus
+    distinct counts ride the X21 discipline — per-doc ``array_distinct``
+    BEFORE the explode (an in-doc repeat never crosses the wire) and
+    60-bit md5-prefix ints in the (by, hash) exchange, which partial-agg
+    collapses to per-partition-distinct pairs. NULL text is excluded on
+    both engines (greatest/NULL semantics differ cross-engine —
+    filtering is the deterministic spelling).
+
+    Returns (by, n, total_grams, distinct_grams, distinct_ratio) with
+    the ratio rounded 6 dp; groups with no n-grams (every doc shorter
+    than n) carry 0 distinct and NULL ratio."""
+    from ocsf_validator_spark.pipeline.decontam import _gram_hashes
+
+    ns = tuple(int(n) for n in ns)
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError("ns must be positive ints")
+    toks = f"split({text_col}, ' ')"
+    base = df.filter(F.col(text_col).isNotNull())
+    totals = (
+        base.groupBy(by)
+        .agg(
+            *[
+                F.sum(
+                    F.expr(f"greatest(size({toks}) - {n - 1}, 0)")
+                ).alias(f"_t{n}")
+                for n in ns
+            ]
+        )
+        .localCheckpoint(eager=False)
+    )
+    legs = []
+    for n in ns:
+        d = (
+            base.select(
+                F.col(by),
+                F.explode(F.expr(_gram_hashes(text_col, n))).alias("_g"),
+            )
+            .groupBy(by, "_g")
+            .agg(F.lit(1))
+            .groupBy(by)
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        legs.append(
+            totals.select(
+                F.col(by),
+                F.lit(n).alias("n"),
+                F.col(f"_t{n}").cast("bigint").alias("total_grams"),
+            )
+            .join(d, by, "left")
+            .select(
+                by,
+                "n",
+                "total_grams",
+                F.coalesce(F.col("_d"), F.lit(0))
+                .cast("bigint")
+                .alias("distinct_grams"),
+                F.round(
+                    F.try_divide(
+                        F.coalesce(F.col("_d"), F.lit(0)).cast("double"),
+                        F.col("total_grams"),
+                    ),
+                    6,
+                ).alias("distinct_ratio"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

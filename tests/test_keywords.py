@@ -215,3 +215,46 @@ def test_vocab_coverage_edges(spark):
         vocab_coverage(one, (0,))
     with _pytest.raises(ValueError):
         vocab_coverage(one, ())
+
+
+def test_ngram_diversity_naive_parity_and_edges(spark):
+    """ngram_diversity equals a naive Python count (cross-doc repeats
+    collapse, in-doc repeats collapse once, short docs contribute 0
+    grams, NULL text excluded, empty groups get NULL ratio)."""
+    from collections import defaultdict
+
+    import pytest as _pytest
+
+    from ocsf_validator_spark.pipeline.keywords import ngram_diversity
+
+    rows = [
+        ("a", "x y x y"),      # bigrams: 'x y','y x','x y' -> 3 total, 2 distinct
+        ("a", "x y"),          # repeats doc 1's bigram across docs
+        ("a", None),           # excluded
+        ("b", "solo"),         # 0 bigrams
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r.source, r.n): (r.total_grams, r.distinct_grams, r.distinct_ratio)
+        for r in ngram_diversity(df, ns=(1, 2)).collect()
+    }
+    tot, dis = defaultdict(int), defaultdict(set)
+    for s, t in rows:
+        if t is None:
+            continue
+        toks = t.split(" ")
+        for n in (1, 2):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            tot[(s, n)] += len(grams)
+            dis[(s, n)].update(grams)
+    for key, (t_, d_, r_) in got.items():
+        assert t_ == tot[key] and d_ == len(dis[key]), (key, got[key])
+        if t_ == 0:
+            assert r_ is None
+        else:
+            assert r_ == round(len(dis[key]) / tot[key], 6)
+    assert got[("b", 2)] == (0, 0, None)
+    with _pytest.raises(ValueError):
+        ngram_diversity(df, ns=())
+    with _pytest.raises(ValueError):
+        ngram_diversity(df, ns=(0,))
