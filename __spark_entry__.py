@@ -948,6 +948,15 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.text_profile(_t(spark, sf, "documents"))
 
 
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention over events (pipeline/temporal.
+    cohort_retention): one user-keyed exchange carrying min+set of
+    periods, tiny grid downstream, sizes broadcast."""
+    from ocsf_validator_spark.pipeline.temporal import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"))
+
+
 def q_funnel_events(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered view→click→purchase funnel (pipeline/temporal.funnel):
     one user-keyed partial-collect exchange, per-user linear fold,
@@ -1475,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mismatch": q_lang_mismatch,
         "gopher_rules": q_gopher_rules,
         "funnel_events": q_funnel_events,
+        "cohort_retention": q_cohort_retention,
         "corpus_mix": q_corpus_mix,
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
@@ -2622,6 +2632,24 @@ SELECT doc_id,
        CAST(length(array_to_string(list_slice(toks, u.s + 1, u.s + 32), ' '))
             AS INTEGER) AS chunk_chars
 FROM tk, UNNEST(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS u(s)
+"""
+
+    sqls["cohort_retention"] = """
+WITH w AS (
+  SELECT user_id,
+         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS wk
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id),
+a AS (SELECT DISTINCT w.user_id, c.cw, w.wk - c.cw AS off
+      FROM w JOIN c ON w.user_id = c.user_id),
+r AS (SELECT cw AS cohort_period, off AS period_offset,
+             COUNT(*)::BIGINT AS users
+      FROM a GROUP BY 1, 2)
+SELECT r.cohort_period, r.period_offset, r.users,
+       ROUND(r.users / CAST(s.users AS DOUBLE), 6) AS retention_rate
+FROM r JOIN r s ON s.cohort_period = r.cohort_period
+               AND s.period_offset = 0
 """
 
     sqls["funnel_events"] = """

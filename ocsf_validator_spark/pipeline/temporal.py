@@ -515,3 +515,72 @@ def funnel(
         )
         .orderBy("step_idx")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    origin: str = "2024-01-01",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their FIRST active
+    period (cohort), counted in every later period they return —
+    product analytics' second primitive next to :func:`funnel`, and
+    over agent transcripts the "users still conversing k weeks after
+    first contact" curve.
+
+    Periods are ``(date - origin) div period_days`` with a FIXED origin
+    literal (never ``min(ts)`` — a data-derived origin makes every
+    period label depend on a global aggregate and is not stable under
+    incremental appends). ``origin`` must not postdate the data: the
+    integer division truncates toward zero, so negative day offsets
+    would disagree with the oracle's floor division.
+
+    Plan: ONE user-keyed exchange — groupBy(user) with map-side partial
+    ``min(period)`` AND ``collect_set(period)`` together (per-user
+    state bounded by the user's distinct active periods, NOT their
+    event count) — then explode the set and partial-agg the tiny
+    (cohort, offset) grid; cohort sizes are the offset-0 diagonal,
+    joined back broadcast. No self-join of the event stream, no
+    window. Retention = exact-count ratio rounded 6 dp; offset 0 is
+    1.0 by construction.
+
+    Returns (cohort_period, period_offset, users, retention_rate).
+    """
+    wk = F.expr(
+        f"datediff(cast({ts_col} as date), date'{origin}') "
+        f"div {int(period_days)}"
+    ).cast("bigint")
+    g = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), wk.alias("_wk"))
+        .groupBy("_u")
+        .agg(
+            F.min("_wk").alias("_cw"),
+            F.collect_set("_wk").alias("_wks"),
+        )
+    )
+    grid = (
+        g.select("_cw", F.explode("_wks").alias("_wk"))
+        .groupBy(
+            F.col("_cw").alias("cohort_period"),
+            (F.col("_wk") - F.col("_cw")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = grid.filter(F.col("period_offset") == 0).select(
+        F.col("cohort_period"), F.col("users").alias("_size")
+    )
+    return (
+        grid.join(F.broadcast(sizes), "cohort_period")
+        .select(
+            "cohort_period",
+            "period_offset",
+            "users",
+            F.round(
+                F.col("users").cast("double") / F.col("_size"), 6
+            ).alias("retention_rate"),
+        )
+    )

@@ -318,3 +318,41 @@ def test_funnel_single_exchange_no_window(spark):
     # partial collect_list before the exchange (ObjectHashAggregate x2)
     assert plan.count("ObjectHashAggregate") >= 2, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_cohort_retention_matrix(spark):
+    """cohort_retention: cohorts keyed by first active period, returns
+    counted once per (user, period), offset-0 diagonal = cohort size,
+    rates exact; NULL user/ts excluded; single exchange, no window."""
+    import datetime as dt
+
+    from ocsf_validator_spark.pipeline.temporal import cohort_retention
+
+    d = lambda day: dt.datetime(2024, 1, 1 + day, 12, 0, 0)
+    rows = [
+        # cohort 0: u1 active wk0, wk1, wk2; u2 active wk0, wk2 (twice
+        # in wk2 -> counted once); u3 wk0 only
+        (1, d(0)), (1, d(7)), (1, d(14)),
+        (2, d(1)), (2, d(15)), (2, d(16)),
+        (3, d(2)),
+        # cohort 1: u4 active wk1 then wk3
+        (4, d(8)), (4, d(22)),
+        # excluded
+        (None, d(0)), (5, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_period, r.period_offset): (r.users, r.retention_rate)
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        (0, 0): (3, 1.0),
+        (0, 1): (1, round(1 / 3, 6)),
+        (0, 2): (2, round(2 / 3, 6)),
+        (1, 0): (1, 1.0),
+        (1, 2): (1, 1.0),
+    }
+    plan = (
+        cohort_retention(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowExec" not in plan and "Window " not in plan, plan
