@@ -202,6 +202,14 @@ def main() -> None:
         "opening_role_events",
         "corpus_mix",
         "increment_drift",
+        "chunk_documents",
+        "epoch_shuffle",
+        "vocab_coverage",
+        "lang_mismatch",
+        "gopher_rules",
+        "ngram_diversity",
+        "funnel_events",
+        "cohort_retention",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:
