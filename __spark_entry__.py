@@ -948,6 +948,15 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.text_profile(_t(spark, sf, "documents"))
 
 
+def q_turn_echo(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-conversation echo profile (stats.turn_echo): set-overlap of
+    each turn with its predecessor over the derived transcripts — one
+    conv-keyed window exchange + partial agg."""
+    from ocsf_validator_spark.stats import turn_echo
+
+    return turn_echo(_transcripts(spark, sf))
+
+
 def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly cohort retention over events (pipeline/temporal.
     cohort_retention): one user-keyed exchange carrying min+set of
@@ -1485,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "funnel_events": q_funnel_events,
         "cohort_retention": q_cohort_retention,
+        "turn_echo": q_turn_echo,
         "corpus_mix": q_corpus_mix,
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
@@ -2632,6 +2642,34 @@ SELECT doc_id,
        CAST(length(array_to_string(list_slice(toks, u.s + 1, u.s + 32), ' '))
             AS INTEGER) AS chunk_chars
 FROM tk, UNNEST(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS u(s)
+"""
+
+    sqls["turn_echo"] = f"""
+WITH {_T_CTE},
+l AS (
+  SELECT conv_id, text,
+         lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM t),
+s AS (
+  SELECT conv_id,
+    CASE WHEN text IS NOT NULL AND prev IS NOT NULL THEN
+      ROUND(len(list_intersect(list_distinct(string_split(text, ' ')),
+                               list_distinct(string_split(prev, ' '))))
+            / CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE), 6)
+    END AS echo,
+    CASE WHEN text IS NOT NULL AND prev IS NOT NULL THEN
+      (len(list_intersect(list_distinct(string_split(text, ' ')),
+                          list_distinct(string_split(prev, ' '))))
+       = len(list_distinct(string_split(text, ' '))))::INTEGER
+    END AS fe
+  FROM l)
+SELECT conv_id, COUNT(*)::BIGINT AS n_turns,
+  COUNT(echo)::BIGINT AS turns_scored,
+  ROUND(CAST(SUM(CAST(echo AS DECIMAL(21,6))) AS DOUBLE) / COUNT(echo), 6)
+    AS avg_echo,
+  MAX(echo) AS max_echo,
+  COALESCE(SUM(fe), 0)::BIGINT AS full_echo_turns
+FROM s GROUP BY conv_id
 """
 
     sqls["cohort_retention"] = """

@@ -210,6 +210,7 @@ def main() -> None:
         "ngram_diversity",
         "funnel_events",
         "cohort_retention",
+        "turn_echo",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -290,3 +290,76 @@ def role_transitions(
         )
         .orderBy("role", "next_role")
     )
+
+
+def turn_echo(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation echo profile: how much each turn parrots the
+    turn immediately before it — the transcript-QA signal for
+    copy-through assistants and template loops (a conversation whose
+    turns keep restating the previous message is degenerate training
+    data even when every structural constraint passes).
+
+    echo(turn) = |distinct tokens ∩ distinct tokens of the previous
+    turn| / |distinct tokens of the turn| — set semantics, so repeating
+    one copied word doesn't inflate the score; full_echo counts turns
+    whose token SET is contained in the previous turn's (an exact
+    integer comparison, no float threshold).
+
+    Plan: ONE conv-keyed window exchange (lag of the text column — the
+    same exchange every per-conversation check rides), then map-side
+    set algebra per row and a partial-agg groupBy(conv). Determinism:
+    per-turn fractions round to 6 dp and accumulate in decimal(21,6)
+    (exact, order-independent — the X34 pattern) before the final
+    6 dp mean; turns with NULL text or no previous turn are excluded
+    from scoring but still counted in n_turns.
+
+    Returns (conv_col, n_turns, turns_scored, avg_echo, max_echo,
+    full_echo_turns); conversations with nothing scoreable carry NULL
+    avg/max.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    cur = f"array_distinct(split({text_col}, ' '))"
+    lagged = df.select(
+        F.col(conv_col),
+        F.col(text_col),
+        F.lag(text_col).over(w).alias("_prev"),
+    )
+    inter = "size(array_intersect(_c, _p))"
+    scored = lagged.select(
+        conv_col,
+        F.expr(cur).alias("_c"),
+        F.expr("array_distinct(split(_prev, ' '))").alias("_p"),
+        F.col(text_col).isNotNull().alias("_has_text"),
+    ).select(
+        conv_col,
+        F.when(
+            F.col("_has_text") & F.col("_p").isNotNull(),
+            F.round(
+                F.expr(inter).cast("double") / F.expr("size(_c)"), 6
+            ),
+        ).alias("_echo"),
+        F.when(
+            F.col("_has_text") & F.col("_p").isNotNull(),
+            (F.expr(inter) == F.expr("size(_c)")).cast("int"),
+        ).alias("_full"),
+    )
+    return scored.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count("_echo").alias("turns_scored"),
+        F.round(
+            F.sum(F.col("_echo").cast("decimal(21,6)")).cast("double")
+            / F.count("_echo"),
+            6,
+        ).alias("avg_echo"),
+        F.max("_echo").alias("max_echo"),
+        F.coalesce(F.sum("_full"), F.lit(0)).cast("bigint").alias(
+            "full_echo_turns"
+        ),
+    )

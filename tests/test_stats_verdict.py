@@ -167,3 +167,31 @@ def test_role_transitions_matrix(spark):
         (None, "assistant"): (1, 0.25),
         ("user", "user"): (1, 0.25),
     }
+
+
+def test_turn_echo_set_semantics_and_edges(spark):
+    """turn_echo: set overlap (in-turn repeats don't inflate), full-echo
+    is exact containment, first/NULL turns excluded from scoring but
+    counted, unscoreable conversations carry NULL avg/max."""
+    from ocsf_validator_spark.stats import turn_echo
+
+    rows = [
+        # c1: t0 'a b c'; t1 repeats a word of t0 many times -> echo 1.0
+        # (set containment) and full; t2 vs ITS prev t1 {'a'} -> 0.0
+        ("c1", 0, "a b c"), ("c1", 1, "a a a"), ("c1", 2, "b d"),
+        # c2: single turn -> nothing scoreable
+        ("c2", 0, "x y"),
+        # c3: NULL text mid-conversation: t1 unscored; t2's prev is the
+        # NULL turn -> unscored too (prev token set is NULL)
+        ("c3", 0, "p q"), ("c3", 1, None), ("c3", 2, "p q"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {r.conv_id: r for r in turn_echo(df).collect()}
+    c1 = got["c1"]
+    assert (c1.n_turns, c1.turns_scored, c1.full_echo_turns) == (3, 2, 1)
+    assert c1.avg_echo == 0.5 and c1.max_echo == 1.0
+    c2 = got["c2"]
+    assert (c2.n_turns, c2.turns_scored, c2.avg_echo, c2.max_echo,
+            c2.full_echo_turns) == (1, 0, None, None, 0)
+    c3 = got["c3"]
+    assert (c3.n_turns, c3.turns_scored) == (3, 0)
