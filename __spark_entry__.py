@@ -904,6 +904,15 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_mix(_t(spark, sf, "documents"), by="source")
 
 
+def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 bigram PMI collocations (pipeline/keywords.
+    pmi_collocations): hash-keyed unigram/bigram counts, two 8-byte-key
+    joins, bounded string recovery pass."""
+    from ocsf_validator_spark.pipeline.keywords import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf, "documents"), k=20, min_count=5)
+
+
 def q_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct-n diversity per source (pipeline/keywords.
     ngram_diversity): mode-collapse detector — per-doc-distinct hashed
@@ -1500,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "vocab_coverage": q_vocab_coverage,
         "ngram_diversity": q_ngram_diversity,
+        "pmi_collocations": q_pmi_collocations,
         "ngram_topk": q_ngram_topk,
         "stratified_sample": q_stratified_sample,
         "token_budget_select": q_token_budget_select,
@@ -2642,6 +2652,42 @@ SELECT doc_id,
        CAST(length(array_to_string(list_slice(toks, u.s + 1, u.s + 32), ' '))
             AS INTEGER) AS chunk_chars
 FROM tk, UNNEST(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS u(s)
+"""
+
+    sqls["pmi_collocations"] = """
+WITH d AS (SELECT string_split(text, ' ') AS tk
+           FROM documents WHERE text IS NOT NULL),
+uni AS (
+  SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT AS h, COUNT(*)::BIGINT AS c
+  FROM (SELECT unnest(tk) AS t FROM d) GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS T FROM uni),
+bi AS (
+  SELECT ('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 15))::BIGINT AS hb,
+         ('0x' || substr(md5(tk[i]), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(tk[i+1]), 1, 15))::BIGINT AS h2,
+         COUNT(*)::BIGINT AS n_pair
+  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d WHERE len(tk) >= 2)
+  GROUP BY 1, 2, 3),
+tb AS (SELECT CAST(SUM(n_pair) AS DOUBLE) AS TB FROM bi),
+top AS (
+  SELECT bi.hb, bi.n_pair, u1.c AS n_left, u2.c AS n_right,
+    ROUND(ln((CAST(bi.n_pair AS DOUBLE) * tot.T * tot.T) /
+             (tb.TB * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6)
+      AS pmi
+  FROM bi
+  JOIN uni u1 ON u1.h = bi.h1
+  JOIN uni u2 ON u2.h = bi.h2
+  CROSS JOIN tot CROSS JOIN tb
+  WHERE bi.n_pair >= 5
+  ORDER BY pmi DESC, bi.hb ASC LIMIT 20),
+grams AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 15))::BIGINT AS hb,
+    tk[i] || ' ' || tk[i+1] AS bigram
+  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d WHERE len(tk) >= 2))
+SELECT min(g.bigram) AS bigram, t.n_pair, t.n_left, t.n_right, t.pmi
+FROM top t JOIN grams g ON g.hb = t.hb
+GROUP BY t.hb, t.n_pair, t.n_left, t.n_right, t.pmi
 """
 
     sqls["turn_echo"] = f"""

@@ -211,6 +211,7 @@ def main() -> None:
         "funnel_events",
         "cohort_retention",
         "turn_echo",
+        "pmi_collocations",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -332,3 +332,104 @@ def ngram_diversity(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information —
+    PMI = ln(p(ab) / (p(a)·p(b))) — the corpus-analysis op that
+    surfaces multiword units ("new york", tool-call idioms) and, on
+    synthetic transcripts, template glue whose components never occur
+    apart. ``min_count`` suppresses the rare-pair PMI explosion (a
+    pair seen once between two hapaxes maxes the score).
+
+    Scale discipline: unigram and bigram counts are keyed on 60-bit
+    md5-prefix hashes (8-byte ints in every exchange, X19/X15); the
+    bigram rows carry their component hashes computed map-side, so the
+    two unigram joins are hash-keyed equi-joins, never string joins;
+    totals broadcast as 1-row frames; the top-k over (pmi DESC, hb ASC)
+    is TakeOrderedAndProject; the k winning STRINGS are recovered in
+    the ngram_topk bounded second pass (per-doc DISTINCT pairs probed
+    against the broadcast winner set, min(gram) per hash) — bigram
+    strings cross only for the k winners.
+
+    Determinism: pmi = round(ln((cnt·T·T)/(TB·c1·c2)), 6) with the
+    exact same double expression tree on both engines, hb tie-break on
+    the selection (X19 trick); presentation is (pmi DESC, bigram ASC).
+
+    Returns (bigram, n_pair, n_left, n_right, pmi).
+    """
+    toks = f"split({text_col}, ' ')"
+    uni_h = _MD5_60.format(x="t")
+    base = df.filter(F.col(text_col).isNotNull())
+    uni = (
+        base.select(F.explode(F.expr(toks)).alias("t"))
+        .select(F.expr(uni_h).alias("_h"))
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("_T"))
+    gram = f"concat_ws(' ', slice({toks}, i, 2))"
+    left = f"element_at({toks}, i)"
+    right = f"element_at({toks}, i + 1)"
+    tri = (
+        f"case when size({toks}) >= 2 then "
+        f"transform(sequence(1, size({toks}) - 1), i -> named_struct("
+        f"'hb', {_MD5_60.format(x=gram)}, "
+        f"'h1', {_MD5_60.format(x=left)}, "
+        f"'h2', {_MD5_60.format(x=right)})) "
+        f"else array() end"
+    )
+    bi = (
+        base.select(F.explode(F.expr(tri)).alias("b"))
+        .groupBy("b.hb", "b.h1", "b.h2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=False)
+    )
+    tb = bi.agg(F.sum("n_pair").cast("double").alias("_TB"))
+    u1 = uni.select(F.col("_h").alias("h1"), F.col("c").alias("n_left"))
+    u2 = uni.select(F.col("_h").alias("h2"), F.col("c").alias("n_right"))
+    top = (
+        bi.filter(F.col("n_pair") >= min_count)
+        .join(u1, "h1")
+        .join(u2, "h2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "hb",
+            "n_pair",
+            "n_left",
+            "n_right",
+            F.round(
+                F.expr(
+                    "ln((cast(n_pair as double) * _T * _T) / "
+                    "(_TB * cast(n_left as double) * "
+                    "cast(n_right as double)))"
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("hb").asc())
+        .limit(k)
+    )
+    pairs = (
+        f"case when size({toks}) >= 2 then "
+        f"array_distinct(transform(sequence(1, size({toks}) - 1), "
+        f"i -> struct({_MD5_60.format(x=gram)} as hb, {gram} as bigram))) "
+        f"else array() end"
+    )
+    probes = base.select(F.explode(F.expr(pairs)).alias("p")).select(
+        "p.hb", "p.bigram"
+    )
+    return (
+        probes.join(F.broadcast(top), "hb")
+        .groupBy("hb", "n_pair", "n_left", "n_right", "pmi")
+        .agg(F.min("bigram").alias("bigram"))
+        .select("bigram", "n_pair", "n_left", "n_right", "pmi")
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+    )

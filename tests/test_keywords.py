@@ -258,3 +258,39 @@ def test_ngram_diversity_naive_parity_and_edges(spark):
         ngram_diversity(df, ns=())
     with _pytest.raises(ValueError):
         ngram_diversity(df, ns=(0,))
+
+
+def test_pmi_collocations_planted_pair(spark):
+    """A planted always-together pair tops the PMI ranking; a frequent
+    independent pair scores near 0; pairs under min_count are out; the
+    recovered strings match the hashes."""
+    import math
+
+    from ocsf_validator_spark.pipeline.keywords import pmi_collocations
+
+    rng = __import__("random").Random(9)
+    common = [f"c{i}" for i in range(20)]
+    docs = []
+    for i in range(60):
+        toks = rng.choices(common, k=20)
+        # plant 'zig zag' as an inseparable bigram in every doc
+        pos = rng.randint(0, len(toks))
+        toks[pos:pos] = ["zig", "zag"]
+        docs.append((i, " ".join(toks)))
+    # a rare pair seen twice stays below min_count=5
+    docs += [(100, "rare pairx"), (101, "rare pairx")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = pmi_collocations(df, k=10, min_count=5).collect()
+    assert rows[0].bigram == "zig zag"
+    assert rows[0].n_pair == 60 and rows[0].n_left == 60 and rows[0].n_right == 60
+    # pmi of the planted pair: ln(n*T*T / (TB*60*60)) with exact counts
+    T = sum(len(t.split(" ")) for _, t in docs)
+    TB = sum(len(t.split(" ")) - 1 for _, t in docs)
+    want = round(math.log((60 * T * T) / (TB * 60 * 60)), 6)
+    assert abs(rows[0].pmi - want) < 2e-6
+    grams = {r.bigram for r in rows}
+    assert "rare pairx" not in grams
+    # every returned bigram is a real adjacent pair
+    corpus = " | ".join(t for _, t in docs)
+    for g in grams:
+        assert g in corpus
