@@ -957,6 +957,15 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.text_profile(_t(spark, sf, "documents"))
 
 
+def q_winsorize_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorize events.value at the exact p01/p99 fences (pipeline/
+    quantiles.winsorize): histogram-narrowed order statistics applied
+    as literals — the clip pass is scan-speed."""
+    from ocsf_validator_spark.pipeline.quantiles import winsorize
+
+    return winsorize(_t(spark, sf, "events"), "value", 0.01, 0.99)
+
+
 def q_turn_echo(spark: SparkSession, sf: str) -> DataFrame:
     """Per-conversation echo profile (stats.turn_echo): set-overlap of
     each turn with its predecessor over the derived transcripts — one
@@ -1504,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "cohort_retention": q_cohort_retention,
         "turn_echo": q_turn_echo,
+        "winsorize_value": q_winsorize_value,
         "corpus_mix": q_corpus_mix,
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
@@ -2652,6 +2662,24 @@ SELECT doc_id,
        CAST(length(array_to_string(list_slice(toks, u.s + 1, u.s + 32), ' '))
             AS INTEGER) AS chunk_chars
 FROM tk, UNNEST(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS u(s)
+"""
+
+    sqls["winsorize_value"] = """
+WITH v AS (SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL),
+n AS (SELECT count(*) AS n FROM v),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+f AS (SELECT
+  (SELECT r.v FROM r, n
+   WHERE r.rn = CAST(floor((n.n - 1) * 0.01) AS BIGINT) + 1) AS lo,
+  (SELECT r.v FROM r, n
+   WHERE r.rn = CAST(floor((n.n - 1) * 0.99) AS BIGINT) + 1) AS hi)
+SELECT e.event_id, e.value,
+  CASE WHEN e.value IS NOT NULL
+       THEN least(greatest(e.value::DOUBLE, f.lo), f.hi) END AS clipped,
+  CASE WHEN e.value IS NOT NULL
+       THEN (e.value::DOUBLE < f.lo OR e.value::DOUBLE > f.hi) END
+    AS was_clipped
+FROM events e CROSS JOIN f
 """
 
     sqls["pmi_collocations"] = """

@@ -212,6 +212,7 @@ def main() -> None:
         "cohort_retention",
         "turn_echo",
         "pmi_collocations",
+        "winsorize_value",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -393,3 +393,55 @@ def group_mad_outliers(
             F.col("_hi").alias("hi"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    id_cols: tuple[str, ...] = ("event_id",),
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Winsorization: clip ``value_col`` to its exact [lo_q, hi_q]
+    order-statistic fences — the robust preprocessing step before a
+    scale-sensitive consumer (embedding norms into ANN, reward scores
+    into a mix weight) where :func:`mad_outliers` would DROP rows this
+    op instead retains at the fence.
+
+    Fences come from :func:`exact_quantiles` (histogram-narrowed exact
+    order statistics, no global sort) and are applied as LITERALS — the
+    clip pass is a scan-speed projection the optimizer can fold into
+    any downstream plan, and because the fences are actual data values
+    picked by rank (never interpolated), the clipped output is
+    engine-replayable bit-for-bit. NULL/NaN values pass through
+    unclipped (flagged NULL) — dropping is the caller's policy.
+
+    Returns (*id_cols, value_col, clipped, was_clipped) where
+    ``was_clipped`` is NULL for NULL/NaN inputs.
+    """
+    if not (0.0 <= lo_q < hi_q <= 1.0):
+        raise ValueError("need 0 <= lo_q < hi_q <= 1")
+    fences = {
+        r["q"]: r["value"]
+        for r in exact_quantiles(
+            df, value_col, qs=(lo_q, hi_q), n_bins=n_bins
+        ).collect()
+    }
+    if not fences:
+        return df.select(
+            *id_cols,
+            F.col(value_col),
+            F.col(value_col).cast("double").alias("clipped"),
+            F.lit(None).cast("boolean").alias("was_clipped"),
+        )
+    lo, hi = fences[lo_q], fences[hi_q]
+    v = F.col(value_col).cast("double")
+    ok = v.isNotNull() & ~F.isnan(v)
+    clipped = F.when(ok, F.least(F.greatest(v, F.lit(lo)), F.lit(hi))).otherwise(v)
+    return df.select(
+        *id_cols,
+        F.col(value_col),
+        clipped.alias("clipped"),
+        F.when(ok, (v < F.lit(lo)) | (v > F.lit(hi))).alias("was_clipped"),
+    )

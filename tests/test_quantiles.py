@@ -310,3 +310,36 @@ def test_group_mad_nulls_and_degenerate_group(spark):
 def test_group_mad_empty(spark):
     assert run_group_mad(spark, []) == {}
     assert run_group_mad(spark, [("a", None), (None, 1.0)]) == {}
+
+
+def test_winsorize_clips_at_exact_fences(spark):
+    """winsorize: fences are exact order statistics, tails clip AT the
+    fence values, NULLs pass through with NULL flags, degenerate and
+    empty inputs behave, bad quantile args raise."""
+    import math
+
+    import pytest as _pytest
+
+    from ocsf_validator_spark.pipeline.quantiles import winsorize
+
+    vals = list(range(1, 101))  # 1..100
+    rows = [(i, float(v)) for i, v in enumerate(vals)] + [(999, None)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    # p10/p90 of 1..100: rank floor(99*q)+1 -> values 10.0 and 90.0
+    out = {r.event_id: r for r in winsorize(df, "value", 0.1, 0.9).collect()}
+    assert out[0].clipped == 10.0 and out[0].was_clipped is True
+    assert out[99].clipped == 90.0 and out[99].was_clipped is True
+    assert out[49].clipped == 50.0 and out[49].was_clipped is False
+    # fence values themselves are NOT flagged (closed interval)
+    assert out[9].clipped == 10.0 and out[9].was_clipped is False
+    assert out[999].clipped is None and out[999].was_clipped is None
+    # degenerate: all-equal column clips nothing
+    same = spark.createDataFrame([(i, 5.0) for i in range(10)], "event_id long, value double")
+    got = winsorize(same, "value", 0.01, 0.99).collect()
+    assert all(r.clipped == 5.0 and r.was_clipped is False for r in got)
+    # all-NULL column: empty fences -> passthrough
+    nul = spark.createDataFrame([(1, None)], "event_id long, value double")
+    r = winsorize(nul, "value").collect()[0]
+    assert r.clipped is None and r.was_clipped is None
+    with _pytest.raises(ValueError):
+        winsorize(df, "value", 0.9, 0.1)
