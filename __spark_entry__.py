@@ -957,6 +957,32 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.text_profile(_t(spark, sf, "documents"))
 
 
+def q_normalize_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Text canonicalization (pipeline/scrub.normalize_docs). The corpus
+    is already clean, so deterministic mess (leading spaces, uppercase
+    prefix, a tab run) is injected on even doc_ids — the oracle replays
+    the same injection — making the normalizer really fire."""
+    from ocsf_validator_spark.pipeline.scrub import normalize_docs
+
+    d = _t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("  "),
+                F.upper(F.substring(F.col("text"), 1, 8)),
+                F.lit(" \t "),
+                F.col("text"),
+                F.lit("  "),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return normalize_docs(injected)
+
+
 def q_winsorize_value(spark: SparkSession, sf: str) -> DataFrame:
     """Winsorize events.value at the exact p01/p99 fences (pipeline/
     quantiles.winsorize): histogram-narrowed order statistics applied
@@ -1514,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "turn_echo": q_turn_echo,
         "winsorize_value": q_winsorize_value,
+        "normalize_docs": q_normalize_docs,
         "corpus_mix": q_corpus_mix,
         "chunk_documents": q_chunk_documents,
         "epoch_shuffle": q_epoch_shuffle,
@@ -2662,6 +2689,27 @@ SELECT doc_id,
        CAST(length(array_to_string(list_slice(toks, u.s + 1, u.s + 32), ' '))
             AS INTEGER) AS chunk_chars
 FROM tk, UNNEST(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS u(s)
+"""
+
+    sqls["normalize_docs"] = """
+WITH inj AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+         THEN '  ' || upper(substr(text, 1, 8)) || ' ' || chr(9) || ' '
+              || text || '  '
+         ELSE text END AS text
+  FROM documents),
+n AS (
+  SELECT doc_id, text,
+    lower(trim(regexp_replace(
+      regexp_replace(text, '[\\x00-\\x1f]', ' ', 'g'), ' +', ' ', 'g')))
+      AS text_norm
+  FROM inj)
+SELECT doc_id, text_norm,
+  COALESCE(text IS NOT NULL AND text != text_norm, FALSE) AS changed,
+  md5(text) AS key_raw,
+  md5(text_norm) AS key_norm
+FROM n
 """
 
     sqls["winsorize_value"] = """

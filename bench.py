@@ -213,6 +213,7 @@ def main() -> None:
         "turn_echo",
         "pmi_collocations",
         "winsorize_value",
+        "normalize_docs",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -73,3 +73,41 @@ def pii_scrub(
         *counts,
         scrubbed.alias("text_scrubbed"),
     )
+
+
+def normalize_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Text canonicalization — the step BEFORE any dedup/fingerprint
+    pass (X7/X9 key on exact bytes, so 'Foo  bar' and 'foo bar' dedup
+    as different documents until normalized): control characters →
+    space, whitespace runs collapsed, edges trimmed, lowercased.
+    Unicode NFC is deliberately out of scope — Spark has no built-in
+    normalizer and a per-row Python UDF is the one cost this module
+    refuses; upstream ingest owns encoding normalization.
+
+    Pure chained regexp_replace/lower/trim column algebra — one
+    WholeStageCodegen projection, zero Exchange (plan-pinned), the
+    pii_scrub discipline: patterns restricted to the alternation-free
+    lookaround-free subset where Java regex and RE2 agree. Emits both
+    content keys so a migration can measure how many duplicate pairs
+    normalization newly exposes (join key_norm against the X7 ledger).
+
+    Returns (id_col, text_norm, changed, key_raw, key_norm); NULL text
+    stays NULL with changed = false and NULL keys.
+    """
+    t = F.col(text_col)
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(t, "[\\x00-\\x1f]", " "), " +", " "
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("text_norm"),
+        (t.isNotNull() & (t != norm)).alias("changed"),
+        F.md5(t).alias("key_raw"),
+        F.md5(norm).alias("key_norm"),
+    )

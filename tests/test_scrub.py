@@ -83,3 +83,38 @@ def test_scrub_plan_is_scan_speed(spark):
     )
     plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_normalize_docs_canonicalization(spark):
+    """normalize_docs: controls -> space, runs collapse, trim, lower;
+    idempotent; normalization unifies content keys that raw keys split;
+    NULL text passes through; plan is zero-Exchange."""
+    from ocsf_validator_spark.pipeline.scrub import normalize_docs
+
+    rows = [
+        (1, "Hello  World"),
+        (2, "hello world"),
+        (3, "\thello\x00 world  "),
+        (4, None),
+        (5, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in normalize_docs(df).collect()}
+    assert out[1].text_norm == "hello world" and out[1].changed
+    assert out[2].text_norm == "hello world" and not out[2].changed
+    assert out[3].text_norm == "hello world" and out[3].changed
+    # three spellings collapse to ONE normalized key, raw keys differ
+    assert out[1].key_norm == out[2].key_norm == out[3].key_norm
+    assert len({out[i].key_raw for i in (1, 2, 3)}) == 3
+    assert out[4].text_norm is None and not out[4].changed
+    assert out[4].key_raw is None and out[4].key_norm is None
+    assert not out[5].changed
+    # idempotent: normalizing the normalized text changes nothing
+    again = normalize_docs(
+        spark.createDataFrame(
+            [(1, out[1].text_norm)], "doc_id long, text string"
+        )
+    ).collect()[0]
+    assert not again.changed and again.text_norm == out[1].text_norm
+    plan = normalize_docs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
