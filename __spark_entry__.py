@@ -904,6 +904,15 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_mix(_t(spark, sf, "documents"), by="source")
 
 
+def q_posting_lists(spark: SparkSession, sf: str) -> DataFrame:
+    """Capped inverted index (pipeline/keywords.posting_lists): per-term
+    df + 5 smallest doc_ids, salt-by-origin-partition two-stage merge —
+    no unbounded postings, no single-reducer stopword straggler."""
+    from ocsf_validator_spark.pipeline.keywords import posting_lists
+
+    return posting_lists(_t(spark, sf, "documents"), k=5)
+
+
 def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 bigram PMI collocations (pipeline/keywords.
     pmi_collocations): hash-keyed unigram/bigram counts, two 8-byte-key
@@ -1547,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "ngram_diversity": q_ngram_diversity,
         "pmi_collocations": q_pmi_collocations,
+        "posting_lists": q_posting_lists,
         "ngram_topk": q_ngram_topk,
         "stratified_sample": q_stratified_sample,
         "token_budget_select": q_token_budget_select,
@@ -2689,6 +2699,17 @@ SELECT doc_id,
        CAST(length(array_to_string(list_slice(toks, u.s + 1, u.s + 32), ' '))
             AS INTEGER) AS chunk_chars
 FROM tk, UNNEST(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS u(s)
+"""
+
+    sqls["posting_lists"] = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h, t AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL))
+SELECT min(term) AS term, COUNT(*)::BIGINT AS df_docs,
+       list_slice(list(doc_id ORDER BY doc_id), 1, 5) AS top_docs
+FROM pairs GROUP BY h
 """
 
     sqls["normalize_docs"] = """

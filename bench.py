@@ -214,6 +214,7 @@ def main() -> None:
         "pmi_collocations",
         "winsorize_value",
         "normalize_docs",
+        "posting_lists",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

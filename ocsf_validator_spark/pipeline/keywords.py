@@ -433,3 +433,62 @@ def pmi_collocations(
         .select("bigram", "n_pair", "n_left", "n_right", "pmi")
         .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
     )
+
+
+def posting_lists(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Capped inverted index: per term, the document frequency and the
+    ``k`` smallest doc_ids holding it — the search-index build step
+    (and the debugging view behind X15's membership probes: WHICH
+    documents carry a flagged gram).
+
+    The naive ``groupBy(term).collect_list(doc)`` builds one unbounded
+    list per term — a stopword's postings are corpus-sized and its
+    group is the classic single-reducer straggler. Two SQL-only stages
+    instead: stage 1 groups by (term-hash, ORIGIN PARTITION) — the
+    salt-by-provenance trick — so a hot term splits across as many
+    reducers as input partitions, each emitting its LOCAL k smallest
+    doc_ids (per-group state bounded by that partition's rows, output
+    collapse-proportional at k×partitions per term); stage 2 merges the
+    bounded k-lists (flatten → sort → slice k), exactly equal to the
+    global k smallest because a doc_id outside its partition's local
+    top-k is outside the global top-k a fortiori. Per-doc terms are
+    array_distinct'ed BEFORE the explode (X21) so in-doc repeats never
+    cross the wire and count(*) IS the document frequency; term strings
+    cross only as one min(term) per (hash, partition) group.
+
+    Returns (term, df_docs, top_docs) — deterministic: min-string term
+    per hash, doc_ids ascending."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = f"split({text_col}, ' ')"
+    pairs = f"array_distinct(transform({toks}, t -> named_struct(" \
+            f"'h', {_MD5_60.format(x='t')}, 'term', t)))"
+    stage1 = (
+        df.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("_d"), F.explode(F.expr(pairs)).alias("p"))
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy("p.h", "_pid")
+        .agg(
+            F.min("p.term").alias("_term"),
+            F.count(F.lit(1)).alias("_c"),
+            F.expr(f"slice(array_sort(collect_list(_d)), 1, {k})").alias(
+                "_docs"
+            ),
+        )
+    )
+    return (
+        stage1.groupBy("h")
+        .agg(
+            F.min("_term").alias("term"),
+            F.sum("_c").alias("df_docs"),
+            F.expr(
+                f"slice(array_sort(flatten(collect_list(_docs))), 1, {k})"
+            ).alias("top_docs"),
+        )
+        .select("term", "df_docs", "top_docs")
+    )

@@ -294,3 +294,33 @@ def test_pmi_collocations_planted_pair(spark):
     corpus = " | ".join(t for _, t in docs)
     for g in grams:
         assert g in corpus
+
+
+@pytest.mark.parametrize("parts", [1, 3, 8])
+def test_posting_lists_matches_naive_for_any_partitioning(spark, parts):
+    """posting_lists: the two-stage partition-local merge equals the
+    naive global answer for any input partitioning; df counts docs not
+    occurrences; caps at k ascending; in-doc repeats collapse."""
+    from collections import defaultdict
+
+    from ocsf_validator_spark.pipeline.keywords import posting_lists
+
+    rng = __import__("random").Random(13)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(3, 15))))
+        for i in range(100)
+    ] + [(200, None), (None, "t0 t1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(parts)
+    got = {
+        r.term: (r.df_docs, list(r.top_docs))
+        for r in posting_lists(df, k=4).collect()
+    }
+    docs = defaultdict(set)
+    for d, t in rows:
+        if t is None or d is None:
+            continue
+        for term in set(t.split(" ")):
+            docs[term].add(d)
+    want = {t: (len(ds), sorted(ds)[:4]) for t, ds in docs.items()}
+    assert got == want
