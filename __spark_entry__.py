@@ -904,6 +904,23 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_mix(_t(spark, sf, "documents"), by="source")
 
 
+def q_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source duplication telemetry (pipeline/dedup.dup_rate). The
+    corpus is duplicate-free, so a deterministic 'mirror' source
+    re-publishing every 5th document (larger ids) is unioned in — the
+    oracle replays the same construction — so first-seen-wins really
+    attributes the duplicates to the mirror."""
+    from ocsf_validator_spark.pipeline.dedup import dup_rate
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "source")
+    mirror = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    return dup_rate(d.unionByName(mirror))
+
+
 def q_posting_lists(spark: SparkSession, sf: str) -> DataFrame:
     """Capped inverted index (pipeline/keywords.posting_lists): per-term
     df + 5 smallest doc_ids, salt-by-origin-partition two-stage merge —
@@ -1557,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": q_ngram_diversity,
         "pmi_collocations": q_pmi_collocations,
         "posting_lists": q_posting_lists,
+        "dup_rate_by_source": q_dup_rate_by_source,
         "ngram_topk": q_ngram_topk,
         "stratified_sample": q_stratified_sample,
         "token_budget_select": q_token_budget_select,
@@ -2699,6 +2717,25 @@ SELECT doc_id,
        CAST(length(array_to_string(list_slice(toks, u.s + 1, u.s + 32), ' '))
             AS INTEGER) AS chunk_chars
 FROM tk, UNNEST(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS u(s)
+"""
+
+    sqls["dup_rate_by_source"] = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, 'mirror' FROM documents
+  WHERE doc_id % 5 = 0),
+f AS (SELECT text, min(doc_id) AS keep FROM corpus
+      WHERE text IS NOT NULL GROUP BY text),
+d AS (
+  SELECT c.source,
+    CASE WHEN c.text IS NULL THEN FALSE
+         ELSE c.doc_id != f.keep END AS is_dup
+  FROM corpus c LEFT JOIN f ON c.text = f.text)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+  SUM(is_dup::INTEGER)::BIGINT AS dup_docs,
+  ROUND(SUM(is_dup::INTEGER) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM d GROUP BY source
 """
 
     sqls["posting_lists"] = """

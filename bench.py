@@ -215,6 +215,7 @@ def main() -> None:
         "winsorize_value",
         "normalize_docs",
         "posting_lists",
+        "dup_rate_by_source",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -599,3 +599,59 @@ def lsh_filter_against(
         .distinct()
     )
     return new_df.join(hits, id_col, "left_anti")
+
+
+def dup_rate(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-``by`` duplication telemetry — the report every dedup run
+    ships: how much of each source is exact duplicates of
+    earlier-ingested content (first-seen-wins by ``id_col``, the X7
+    convention, so a mirror source that re-crawls another source shows
+    ~100% here while the original shows 0).
+
+    Same scale discipline as :func:`exact_duplicates`: the 128-bit
+    map-side content key (never the body) is what crosses the key
+    exchange; the firsts frame is collision-proportional in group
+    count; the verdict join is key-hashed. NULL-text rows are
+    EXPLICITLY routed around the keying (xxhash64(NULL) is a real
+    seed-hash value — grouping it would alias every NULL text into one
+    giant duplicate class) and count as never-duplicate. dup_rate is an
+    exact-count ratio rounded 6 dp.
+
+    Returns (by, n_docs, dup_docs, dup_rate)."""
+    base = df.select(F.col(by), F.col(id_col), F.col(text_col))
+    keyed = base.filter(F.col(text_col).isNotNull()).select(
+        by,
+        id_col,
+        F.xxhash64(F.col(text_col)).alias("_h1"),
+        F.xxhash64(F.lit(1), F.col(text_col)).alias("_h2"),
+        F.length(F.col(text_col)).alias("_len"),
+    )
+    firsts = keyed.groupBy("_h1", "_h2", "_len").agg(
+        F.min(id_col).alias("_keep")
+    )
+    flagged = keyed.join(firsts, ["_h1", "_h2", "_len"]).select(
+        by, (F.col(id_col) != F.col("_keep")).alias("_dup")
+    )
+    nulls = base.filter(F.col(text_col).isNull()).select(
+        by, F.lit(False).alias("_dup")
+    )
+    return (
+        flagged.unionByName(nulls)
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_dup").cast("int")).cast("bigint").alias(
+                "dup_docs"
+            ),
+            F.round(
+                F.sum(F.col("_dup").cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

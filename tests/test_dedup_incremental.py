@@ -133,3 +133,23 @@ def test_lsh_filter_against_drops_near_dups_only(spark):
     empty_sig = sig(prior.limit(0))
     kept = dedup.lsh_filter_against(new, sig(new), empty_sig)
     assert sorted(r.doc_id for r in kept.collect()) == [101, 102]
+
+
+def test_dup_rate_first_seen_attribution(spark):
+    """dup_rate: duplicates attribute to the LATER id's source; NULL
+    texts are never duplicates (and never alias each other); rates are
+    exact ratios; a duplicate-free source reads 0.0."""
+    from ocsf_validator_spark.pipeline.dedup import dup_rate
+
+    rows = [
+        ("orig", 1, "alpha"), ("orig", 2, "beta"), ("orig", 3, "gamma"),
+        ("mirror", 10, "alpha"), ("mirror", 11, "beta"), ("mirror", 12, "new"),
+        ("nulls", 20, None), ("nulls", 21, None),
+        # an in-source duplicate
+        ("orig", 4, "alpha"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {r.source: (r.n_docs, r.dup_docs, r.dup_rate) for r in dup_rate(df).collect()}
+    assert got["orig"] == (4, 1, 0.25)
+    assert got["mirror"] == (3, 2, round(2 / 3, 6))
+    assert got["nulls"] == (2, 0, 0.0)
