@@ -904,6 +904,15 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_mix(_t(spark, sf, "documents"), by="source")
 
 
+def q_source_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-pair vocabulary Jaccard matrix (pipeline/keywords.
+    source_vocab_overlap): distinct hashed (term, source) pairs, per-
+    hash set expansion map-side — no self-join on the term stream."""
+    from ocsf_validator_spark.pipeline.keywords import source_vocab_overlap
+
+    return source_vocab_overlap(_t(spark, sf, "documents"))
+
+
 def q_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source duplication telemetry (pipeline/dedup.dup_rate). The
     corpus is duplicate-free, so a deterministic 'mirror' source
@@ -1575,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "posting_lists": q_posting_lists,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "source_vocab_overlap": q_source_vocab_overlap,
         "ngram_topk": q_ngram_topk,
         "stratified_sample": q_stratified_sample,
         "token_budget_select": q_token_budget_select,
@@ -2717,6 +2727,24 @@ SELECT doc_id,
        CAST(length(array_to_string(list_slice(toks, u.s + 1, u.s + 32), ' '))
             AS INTEGER) AS chunk_chars
 FROM tk, UNNEST(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS u(s)
+"""
+
+    sqls["source_vocab_overlap"] = """
+WITH p AS (
+  SELECT DISTINCT ('0x' || substr(md5(t), 1, 15))::BIGINT AS h, source
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)),
+v AS (SELECT source, COUNT(*)::BIGINT AS n FROM p GROUP BY source),
+i AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*)::BIGINT AS shared_terms
+  FROM p a JOIN p b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, i.shared_terms, va.n AS vocab_a, vb.n AS vocab_b,
+  ROUND(i.shared_terms / CAST(va.n + vb.n - i.shared_terms AS DOUBLE), 6)
+    AS jaccard
+FROM i
+JOIN v va ON va.source = i.src_a
+JOIN v vb ON vb.source = i.src_b
 """
 
     sqls["dup_rate_by_source"] = """

@@ -216,6 +216,7 @@ def main() -> None:
         "normalize_docs",
         "posting_lists",
         "dup_rate_by_source",
+        "source_vocab_overlap",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

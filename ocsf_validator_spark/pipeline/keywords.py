@@ -492,3 +492,78 @@ def posting_lists(
         )
         .select("term", "df_docs", "top_docs")
     )
+
+
+def source_vocab_overlap(
+    df: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Source-pair vocabulary Jaccard matrix — corpus cartography:
+    which sources speak the same language (near-identical vocabularies
+    flag a mirror or a shared template; disjoint ones flag a mix whose
+    slices can't substitute for each other).
+
+    The naive spelling self-joins the (term, source) stream on term —
+    quadratic per hot term. Instead: distinct (60-bit term-hash,
+    source) pairs via ONE partial-agg exchange, then per-hash
+    ``collect_set(source)`` (state bounded by the GROUP COUNT, not the
+    corpus), sorted and expanded map-side into ordered pairs with an
+    index-windowed transform — pair volume is co-occurrence-
+    proportional and bounded by \|groups\|² per term. Per-source vocab
+    sizes ride the SAME distinct-pair frame (localCheckpoint'd); the
+    report join broadcasts the tiny size frame.
+
+    Returns (src_a, src_b, shared_terms, vocab_a, vocab_b, jaccard)
+    for pairs sharing at least one term, src_a < src_b; jaccard =
+    exact-count ratio rounded 6 dp. NULL text/group excluded."""
+    pairs = (
+        df.filter(F.col(text_col).isNotNull() & F.col(by).isNotNull())
+        .select(
+            F.col(by).cast("string").alias("_s"),
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(split({text_col}, ' '), "
+                    f"t -> {_MD5_60.format(x='t')}))"
+                )
+            ).alias("_h"),
+        )
+        .groupBy("_h", "_s")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+        .localCheckpoint(eager=False)
+    )
+    sizes = pairs.groupBy("_s").agg(F.count(F.lit(1)).alias("_n"))
+    expand = (
+        "flatten(transform(_set, (x, i) -> "
+        "transform(slice(_set, i + 2, size(_set)), "
+        "y -> named_struct('a', x, 'b', y))))"
+    )
+    inter = (
+        pairs.groupBy("_h")
+        .agg(F.array_sort(F.collect_set("_s")).alias("_set"))
+        .select(F.explode(F.expr(expand)).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_terms"))
+    )
+    va = sizes.select(F.col("_s").alias("src_a"), F.col("_n").alias("vocab_a"))
+    vb = sizes.select(F.col("_s").alias("src_b"), F.col("_n").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_terms",
+            "vocab_a",
+            "vocab_b",
+            F.round(
+                F.col("shared_terms")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b")
+                    - F.col("shared_terms")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -324,3 +324,30 @@ def test_posting_lists_matches_naive_for_any_partitioning(spark, parts):
             docs[term].add(d)
     want = {t: (len(ds), sorted(ds)[:4]) for t, ds in docs.items()}
     assert got == want
+
+
+def test_source_vocab_overlap_matrix(spark):
+    """source_vocab_overlap: Jaccard is exact on crafted vocabularies,
+    pairs are ordered src_a < src_b, disjoint sources are absent, and
+    the pair expansion never self-joins the term stream (no SortMerge/
+    ShuffledHash join of two big sides in the plan)."""
+    from ocsf_validator_spark.pipeline.keywords import source_vocab_overlap
+
+    rows = [
+        ("s1", "a b c d"),
+        ("s2", "c d e f"),      # |s1 ∩ s2| = 2, union 6 -> 1/3
+        ("s3", "x y z"),        # disjoint from s1/s2
+        ("s3", "z x"),          # repeats don't change vocab
+        ("s1", None),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r.src_a, r.src_b): (r.shared_terms, r.vocab_a, r.vocab_b, r.jaccard)
+        for r in source_vocab_overlap(df).collect()
+    }
+    assert got == {("s1", "s2"): (2, 4, 4, round(2 / 6, 6))}
+    plan = (
+        source_vocab_overlap(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # report joins are broadcast; the term stream itself is never joined
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
