@@ -42,20 +42,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ocsf_validator_spark.pipeline.decontam import _MD5_60
+from ocsf_validator_spark.pipeline.decontam import _MD5_60, bind1
 
 
 def _gram_structs(text_col: str, n: int) -> str:
     """Per-doc array of (pos, gram-hash, gram) structs; empty when the
-    document is shorter than ``n`` tokens (sequence guard)."""
-    toks = f"split({text_col}, ' ')"
-    gram = f"concat_ws(' ', slice({toks}, i, {n}))"
-    return (
-        f"case when size({toks}) >= {n} then "
-        f"transform(sequence(1, size({toks}) - {n - 1}), "
+    document is shorter than ``n`` tokens (sequence guard). Token array
+    bound once via bind1 (never re-split per gram)."""
+    gram = f"concat_ws(' ', slice(tk, i, {n}))"
+    body = (
+        f"case when size(tk) >= {n} then "
+        f"transform(sequence(1, size(tk) - {n - 1}), "
         f"i -> struct(i as pos, {_MD5_60.format(x=gram)} as gh, {gram} as gram)) "
         f"else array() end"
     )
+    return bind1(body, f"split({text_col}, ' ')", "tk")
 
 
 def boilerplate_grams(

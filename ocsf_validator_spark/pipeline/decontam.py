@@ -42,19 +42,34 @@ from pyspark.sql import functions as F
 _MD5_60 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
+def bind1(body: str, input_expr: str, var: str) -> str:
+    """Bind ``input_expr`` ONCE as lambda variable ``var`` over ``body``
+    via a single-element transform: subexpressions free inside
+    higher-order-function lambdas are re-evaluated per ELEMENT (a
+    split() referenced in a per-gram lambda is O(grams) re-tokenizations
+    per document — measured 2-3x wall on every gram operator), and
+    CollapseProject can't help inside one expression. A lambda VARIABLE
+    is evaluated exactly once, closures over it are free, and the
+    wrapper stays a pure SQL string — no projection-API change for
+    composable Column helpers."""
+    return f"element_at(transform(array({input_expr}), {var} -> {body}), 1)"
+
+
 def _gram_hashes(text_col: str, n: int) -> str:
     """SQL expression: array of DISTINCT 60-bit hashes of the document's
     word ``n``-grams (whitespace tokens, the corpus-wide tokenizer of
     textstats/select). Documents with fewer than ``n`` tokens yield an
-    empty array (guarded — ``sequence(1, 0)`` would count down)."""
-    toks = f"split({text_col}, ' ')"
-    gram = f"concat_ws(' ', slice({toks}, i, {n}))"
-    return (
-        f"case when size({toks}) >= {n} then "
-        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+    empty array (guarded — ``sequence(1, 0)`` would count down).
+    The token array is bound once via :func:`bind1` (never re-split
+    per gram)."""
+    gram = f"concat_ws(' ', slice(tk, i, {n}))"
+    body = (
+        f"case when size(tk) >= {n} then "
+        f"array_distinct(transform(sequence(1, size(tk) - {n - 1}), "
         f"i -> {_MD5_60.format(x=gram)})) "
         f"else array() end"
     )
+    return bind1(body, f"split({text_col}, ' ')", "tk")
 
 
 def benchmark_ngrams(

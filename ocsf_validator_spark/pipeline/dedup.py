@@ -86,12 +86,15 @@ def exact_duplicates(
 
 def shingle_col(text_col: str = "text", k: int = 5):
     """Distinct word k-gram shingles as an array column — built with
-    sequence+transform (no explode, stays in one projection)."""
-    arr = f"split({text_col}, ' ')"
-    return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size({arr}) - {k - 1}, 1)),"
-        f" j -> concat_ws(' ', slice({arr}, j, {k}))))"
+    sequence+transform (no explode, stays in one projection). Token
+    array bound once via decontam.bind1 (never re-split per shingle)."""
+    from ocsf_validator_spark.pipeline.decontam import bind1
+
+    body = (
+        f"array_distinct(transform(sequence(1, greatest(size(tk) - {k - 1}, 1)),"
+        f" j -> concat_ws(' ', slice(tk, j, {k}))))"
     )
+    return F.expr(bind1(body, f"split({text_col}, ' ')", "tk"))
 
 
 def minhash_signatures(

@@ -363,11 +363,17 @@ def pmi_collocations(
 
     Returns (bigram, n_pair, n_left, n_right, pmi).
     """
-    toks = f"split({text_col}, ' ')"
+    # bind the token array ONCE per row: expressions inside higher-order
+    # lambdas re-evaluate their free subexpressions per ELEMENT, so a
+    # split() referenced inside transform() is O(tokens^2) string work
+    # per document — projecting _tk first makes every stream O(tokens)
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.expr(f"split({text_col}, ' ')").alias("_tk")
+    )
+    toks = "_tk"
     uni_h = _MD5_60.format(x="t")
-    base = df.filter(F.col(text_col).isNotNull())
     uni = (
-        base.select(F.explode(F.expr(toks)).alias("t"))
+        base.select(F.explode(F.col("_tk")).alias("t"))
         .select(F.expr(uni_h).alias("_h"))
         .groupBy("_h")
         .agg(F.count(F.lit(1)).alias("c"))

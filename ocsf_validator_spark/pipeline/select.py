@@ -81,31 +81,48 @@ def ngram_topk(
     Documents with fewer than ``n`` tokens contribute nothing (guarded —
     Spark's ``sequence(1, 0)`` would otherwise count DOWN).
     """
-    toks = f"split({text_col}, ' ')"
-    gram = f"concat_ws(' ', slice({toks}, i, {n}))"
-    gram_h = _MD5_60.format(x=gram)
-    hashes = (
-        f"case when size({toks}) >= {n} then "
-        f"transform(sequence(1, size({toks}) - {n - 1}), i -> {gram_h}) "
+    # bind the token array, then the gram array, as REAL columns in
+    # stacked projections: subexpressions free inside higher-order
+    # lambdas re-evaluate per ELEMENT, so the inline spelling re-split
+    # the text O(grams) times per document and array_distinct'ed
+    # (hash, string) STRUCTS instead of strings (measured 7.3s → 2.4s
+    # at sf0.1; CollapseProject keeps multi-referenced non-trivial
+    # aliases materialized). Values unchanged — the oracle replay is
+    # identical.
+    grams_expr = (
+        f"case when size(_tk) >= {n} then "
+        f"transform(sequence(1, size(_tk) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_tk, i, {n}))) "
         f"else array() end"
     )
+
+    def _grams_frame(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.expr(f"split({text_col}, ' ')").alias("_tk")
+        ).select(F.expr(grams_expr).alias("_gr"))
+
+    gram_h = _MD5_60.format(x="x")
     counts = (
-        df.select(F.explode(F.expr(hashes)).alias("_g"))
+        _grams_frame(df)
+        .select(
+            F.explode(F.expr(f"transform(_gr, x -> {gram_h})")).alias("_g")
+        )
         .groupBy("_g")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("_g").asc())
         .limit(k)
     )
     # recovery pass: per-doc DISTINCT pairs (a pathological document
-    # repeating one winner a million times contributes one probe row)
+    # repeating one winner a million times contributes one probe row);
+    # distinct the STRINGS first, hash after — never struct-distinct
     pairs = (
-        f"case when size({toks}) >= {n} then "
-        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> struct({gram_h} as _g, {gram} as ngram))) "
-        f"else array() end"
+        f"transform(array_distinct(_gr), "
+        f"x -> struct({gram_h} as _g, x as ngram))"
     )
-    probes = df.select(F.explode(F.expr(pairs)).alias("p")).select(
-        "p._g", "p.ngram"
+    probes = (
+        _grams_frame(df)
+        .select(F.explode(F.expr(pairs)).alias("p"))
+        .select("p._g", "p.ngram")
     )
     return (
         probes.join(F.broadcast(counts), "_g")
