@@ -261,25 +261,27 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = f"split({text_col}, ' ')"
+    from ocsf_validator_spark.pipeline.decontam import bind1
+
     # start while start <= n - overlap - 1 (plus start 0 always): the
     # final window then holds >= overlap + 1 tokens and is never fully
     # contained in its predecessor, and every token is covered (the
     # last start is within stride of n - overlap, so start + chunk
-    # reaches past n - 1)
-    chunks = F.expr(
-        f"""
+    # reaches past n - 1). Token array bound once via bind1 (a split
+    # referenced inside the per-window lambda would re-tokenize the
+    # document once per window).
+    body = f"""
         transform(
-          sequence(0, greatest(size({toks}) - {overlap} - 1, 0), {stride}),
+          sequence(0, greatest(size(tk) - {overlap} - 1, 0), {stride}),
           s -> named_struct(
             'start_tok', s,
-            'n_tokens', size(slice({toks}, s + 1, {chunk_tokens})),
+            'n_tokens', size(slice(tk, s + 1, {chunk_tokens})),
             'chunk_chars',
-              length(array_join(slice({toks}, s + 1, {chunk_tokens}), ' '))
+              length(array_join(slice(tk, s + 1, {chunk_tokens}), ' '))
           )
         )
         """
-    )
+    chunks = F.expr(bind1(body, f"split({text_col}, ' ')", "tk"))
     return (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c"))
