@@ -1027,6 +1027,14 @@ def q_winsorize_value(spark: SparkSession, sf: str) -> DataFrame:
     return winsorize(_t(spark, sf, "events"), "value", 0.01, 0.99)
 
 
+def q_quantile_bin_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile binning of events.value (pipeline/quantiles.quantile_bin):
+    exact order-statistic fences applied as a scan-speed CASE chain."""
+    from ocsf_validator_spark.pipeline.quantiles import quantile_bin
+
+    return quantile_bin(_t(spark, sf, "events"), "value", n_bins=10)
+
+
 def q_turn_echo(spark: SparkSession, sf: str) -> DataFrame:
     """Per-conversation echo profile (stats.turn_echo): set-overlap of
     each turn with its predecessor over the derived transcripts — one
@@ -1034,6 +1042,15 @@ def q_turn_echo(spark: SparkSession, sf: str) -> DataFrame:
     from ocsf_validator_spark.stats import turn_echo
 
     return turn_echo(_transcripts(spark, sf))
+
+
+def q_sliding_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes over events.value
+    (pipeline/temporal.sliding_stats): map-side window assignment,
+    one partial agg, integer-cents exact sums."""
+    from ocsf_validator_spark.pipeline.temporal import sliding_stats
+
+    return sliding_stats(_t(spark, sf, "events"))
 
 
 def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
@@ -1573,6 +1590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "funnel_events": q_funnel_events,
         "cohort_retention": q_cohort_retention,
+        "sliding_stats": q_sliding_stats,
+        "quantile_bin_value": q_quantile_bin_value,
         "turn_echo": q_turn_echo,
         "winsorize_value": q_winsorize_value,
         "normalize_docs": q_normalize_docs,
@@ -2878,6 +2897,40 @@ SELECT conv_id, COUNT(*)::BIGINT AS n_turns,
   MAX(echo) AS max_echo,
   COALESCE(SUM(fe), 0)::BIGINT AS full_echo_turns
 FROM s GROUP BY conv_id
+"""
+
+    sqls["quantile_bin_value"] = """
+WITH v AS (SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL),
+n AS (SELECT count(*) AS n FROM v),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+fences AS (
+  SELECT r.v
+  FROM r, n,
+       (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) t(j)
+  WHERE r.rn = CAST(floor((n.n - 1) * (t.j::DOUBLE / 10)) AS BIGINT) + 1)
+SELECT e.event_id, e.value,
+  CASE WHEN e.value IS NOT NULL THEN
+    CAST(1 + (SELECT COUNT(*) FROM fences f
+              WHERE e.value::DOUBLE > f.v) AS INTEGER)
+  END AS bucket
+FROM events e
+"""
+
+    sqls["sliding_stats"] = """
+WITH e AS (
+  SELECT floor(epoch(ts))::BIGINT AS es,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+w AS (
+  SELECT (es // 900) * 900 - k.i * 900 AS s, cents
+  FROM e, (VALUES (0), (1), (2), (3)) k(i)
+  WHERE es - ((es // 900) * 900 - k.i * 900) < 3600)
+SELECT make_timestamp(s * 1000000) AS win_start,
+       make_timestamp((s + 3600) * 1000000) AS win_end,
+       COUNT(*)::BIGINT AS n,
+       SUM(cents) / 100.0 AS sum_value,
+       ROUND(SUM(cents) / 100.0 / COUNT(*), 6) AS avg_value
+FROM w GROUP BY s
 """
 
     sqls["cohort_retention"] = """

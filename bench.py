@@ -217,6 +217,8 @@ def main() -> None:
         "posting_lists",
         "dup_rate_by_source",
         "source_vocab_overlap",
+        "sliding_stats",
+        "quantile_bin_value",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

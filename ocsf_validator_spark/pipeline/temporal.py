@@ -584,3 +584,48 @@ def cohort_retention(
             ).alias("retention_rate"),
         )
     )
+
+
+def sliding_stats(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Sliding event-time window aggregates — the overlapping-window
+    dashboard (each row contributes to window/slide consecutive
+    windows) that :func:`rollup_time`'s tumbling grains can't express:
+    a 1-hour metric refreshed every 15 minutes has 4× the windows and
+    catches a spike up to 45 minutes earlier.
+
+    Spark-first: ``F.window(ts, window, slide)`` assigns each row its
+    covering windows MAP-SIDE (Catalyst expands to a windows/slide-way
+    projection before the partial agg, so the exchange carries one row
+    per (window, partition), never the input × overlap), then one
+    partial-agg groupBy. The measure sums in integer CENTS (the X17
+    rollup trick) — order-independent, engine-exact — and the mean is
+    derived from the exact sum.
+
+    Returns (win_start, win_end, n, sum_value, avg_value); rows with
+    NULL ts or NULL value are excluded. win bounds are timestamps.
+    """
+    w = F.window(F.col(ts_col), window, slide)
+    c = cents(value_col)
+    return (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(w.alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(c).alias("_cents"),
+        )
+        .select(
+            F.col("_w.start").alias("win_start"),
+            F.col("_w.end").alias("win_end"),
+            "n",
+            (F.col("_cents") / 100.0).alias("sum_value"),
+            F.round(F.col("_cents") / 100.0 / F.col("n"), 6).alias(
+                "avg_value"
+            ),
+        )
+    )

@@ -343,3 +343,34 @@ def test_winsorize_clips_at_exact_fences(spark):
     assert r.clipped is None and r.was_clipped is None
     with _pytest.raises(ValueError):
         winsorize(df, "value", 0.9, 0.1)
+
+
+def test_quantile_bin_equal_frequency_and_edges(spark):
+    """quantile_bin: deciles of 1..100 land 10 per bucket with the
+    right-closed fence convention; ties pile into the lower bucket;
+    NULLs carry NULL; n_bins < 2 raises."""
+    import pytest as _pytest
+
+    from ocsf_validator_spark.pipeline.quantiles import quantile_bin
+
+    rows = [(i, float(v)) for i, v in enumerate(range(1, 101))] + [(999, None)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    got = {r.event_id: r.bucket for r in quantile_bin(df, "value", 10).collect()}
+    from collections import Counter
+
+    counts = Counter(b for k, b in got.items() if k != 999)
+    assert counts == {b: 10 for b in range(1, 11)}
+    assert got[0] == 1 and got[99] == 10 and got[999] is None
+    # monotone: bucket never decreases with value
+    order = [got[i] for i in range(100)]
+    assert order == sorted(order)
+    # heavy ties at one fence all land in the SAME (lower) bucket
+    tied = spark.createDataFrame(
+        [(i, 5.0) for i in range(50)] + [(i + 50, 9.0) for i in range(50)],
+        "event_id long, value double",
+    )
+    tb = {r.event_id: r.bucket for r in quantile_bin(tied, "value", 4).collect()}
+    assert len({tb[i] for i in range(50)}) == 1
+    assert len({tb[i + 50] for i in range(50)}) == 1
+    with _pytest.raises(ValueError):
+        quantile_bin(df, "value", 1)

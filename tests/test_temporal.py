@@ -356,3 +356,35 @@ def test_cohort_retention_matrix(spark):
         cohort_retention(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowExec" not in plan and "Window " not in plan, plan
+
+
+def test_sliding_stats_overlap_and_boundaries(spark):
+    """sliding_stats: each row lands in exactly window/slide windows,
+    start inclusive / end exclusive at microsecond precision, cents
+    sums exact, NULLs excluded."""
+    import datetime as dt
+
+    from ocsf_validator_spark.pipeline.temporal import sliding_stats
+
+    rows = [
+        # 10:00:00.000000 -> windows starting 09:00..10:00 (4 windows)
+        (dt.datetime(2024, 1, 1, 10, 0, 0), 10.0),
+        # one microsecond before 11:00 -> windows 10:00..10:45 (end-exclusive
+        # means the 10:00 window [10:00,11:00) still holds it)
+        (dt.datetime(2024, 1, 1, 10, 59, 59, 999999), 1.0),
+        (None, 5.0),
+        (dt.datetime(2024, 1, 1, 10, 0, 0), None),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {
+        r.win_start: (r.n, r.sum_value) for r in sliding_stats(df).collect()
+    }
+    # every row appears in exactly 4 windows
+    assert sum(n for n, _ in got.values()) == 8
+    # the 10:00 window holds both rows
+    assert got[dt.datetime(2024, 1, 1, 10, 0, 0)] == (2, 11.0)
+    # the 11:45-ending window holds only the late row... i.e. starts 10:45
+    assert got[dt.datetime(2024, 1, 1, 10, 45, 0)] == (1, 1.0)
+    # earliest window for the 10:00 row starts 09:15 (last one covering it)
+    assert got[dt.datetime(2024, 1, 1, 9, 15, 0)] == (1, 10.0)
+    assert dt.datetime(2024, 1, 1, 9, 0, 0) not in got  # 10:00 = its end, exclusive
