@@ -1044,6 +1044,15 @@ def q_turn_echo(spark: SparkSession, sf: str) -> DataFrame:
     return turn_echo(_transcripts(spark, sf))
 
 
+def q_itemset_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent event-type pairs per user with lift (pipeline/select.
+    itemset_pairs): one basket-keyed partial-collect exchange, map-side
+    set expansion — never a self-join of the event stream."""
+    from ocsf_validator_spark.pipeline.select import itemset_pairs
+
+    return itemset_pairs(_t(spark, sf, "events"))
+
+
 def q_sliding_stats(spark: SparkSession, sf: str) -> DataFrame:
     """1-hour windows sliding every 15 minutes over events.value
     (pipeline/temporal.sliding_stats): map-side window assignment,
@@ -1592,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "sliding_stats": q_sliding_stats,
         "quantile_bin_value": q_quantile_bin_value,
+        "itemset_pairs": q_itemset_pairs,
         "turn_echo": q_turn_echo,
         "winsorize_value": q_winsorize_value,
         "normalize_docs": q_normalize_docs,
@@ -2897,6 +2907,28 @@ SELECT conv_id, COUNT(*)::BIGINT AS n_turns,
   MAX(echo) AS max_echo,
   COALESCE(SUM(fe), 0)::BIGINT AS full_echo_turns
 FROM s GROUP BY conv_id
+"""
+
+    sqls["itemset_pairs"] = """
+WITH s AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS N FROM s),
+items AS (SELECT event_type, COUNT(*)::BIGINT AS n FROM s GROUP BY 1),
+p AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         COUNT(*)::BIGINT AS support
+  FROM s a JOIN s b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2)
+SELECT p.item_a, p.item_b, p.support, ia.n AS n_a, ib.n AS n_b,
+  ROUND((CAST(p.support AS DOUBLE) * n.N) /
+        (CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)), 6) AS lift
+FROM p
+JOIN items ia ON ia.event_type = p.item_a
+JOIN items ib ON ib.event_type = p.item_b
+CROSS JOIN n
 """
 
     sqls["quantile_bin_value"] = """

@@ -219,6 +219,7 @@ def main() -> None:
         "source_vocab_overlap",
         "sliding_stats",
         "quantile_bin_value",
+        "itemset_pairs",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -439,3 +439,76 @@ def weighted_sample_per_group(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def itemset_pairs(
+    df: DataFrame,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent item PAIRS with support and lift — the market-basket
+    first rung (which event types co-occur in the same user's history
+    beyond what their solo frequencies predict; on transcripts, which
+    tools co-fire in one conversation). Pairs only — the useful 90% of
+    FP-growth at a fraction of its machinery, and the building block a
+    higher-order miner would consume.
+
+    Plan: ONE basket-keyed exchange — groupBy(basket) with map-side
+    partial ``collect_set(item)`` (state bounded by the item-domain
+    size, not the basket's event count) — then the X53 map-side sorted
+    set expansion into ordered pairs (never a self-join of the event
+    stream) and a partial agg on the tiny (item_a, item_b) key space.
+    Per-item basket counts ride the same checkpointed sets frame; the
+    lift denominator (total baskets) broadcasts as a 1-row frame.
+
+    lift = support·N / (n_a·n_b) rounded 6 dp from the identical
+    double expression tree both engines evaluate. NULL baskets/items
+    excluded; pairs under ``min_support`` dropped.
+
+    Returns (item_a, item_b, support, n_a, n_b, lift), item_a < item_b.
+    """
+    sets = (
+        df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .groupBy(F.col(basket_col).alias("_b"))
+        .agg(F.array_sort(F.collect_set(item_col)).alias("_set"))
+        .localCheckpoint(eager=False)
+    )
+    totals = sets.agg(F.count(F.lit(1)).cast("double").alias("_N"))
+    items = (
+        sets.select(F.explode("_set").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expand = (
+        "flatten(transform(_set, (x, i) -> "
+        "transform(slice(_set, i + 2, size(_set)), "
+        "y -> named_struct('a', x, 'b', y))))"
+    )
+    pairs = (
+        sets.select(F.explode(F.expr(expand)).alias("p"))
+        .groupBy(F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    na = items.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))
+    nb = items.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            "n_a",
+            "n_b",
+            F.round(
+                F.expr(
+                    "(cast(support as double) * _N) / "
+                    "(cast(n_a as double) * cast(n_b as double))"
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )

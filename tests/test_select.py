@@ -451,3 +451,39 @@ def test_gopher_rules_flags_and_keep(spark):
     assert gopher_rules(b, min_words=30).collect()[0].ok_word_count
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_itemset_pairs_support_and_lift(spark):
+    """itemset_pairs: support counts BASKETS not events, lift is exact,
+    min_support filters, item_a < item_b ordering, NULLs excluded, no
+    event-stream self-join in the plan."""
+    from ocsf_validator_spark.pipeline.select import itemset_pairs
+
+    rows = [
+        # u1..u3 all do {a,b}; u4 does {a}; u5 does {b,c}; u6 does {c}
+        (1, "a"), (1, "b"), (1, "b"),       # repeat doesn't inflate
+        (2, "a"), (2, "b"),
+        (3, "b"), (3, "a"),
+        (4, "a"),
+        (5, "b"), (5, "c"),
+        (6, "c"),
+        (None, "a"), (7, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        (r.item_a, r.item_b): (r.support, r.n_a, r.n_b, r.lift)
+        for r in itemset_pairs(df, min_support=2).collect()
+    }
+    # N = 7 baskets (u1..u6 + u7-with-null-item... u7's only item is NULL
+    # -> basket excluded entirely -> N = 6)
+    assert got == {("a", "b"): (3, 4, 4, round(3 * 6 / 16, 6))}
+    # min_support=1 admits (b, c)
+    g1 = {
+        (r.item_a, r.item_b): r.support
+        for r in itemset_pairs(df, min_support=1).collect()
+    }
+    assert g1[("b", "c")] == 1 and ("a", "c") not in g1
+    plan = (
+        itemset_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
