@@ -1044,6 +1044,19 @@ def q_turn_echo(spark: SparkSession, sf: str) -> DataFrame:
     return turn_echo(_transcripts(spark, sf))
 
 
+def q_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding centroid drift between the vec_id%10==0 increment and
+    the prior corpus (pipeline/similarity.centroid_drift): two per-dim
+    decimal-exact reductions, broadcast join, one-row report."""
+    from ocsf_validator_spark.pipeline.similarity import centroid_drift
+
+    e = _t(spark, sf, "embeddings")
+    return centroid_drift(
+        e.filter(F.col("vec_id") % 10 != 0),
+        e.filter(F.col("vec_id") % 10 == 0),
+    )
+
+
 def q_itemset_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Frequent event-type pairs per user with lift (pipeline/select.
     itemset_pairs): one basket-keyed partial-collect exchange, map-side
@@ -1602,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_stats": q_sliding_stats,
         "quantile_bin_value": q_quantile_bin_value,
         "itemset_pairs": q_itemset_pairs,
+        "centroid_drift": q_centroid_drift,
         "turn_echo": q_turn_echo,
         "winsorize_value": q_winsorize_value,
         "normalize_docs": q_normalize_docs,
@@ -2907,6 +2921,45 @@ SELECT conv_id, COUNT(*)::BIGINT AS n_turns,
   MAX(echo) AS max_echo,
   COALESCE(SUM(fe), 0)::BIGINT AS full_echo_turns
 FROM s GROUP BY conv_id
+"""
+
+    sqls["centroid_drift"] = """
+WITH pv AS (
+  SELECT vec_id,
+    unnest(list_transform(range(1, len(embedding) + 1),
+      i -> struct_pack(pos := i - 1, val := embedding[i]::DOUBLE))) AS pv
+  FROM embeddings WHERE embedding IS NOT NULL),
+v AS (
+  SELECT vec_id, pv.pos AS dim, pv.val AS v,
+         (NOT isnan(pv.val)) AND pv.val > '-inf'::DOUBLE
+          AND pv.val < 'inf'::DOUBLE AS fin
+  FROM pv),
+ma AS (
+  SELECT dim, round((SUM(round(v, 7)::DECIMAL(21,7)) FILTER (fin))::DOUBLE
+               / (COUNT(*) FILTER (fin)), 7) AS m_a
+  FROM v WHERE vec_id % 10 != 0 GROUP BY dim),
+mb AS (
+  SELECT dim, round((SUM(round(v, 7)::DECIMAL(21,7)) FILTER (fin))::DOUBLE
+               / (COUNT(*) FILTER (fin)), 7) AS m_b
+  FROM v WHERE vec_id % 10 = 0 GROUP BY dim),
+t AS (
+  SELECT round(m_a * m_b, 7)::DECIMAL(21,7) AS dot,
+         round(m_a * m_a, 7)::DECIMAL(21,7) AS a2,
+         round(m_b * m_b, 7)::DECIMAL(21,7) AS b2,
+         round((m_a - m_b) * (m_a - m_b), 7)::DECIMAL(21,7) AS d2
+  FROM ma JOIN mb USING (dim)),
+agg AS (
+  SELECT SUM(dot)::DOUBLE AS dot, SUM(a2)::DOUBLE AS a2,
+         SUM(b2)::DOUBLE AS b2, SUM(d2)::DOUBLE AS d2 FROM t),
+na AS (SELECT COUNT(*)::BIGINT AS n_a FROM embeddings
+       WHERE embedding IS NOT NULL AND vec_id % 10 != 0),
+nb AS (SELECT COUNT(*)::BIGINT AS n_b FROM embeddings
+       WHERE embedding IS NOT NULL AND vec_id % 10 = 0)
+SELECT na.n_a, nb.n_b,
+  ROUND(CASE WHEN sqrt(agg.a2 * agg.b2) > 0
+             THEN agg.dot / sqrt(agg.a2 * agg.b2) END, 6) AS cosine,
+  ROUND(sqrt(agg.d2), 6) AS l2
+FROM agg, na, nb
 """
 
     sqls["itemset_pairs"] = """

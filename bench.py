@@ -220,6 +220,7 @@ def main() -> None:
         "sliding_stats",
         "quantile_bin_value",
         "itemset_pairs",
+        "centroid_drift",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

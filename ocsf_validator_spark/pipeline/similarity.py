@@ -503,3 +503,81 @@ def embedding_health(
         )
         .orderBy("dim")
     )
+
+
+def centroid_drift(
+    df_a: DataFrame, df_b: DataFrame, emb_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-table drift gate: cosine and L2 distance between the
+    MEAN VECTORS of two embedding populations — the vector analogue of
+    the scalar increment-drift PSI (an encoder regression or a
+    distribution shift in today's append moves the increment centroid
+    long before any per-vector check fires; run before trusting an
+    append into the ANN index).
+
+    Each side is one posexplode + partial-agg groupBy(dim) with the
+    embedding_health determinism contract (values pre-rounded 7 dp so
+    the decimal cast is tie-free, sums exact in decimal(21,7),
+    non-finite values excluded); the two dims-sized frames broadcast-
+    join, per-dim products pre-round 7 dp into decimal terms (the X37
+    entropy pattern), and the final cosine/L2 are single IEEE ops off
+    exact decimal aggregates rounded 6 dp. Degenerate all-zero
+    centroids yield NULL cosine (try_divide).
+
+    Returns one row: (n_a, n_b, cosine, l2).
+    """
+    dec = "cast(round({x}, 7) as decimal(21, 7))"
+
+    def _means(df: DataFrame, tag: str) -> DataFrame:
+        vals = df.filter(F.col(emb_col).isNotNull()).select(
+            F.posexplode(F.expr(_dbl(emb_col))).alias("_pos", "_val")
+        )
+        fin = (
+            ~F.isnan("_val")
+            & (F.col("_val") > float("-inf"))
+            & (F.col("_val") < float("inf"))
+        )
+        return vals.groupBy("_pos").agg(
+            F.round(
+                F.sum(
+                    F.when(fin, F.expr(dec.format(x="_val")))
+                ).cast("double")
+                / F.count(F.when(fin, F.lit(1))),
+                7,
+            ).alias(f"m_{tag}")
+        )
+    na = (
+        df_a.filter(F.col(emb_col).isNotNull())
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    nb = (
+        df_b.filter(F.col(emb_col).isNotNull())
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    j = _means(df_a, "a").join(F.broadcast(_means(df_b, "b")), "_pos")
+    terms = j.select(
+        F.expr(dec.format(x="m_a * m_b")).alias("_dot"),
+        F.expr(dec.format(x="m_a * m_a")).alias("_a2"),
+        F.expr(dec.format(x="m_b * m_b")).alias("_b2"),
+        F.expr(dec.format(x="(m_a - m_b) * (m_a - m_b)")).alias("_d2"),
+    ).agg(
+        F.sum("_dot").cast("double").alias("dot"),
+        F.sum("_a2").cast("double").alias("a2"),
+        F.sum("_b2").cast("double").alias("b2"),
+        F.sum("_d2").cast("double").alias("d2"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.try_divide(
+                    F.col("dot"), F.sqrt(F.col("a2") * F.col("b2"))
+                ),
+                6,
+            ).alias("cosine"),
+            F.round(F.sqrt("d2"), 6).alias("l2"),
+        )
+    )

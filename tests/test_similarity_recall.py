@@ -357,3 +357,38 @@ def test_embedding_health_all_nonfinite_dim(spark):
     assert r.n_finite == 0 and r.n_nonfinite == 2
     assert r.mean is None and r.mean_abs is None
     assert r.min_val is None and r.max_val is None
+
+
+def test_centroid_drift_known_shift(spark):
+    """centroid_drift: identical populations read cosine 1.0 / l2 0.0;
+    a constant-offset population reads the exact l2; NULL vectors and
+    non-finite values are excluded; empty side yields NULL cosine."""
+    import math
+
+    from ocsf_validator_spark.pipeline.similarity import centroid_drift
+
+    base = [[1.0, 2.0, 3.0], [3.0, 2.0, 1.0]]  # centroid (2, 2, 2)
+    a = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)] + [(9, None)],
+        "vec_id long, embedding array<double>",
+    )
+    same = centroid_drift(a, a).collect()[0]
+    assert (same.n_a, same.n_b, same.cosine, same.l2) == (2, 2, 1.0, 0.0)
+    # b = centroid (3, 3, 3): l2 = sqrt(3), cosine = 1 (parallel)
+    b = spark.createDataFrame(
+        [(0, [2.0, 3.0, 4.0]), (1, [4.0, 3.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    d = centroid_drift(a, b).collect()[0]
+    assert d.l2 == round(math.sqrt(3), 6) and d.cosine == 1.0
+    # non-finite values excluded from the mean, not poisoning it
+    c = spark.createDataFrame(
+        [(0, [2.0, float("nan"), 2.0]), (1, [2.0, 2.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    e = centroid_drift(a, c).collect()[0]
+    assert e.cosine == 1.0 and e.l2 == 0.0
+    # empty increment: no dims survive the inner join -> sums NULL
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    z = centroid_drift(a, empty).collect()[0]
+    assert z.n_b == 0 and z.cosine is None
