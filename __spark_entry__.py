@@ -1027,6 +1027,15 @@ def q_winsorize_value(spark: SparkSession, sf: str) -> DataFrame:
     return winsorize(_t(spark, sf, "events"), "value", 0.01, 0.99)
 
 
+def q_robust_scale_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Median/MAD standardization of events.value (pipeline/quantiles.
+    robust_scale): exact order-statistic fences as literals, scan-speed
+    transform."""
+    from ocsf_validator_spark.pipeline.quantiles import robust_scale
+
+    return robust_scale(_t(spark, sf, "events"), "value")
+
+
 def q_quantile_bin_value(spark: SparkSession, sf: str) -> DataFrame:
     """Decile binning of events.value (pipeline/quantiles.quantile_bin):
     exact order-statistic fences applied as a scan-speed CASE chain."""
@@ -1616,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bin_value": q_quantile_bin_value,
         "itemset_pairs": q_itemset_pairs,
         "centroid_drift": q_centroid_drift,
+        "robust_scale_value": q_robust_scale_value,
         "turn_echo": q_turn_echo,
         "winsorize_value": q_winsorize_value,
         "normalize_docs": q_normalize_docs,
@@ -2921,6 +2931,25 @@ SELECT conv_id, COUNT(*)::BIGINT AS n_turns,
   MAX(echo) AS max_echo,
   COALESCE(SUM(fe), 0)::BIGINT AS full_echo_turns
 FROM s GROUP BY conv_id
+"""
+
+    sqls["robust_scale_value"] = """
+WITH v AS (SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL),
+n AS (SELECT count(*) AS n FROM v),
+med AS (
+  SELECT r.v AS med
+  FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v) r, n
+  WHERE r.rn = CAST(floor((n.n - 1) * 0.5) AS BIGINT) + 1),
+dev AS (SELECT abs(v.v - med.med) AS d FROM v, med),
+mad AS (
+  SELECT r.d AS mad
+  FROM (SELECT d, row_number() OVER (ORDER BY d) AS rn FROM dev) r, n
+  WHERE r.rn = CAST(floor((n.n - 1) * 0.5) AS BIGINT) + 1)
+SELECT e.event_id, e.value,
+  CASE WHEN e.value IS NOT NULL AND mad.mad != 0
+       THEN ROUND((e.value::DOUBLE - med.med) / mad.mad, 6) END AS scaled,
+  med.med AS median, mad.mad AS mad
+FROM events e CROSS JOIN med CROSS JOIN mad
 """
 
     sqls["centroid_drift"] = """

@@ -221,6 +221,7 @@ def main() -> None:
         "quantile_bin_value",
         "itemset_pairs",
         "centroid_drift",
+        "robust_scale_value",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

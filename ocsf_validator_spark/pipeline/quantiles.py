@@ -491,3 +491,58 @@ def quantile_bin(
         F.col(value_col),
         F.when(ok, bucket).cast("int").alias("bucket"),
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    id_cols: tuple[str, ...] = ("event_id",),
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Robust standardization: ``scaled = (v - median) / mad`` — the
+    outlier-immune alternative to z-scoring (a contaminated tail drags
+    a mean/stddev scaler; median/MAD have breakdown point 0.5), the
+    transform companion to :func:`mad_outliers`' screen and
+    :func:`winsorize`'s clip. Callers wanting the Gaussian-consistency
+    constant divide by 1.4826 downstream — the raw MAD unit keeps the
+    output an exact function of two data values.
+
+    median and MAD are :func:`exact_quantiles` order statistics
+    (histogram-narrowed, no global sort) applied as LITERALS, so the
+    scale pass is one scan-speed projection and every scaled value is
+    one subtract + one divide over exact data values, rounded 6 dp —
+    engine-replayable. NULL/NaN inputs and a degenerate mad == 0 yield
+    NULL scaled (try_divide); the median/mad columns ride along so a
+    consumer can invert the transform.
+
+    Returns (*id_cols, value_col, scaled, median, mad).
+    """
+    spark = df.sparkSession
+    med_rows = exact_quantiles(df, value_col, qs=(0.5,), n_bins=n_bins).collect()
+    if not med_rows:
+        schema = ", ".join(
+            [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols]
+            + [
+                f"`{value_col}` {df.schema[value_col].dataType.simpleString()}",
+                "scaled double, median double, mad double",
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    med = med_rows[0]["value"]
+    dev = df.select(
+        F.abs(F.col(value_col).cast("double") - F.lit(med)).alias("_d")
+    )
+    mad = exact_quantiles(dev, "_d", qs=(0.5,), n_bins=n_bins).collect()[0][
+        "value"
+    ]
+    v = F.col(value_col).cast("double")
+    ok = v.isNotNull() & ~F.isnan(v)
+    return df.select(
+        *id_cols,
+        F.col(value_col),
+        F.when(
+            ok, F.round(F.try_divide(v - F.lit(med), F.lit(mad)), 6)
+        ).alias("scaled"),
+        F.lit(med).alias("median"),
+        F.lit(mad).alias("mad"),
+    )

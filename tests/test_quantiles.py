@@ -374,3 +374,30 @@ def test_quantile_bin_equal_frequency_and_edges(spark):
     assert len({tb[i + 50] for i in range(50)}) == 1
     with _pytest.raises(ValueError):
         quantile_bin(df, "value", 1)
+
+
+def test_robust_scale_median_mad_semantics(spark):
+    """robust_scale: median row scales to 0, units are MADs, a gross
+    outlier can't move the scale (robustness), degenerate mad==0 and
+    NULLs yield NULL scaled, empty input yields empty frame."""
+    from ocsf_validator_spark.pipeline.quantiles import robust_scale
+
+    vals = [float(v) for v in range(1, 12)]  # 1..11, median 6, MAD 3
+    rows = [(i, v) for i, v in enumerate(vals)] + [(99, None)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    got = {r.event_id: r for r in robust_scale(df, "value").collect()}
+    assert got[5].scaled == 0.0 and got[5].median == 6.0 and got[5].mad == 3.0
+    assert got[0].scaled == round((1 - 6) / 3, 6)
+    assert got[10].scaled == round((11 - 6) / 3, 6)
+    assert got[99].scaled is None
+    # robustness: replace the max with a monster; median/mad barely move
+    rows2 = [(i, v) for i, v in enumerate(vals[:-1] + [1e12])]
+    g2 = robust_scale(
+        spark.createDataFrame(rows2, "event_id long, value double"), "value"
+    ).collect()[0]
+    assert g2.median == 6.0 and g2.mad == 3.0
+    # degenerate: constant column -> mad 0 -> NULL scaled
+    const = spark.createDataFrame([(i, 7.0) for i in range(5)], "event_id long, value double")
+    assert all(r.scaled is None for r in robust_scale(const, "value").collect())
+    empty = spark.createDataFrame([], "event_id long, value double")
+    assert robust_scale(empty, "value").count() == 0
