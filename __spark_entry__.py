@@ -878,6 +878,24 @@ def q_strip_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicate-substring spans (Lee et al. 2021 restated as
+    rolling-window hashing): maximal runs of 8-token windows shared by
+    >= 2 distinct documents, merged islands-and-gaps per doc. The df
+    exchange carries 60-bit window hashes, never window strings."""
+    from ocsf_validator_spark.pipeline.spans import dup_spans
+
+    return dup_spans(_t(spark, sf, "documents"), k=8, min_docs=2)
+
+
+def q_strip_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-span removal: every token covered by a window shared
+    by >= 2 docs is stripped; clean docs pass through, rows preserved."""
+    from ocsf_validator_spark.pipeline.spans import strip_dup_spans
+
+    return strip_dup_spans(_t(spark, sf, "documents"), k=8, min_docs=2)
+
+
 def q_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label centroid-distance outlier audit: the 5 vectors per
     label farthest (lowest cosine) from their label centroid. Centroid
@@ -1609,6 +1627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "boilerplate_grams": q_boilerplate_grams,
         "strip_boilerplate": q_strip_boilerplate,
+        "dup_spans_docs": q_dup_spans,
+        "strip_dup_spans": q_strip_dup_spans,
         "exact_quantiles_value": q_exact_quantiles_value,
         "quantiles_by_event_type": q_quantiles_by_event_type,
         "pack_sequences": q_pack_sequences,
@@ -2503,9 +2523,58 @@ hits AS (SELECT o.doc_id, unnest([o.pos, o.pos + 1]) AS cp
          FROM o JOIN b USING (gh)),
 cov AS (SELECT doc_id, list(DISTINCT cp) AS cov FROM hits GROUP BY doc_id)
 SELECT t.doc_id,
-  array_to_string(list_filter(list_transform(range(1, len(toks) + 1),
+  COALESCE(array_to_string(list_filter(list_transform(range(1, len(toks) + 1),
     i -> CASE WHEN cov.cov IS NULL OR NOT list_contains(cov.cov, i)
-         THEN toks[i] END), x -> x IS NOT NULL), ' ') AS text_clean,
+         THEN toks[i] END), x -> x IS NOT NULL), ' '), '') AS text_clean,
+  (len(toks) - len(list_filter(list_transform(range(1, len(toks) + 1),
+    i -> CASE WHEN cov.cov IS NULL OR NOT list_contains(cov.cov, i)
+         THEN toks[i] END), x -> x IS NOT NULL)))::BIGINT AS n_removed
+FROM t LEFT JOIN cov USING (doc_id)
+ORDER BY doc_id
+"""
+
+    # exact duplicate-substring spans: 8-token windows hashed to the
+    # 60-bit md5 prefix, flagged at >= 2 distinct docs, merged into
+    # maximal spans via lag + running-sum islands (same brk semantics
+    # as Spark: NULL lag compares to false -> 0)
+    sqls["dup_spans_docs"] = """
+WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+o0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+      i -> struct_pack(pos := i,
+        gh := ('0x'||substr(md5(array_to_string(toks[i:i+7],' ')),1,15))::BIGINT))) AS pg
+      FROM t WHERE len(toks) >= 8),
+o AS (SELECT doc_id, pg.pos AS pos, pg.gh AS gh FROM o0),
+g AS (SELECT DISTINCT doc_id, gh FROM o),
+b AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+h AS (SELECT o.doc_id, o.pos FROM o JOIN b USING (gh)),
+brks AS (SELECT doc_id, pos,
+      CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+           THEN 1 ELSE 0 END AS brk FROM h),
+isl AS (SELECT doc_id, pos,
+      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island FROM brks)
+SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 7)::BIGINT AS span_end,
+       (max(pos) + 7 - min(pos) + 1)::BIGINT AS span_len,
+       count(*)::BIGINT AS n_windows
+FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
+
+    sqls["strip_dup_spans"] = """
+WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+o0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+      i -> struct_pack(pos := i,
+        gh := ('0x'||substr(md5(array_to_string(toks[i:i+7],' ')),1,15))::BIGINT))) AS pg
+      FROM t WHERE len(toks) >= 8),
+o AS (SELECT doc_id, pg.pos AS pos, pg.gh AS gh FROM o0),
+g AS (SELECT DISTINCT doc_id, gh FROM o),
+b AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+hits AS (SELECT o.doc_id, unnest(range(o.pos, o.pos + 8)) AS cp
+         FROM o JOIN b USING (gh)),
+cov AS (SELECT doc_id, list(DISTINCT cp) AS cov FROM hits GROUP BY doc_id)
+SELECT t.doc_id,
+  COALESCE(array_to_string(list_filter(list_transform(range(1, len(toks) + 1),
+    i -> CASE WHEN cov.cov IS NULL OR NOT list_contains(cov.cov, i)
+         THEN toks[i] END), x -> x IS NOT NULL), ' '), '') AS text_clean,
   (len(toks) - len(list_filter(list_transform(range(1, len(toks) + 1),
     i -> CASE WHEN cov.cov IS NULL OR NOT list_contains(cov.cov, i)
          THEN toks[i] END), x -> x IS NOT NULL)))::BIGINT AS n_removed

@@ -222,6 +222,8 @@ def main() -> None:
         "itemset_pairs",
         "centroid_drift",
         "robust_scale_value",
+        "dup_spans_docs",
+        "strip_dup_spans",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:
