@@ -28,6 +28,7 @@ from ocsf_validator_spark.pipeline import (
 )
 from ocsf_validator_spark.spec import (
     AllowedColumns,
+    Alternation,
     ConstraintSet,
     Deprecated,
     EnumCoverage,
@@ -169,6 +170,26 @@ def q_opening_role_events(spark: SparkSession, sf: str) -> DataFrame:
         name="structure",
         constraints=[
             OpeningRole(column="role", allowed=("view", "click", "signup"))
+        ],
+    )
+    return all_violations(
+        _transcripts(spark, sf), suite, include_coverage=False
+    )
+
+
+def q_alternation_roles(spark: SparkSession, sf: str) -> DataFrame:
+    """Consecutive-repeat check (spec.Alternation): a turn must not
+    repeat the preceding turn's role when the repeat is in scope — the
+    transcript-shape invariant behind user/assistant alternation (two
+    assistant turns in a row mean a dropped user turn), scoped here to
+    view/purchase so a double purchase with no intervening browse is
+    flagged. One more lag() on the fused single-scan conversation
+    window (1 Exchange, plan-pinned in tests); the conversation's last
+    value carries across --incremental runs."""
+    suite = ConstraintSet(
+        name="structure",
+        constraints=[
+            Alternation(column="role", scope=("view", "purchase"))
         ],
     )
     return all_violations(
@@ -1581,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_violations": q_suite_violations,
         "precedence_purchase": q_precedence_purchase,
         "opening_role_events": q_opening_role_events,
+        "alternation_roles": q_alternation_roles,
         "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
@@ -1744,6 +1766,19 @@ SELECT 'opening.role' AS constraint_id, conv_id, turn_idx,
        'ERROR' AS severity
 FROM c WHERE rn = 1
   AND (role IS NULL OR role NOT IN ('view','click','signup'))
+"""
+
+    sqls["alternation_roles"] = f"""
+WITH {_T_CTE},
+c AS (
+  SELECT conv_id, turn_idx, role,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM t)
+SELECT 'alternation.role' AS constraint_id, conv_id, turn_idx,
+       'consecutive role ''' || role || '''' AS reason,
+       'ERROR' AS severity
+FROM c
+WHERE prev IS NOT NULL AND role = prev AND role IN ('view', 'purchase')
 """
 
     # quarantine routing: the same proven violation legs, reduced to

@@ -224,6 +224,7 @@ def main() -> None:
         "robust_scale_value",
         "dup_spans_docs",
         "strip_dup_spans",
+        "alternation_roles",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -54,7 +54,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ocsf_validator_spark.spec import Monotonic, Precedence, Unique
+from ocsf_validator_spark.spec import Alternation, Monotonic, Precedence, Unique
 
 CARRY_PREV_IDX = "_c_prev_idx"
 CARRY_COUNT = "_c_tail_count"
@@ -90,7 +90,14 @@ def boundary_state(
     from ocsf_validator_spark.violations import _tie_display
 
     part, idx = keys[0], keys[1]
-    mono_cols = [c.column for c in cs if isinstance(c, Monotonic)]
+    # Alternation needs the conversation's last value carried exactly
+    # like Monotonic does (both are lag checks) — one carry column per
+    # distinct column even when both kinds name it
+    mono_cols = list(
+        dict.fromkeys(
+            c.column for c in cs if isinstance(c, (Monotonic, Alternation))
+        )
+    )
     prec_cs = [c for c in cs if isinstance(c, Precedence)]
     full_cols = list(
         dict.fromkeys([*mono_cols, *[c.column for c in prec_cs]])
@@ -174,7 +181,11 @@ def attach_carriers(
     are filtered out after the window columns are computed; they emit
     nothing themselves."""
     part, idx = keys[0], keys[1]
-    mono_cols = [c.column for c in cs if isinstance(c, Monotonic)]
+    mono_cols = list(
+        dict.fromkeys(
+            c.column for c in cs if isinstance(c, (Monotonic, Alternation))
+        )
+    )
     prec_cs = [c for c in cs if isinstance(c, Precedence)]
     state = state.join(pre.select(part).distinct(), part, "semi")
     sel = []
@@ -185,7 +196,14 @@ def attach_carriers(
         elif c == idx:
             sel.append(F.col(CARRY_PREV_IDX).cast(dt).alias(idx))
         elif c in mono_cols:
-            sel.append(F.col(carry_mono_col(c)).cast(dt).alias(c))
+            # state persisted before this constraint existed has no
+            # carry column — NULL (the lag check is then conservative
+            # at the boundary, exactly like an uncarried conversation)
+            sel.append(
+                F.col(carry_mono_col(c)).cast(dt).alias(c)
+                if carry_mono_col(c) in state.columns
+                else F.lit(None).cast(dt).alias(c)
+            )
         else:  # tie display columns and the row-leg array
             sel.append(F.lit(None).cast(dt).alias(c))
     # carried 'prereq seen' bits: 0 on real rows, the persisted bit on

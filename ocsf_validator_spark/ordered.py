@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ocsf_validator_spark.spec import (
+    Alternation,
     Monotonic,
     OpeningRole,
     Precedence,
@@ -159,6 +160,11 @@ def scalable_group_violations(
         for c in cs
         if isinstance(c, OpeningRole)
     ]
+    alt_specs = [
+        (c.constraint_id, c.column, tuple(c.scope), c.severity.name)
+        for c in cs
+        if isinstance(c, Alternation)
+    ]
     narrow = [part, idx, *[t for t in ties if t not in (part, idx)]]
     for _, col, _, _ in mono:
         if col not in narrow:
@@ -167,6 +173,9 @@ def scalable_group_violations(
         if spec[1] not in narrow:
             narrow.append(spec[1])
     for spec in open_specs:
+        if spec[1] not in narrow:
+            narrow.append(spec[1])
+    for spec in alt_specs:
         if spec[1] not in narrow:
             narrow.append(spec[1])
     # row legs may reference any column, but they are evaluated against
@@ -191,6 +200,7 @@ def scalable_group_violations(
         {m[1] for m in mono}
         | {s[1] for s in prec_specs}
         | {s[1] for s in open_specs}
+        | {s[1] for s in alt_specs}
     )
     narrow_bounded = [
         _tie_display(F.col(c), pre.schema[c].dataType).alias(c)
@@ -447,16 +457,16 @@ def scalable_group_violations(
                         + ("NULL" if pd.isna(v) else str(v))
                     )
 
-            for cid, col, strict, sev in mono:
-                cur = pdf[col]
+            def lag_with_carry(col: str, cur: pd.Series) -> pd.Series:
+                """shift(1) with the carried previous-partition value
+                spliced into row 0 (re-parsed from its JSON-string
+                transport by the column's actual value type — Spark
+                DATE arrives as object-dtype date, not datetime64, so
+                dtype prefix alone is not enough)."""
                 lag_v = cur.shift(1)
                 if prev is not None and prev.get(col) is not None:
                     pv = prev[col]
                     if isinstance(pv, str):
-                        # the carry crossed the driver as a JSON string;
-                        # re-parse by the column's actual value type
-                        # (Spark DATE arrives as object-dtype date, not
-                        # datetime64 — dtype prefix alone is not enough)
                         if str(cur.dtype).startswith("datetime"):
                             pv = pd.Timestamp(pv)
                         else:
@@ -464,6 +474,11 @@ def scalable_group_violations(
                             if len(nn) and isinstance(nn.iloc[0], _dt.date):
                                 pv = _dt.date.fromisoformat(pv)
                     lag_v.iloc[0] = pv
+                return lag_v
+
+            for cid, col, strict, sev in mono:
+                cur = pdf[col]
+                lag_v = lag_with_carry(col, cur)
                 ok = same_conv & lag_v.notna() & cur.notna()
                 bad = ((cur <= lag_v) if strict else (cur < lag_v)) & ok
                 for i in bad[bad].index:
@@ -471,6 +486,18 @@ def scalable_group_violations(
                     out_rows.append(
                         f"{col} not monotonic: {_sql_str(cur.iloc[i])} "
                         f"after {_sql_str(lag_v.iloc[i])}"
+                    )
+
+            for cid, col, scope, sev in alt_specs:
+                cur = pdf[col]
+                lag_v = lag_with_carry(col, cur)
+                bad = same_conv & lag_v.notna() & cur.notna() & (cur == lag_v)
+                if scope:
+                    bad = bad & cur.isin(scope)
+                for i in bad[bad].index:
+                    cid_rows.append(cid); sev_rows.append(sev); pos_rows.append(i)
+                    out_rows.append(
+                        f"consecutive {col} '{_sql_str(cur.iloc[i])}'"
                     )
 
             if uniq_specs:

@@ -461,6 +461,19 @@ def main(argv: list[str] | None = None) -> int:
         "turn of each conversation must have COL in the listed values, "
         "e.g. --opening role=system,user",
     )
+    p.add_argument(
+        "--alternation",
+        action="append",
+        default=[],
+        metavar="COL[=V1,V2]",
+        help="add an Alternation constraint (repeatable): COL must not "
+        "repeat the immediately preceding turn's value — scoped to the "
+        "listed values when given, every value otherwise. e.g. "
+        "--alternation role=user,assistant (two assistant turns in a "
+        "row mean a dropped user turn). Fuses into the single-scan "
+        "window pass; the last value is carried across --incremental "
+        "runs",
+    )
     p.add_argument("--buckets", type=int, default=DEFAULT_BUCKETS)
     p.add_argument("--checkpoint", help="manifest directory for resume")
     p.add_argument("--violations-out")
@@ -661,8 +674,12 @@ def main(argv: list[str] | None = None) -> int:
             print(f"[FATAL] bad --severity: {e}")
             return 2
 
-    if args.precedence or args.opening:
-        from ocsf_validator_spark.spec import OpeningRole, Precedence
+    if args.precedence or args.opening or args.alternation:
+        from ocsf_validator_spark.spec import (
+            Alternation,
+            OpeningRole,
+            Precedence,
+        )
 
         suite = suite or transcript_suite()
         try:
@@ -679,8 +696,14 @@ def main(argv: list[str] | None = None) -> int:
                 if not (col and allowed):
                     raise ValueError(s_)
                 suite.add(OpeningRole(column=col, allowed=allowed))
+            for s_ in args.alternation:
+                col, _, vals = s_.partition("=")
+                scope = tuple(x for x in vals.split(",") if x)
+                if not col:
+                    raise ValueError(s_)
+                suite.add(Alternation(column=col, scope=scope))
         except ValueError as e:
-            print(f"[FATAL] bad --precedence/--opening: {e}")
+            print(f"[FATAL] bad --precedence/--opening/--alternation: {e}")
             return 2
 
     res = run_validation(

@@ -297,6 +297,38 @@ class OpeningRole(Constraint):
     KIND = "opening"
 
 
+@dataclass(frozen=True)
+class Alternation(Constraint):
+    """Consecutive-repeat check: within a conversation under stable
+    turn ordering, ``column`` must not repeat the immediately
+    preceding turn's value when the repeated value is in ``scope``
+    (empty scope = every value must alternate). The transcript-shape
+    invariant behind user/assistant alternation — two assistant turns
+    in a row mean a dropped user turn; a double 'purchase' with no
+    intervening browse event is a replayed write. The sequential
+    analogue of the reference's redundant-profile warning
+    (reference processor.py:471-480: the same mixin applied twice to
+    one target is flagged), applied to adjacent turns instead of the
+    profile list.
+
+    Rides the fused single-scan window pass as one more lag() over the
+    exchange + sort already paid for (the same mechanism as Monotonic's
+    previous-value leg). Incremental runs carry the conversation's last
+    value in the boundary summary — a repeat straddling the increment
+    boundary fires exactly as in a fresh full run. NULL never matches
+    (NotNull owns missing values). Cross-batch STREAMING state for this
+    kind is not carried (batch + incremental only): exact
+    adjacent-pair semantics under out-of-order batch arrival would
+    need the full idx->value history per conversation, not a boundary
+    scalar.
+    """
+
+    scope: tuple[str, ...] = ()
+    partition_by: str = "conv_id"
+    order_by: str = "turn_idx"
+    KIND = "alternation"
+
+
 # ---------------------------------------------------------------------------
 # Dataset-level constraints — produce findings without row keys
 # ---------------------------------------------------------------------------
@@ -332,7 +364,9 @@ class EnumCoverage(Constraint):
 ROW_LEVEL = (
     NotNull, InEnum, Deprecated, TypeCast, Regex, Glob, MaxLen, Range, MapKeysIn
 )
-GROUP_LEVEL = (Unique, TurnOrdering, Monotonic, Precedence, OpeningRole)
+GROUP_LEVEL = (
+    Unique, TurnOrdering, Monotonic, Precedence, OpeningRole, Alternation
+)
 DATASET_LEVEL = (AllowedColumns, EnumCoverage)
 RESIDUAL_LEVEL = (PandasCheck,)
 

@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 from ocsf_validator_spark.compile import violation_entries_guarded
 from ocsf_validator_spark.spec import (
     AllowedColumns,
+    Alternation,
     ConstraintSet,
     EnumCoverage,
     Monotonic,
@@ -335,6 +336,34 @@ def opening_violations(
     )
 
 
+def alternation_violations(
+    df: DataFrame, c: Alternation, keys: Sequence[str] = DEFAULT_KEYS
+) -> DataFrame:
+    """Standalone Alternation leg (unfused fallback): lag over the
+    conversation window, flag rows equal to their predecessor (scoped
+    to ``c.scope`` when set). Reason string identical to the fused
+    path (parity-pinned)."""
+    w = Window.partitionBy(c.partition_by).orderBy(F.col(c.order_by).asc())
+    staged = df.select(
+        *keys,
+        F.col(c.column).alias("_cur"),
+        F.lag(F.col(c.column)).over(w).alias("_prev"),
+    )
+    bad = F.col("_prev").isNotNull() & (F.col("_cur") == F.col("_prev"))
+    if c.scope:
+        bad = bad & F.col("_cur").isin(*c.scope)
+    return staged.filter(bad).select(
+        F.lit(c.constraint_id).alias("constraint_id"),
+        *keys,
+        F.concat(
+            F.lit(f"consecutive {c.column} '"),
+            F.col("_cur").cast("string"),
+            F.lit("'"),
+        ).alias("reason"),
+        F.lit(c.severity.name).alias("severity"),
+    )
+
+
 def _fusable(suite: ConstraintSet, df: DataFrame, keys: Sequence[str]):
     """Group constraints that all live on the same conversation window
     (partition = keys[0], order = keys[1]; Unique over exactly those two
@@ -348,12 +377,16 @@ def _fusable(suite: ConstraintSet, df: DataFrame, keys: Sequence[str]):
             ties = list(c.first_seen_order)
             if not _present(df, ties):
                 return None
-        elif isinstance(c, (TurnOrdering, Monotonic, Precedence, OpeningRole)):
+        elif isinstance(
+            c, (TurnOrdering, Monotonic, Precedence, OpeningRole, Alternation)
+        ):
             if c.partition_by != part or c.order_by != idx:
                 return None
             need = (
                 [c.column]
-                if isinstance(c, (Monotonic, Precedence, OpeningRole))
+                if isinstance(
+                    c, (Monotonic, Precedence, OpeningRole, Alternation)
+                )
                 else []
             )
             if not _present(df, [part, idx, *need]):
@@ -416,10 +449,18 @@ def fused_group_violations(
     part, idx = keys[0], keys[1]
     entry_t = "struct<constraint_id:string,reason:string,severity:string>"
     mono_cols = [c.column for c in cs if isinstance(c, Monotonic)]
-    # Precedence/OpeningRole columns need exact values (isin/equality
-    # semantics — a capped prefix would change them), same as Monotonic
+    alt_cols = [c.column for c in cs if isinstance(c, Alternation)]
+    # columns whose PREVIOUS value the pass lags over (Monotonic's
+    # comparison, Alternation's repeat check) — one lag per distinct
+    # column even when both kinds name it
+    lag_cols = list(dict.fromkeys([*mono_cols, *alt_cols]))
+    # Precedence/OpeningRole/Alternation columns need exact values
+    # (isin/equality semantics — a capped prefix would change them),
+    # same as Monotonic
     seq_cols = [
-        c.column for c in cs if isinstance(c, (Precedence, OpeningRole))
+        c.column
+        for c in cs
+        if isinstance(c, (Precedence, OpeningRole, Alternation))
     ]
     full_cols = list(dict.fromkeys([*mono_cols, *seq_cols]))
     # ---- map-side stage: keys + bounded ties + mono columns + the row
@@ -464,7 +505,7 @@ def fused_group_violations(
     w2 = Window.partitionBy(part, idx).orderBy(*tie_order)
     prev_idx = F.lag(F.col(idx)).over(w)
     cols: dict = {"_prev_idx": prev_idx}
-    for m in mono_cols:
+    for m in lag_cols:
         cols[f"_prev_{m}"] = F.lag(F.col(m)).over(w)
     prec_cs = [c for c in cs if isinstance(c, Precedence)]
     open_cs = [c for c in cs if isinstance(c, OpeningRole)]
@@ -700,6 +741,29 @@ def fused_group_violations(
                     ),
                 )
             )
+        elif isinstance(c, Alternation):
+            # repeat of the preceding turn's value — the lag is the same
+            # WindowExec as Monotonic's; with carry, the carrier's value
+            # is the prior increment's last, so a boundary-straddling
+            # repeat fires exactly as in a fresh full run
+            prev_a = F.col(f"_prev_{c.column}")
+            bad_a = prev_a.isNotNull() & (F.col(c.column) == prev_a)
+            if c.scope:
+                bad_a = bad_a & F.col(c.column).isin(*c.scope)
+            legs.append(
+                (
+                    bad_a,
+                    F.struct(
+                        F.lit(c.constraint_id).alias("constraint_id"),
+                        F.concat(
+                            F.lit(f"consecutive {c.column} '"),
+                            F.col(c.column).cast("string"),
+                            F.lit("'"),
+                        ).alias("reason"),
+                        F.lit(c.severity.name).alias("severity"),
+                    ),
+                )
+            )
     # same defect-proportional guard as the row leg: the array of group
     # violation structs is only built (and only non-NULL) when one of
     # the already-computed window conditions actually fired
@@ -762,6 +826,10 @@ def group_violations(
             df, [c.column, c.partition_by, c.order_by]
         ):
             out = out.unionByName(opening_violations(df, c, keys))
+        elif isinstance(c, Alternation) and _present(
+            df, [c.column, c.partition_by, c.order_by]
+        ):
+            out = out.unionByName(alternation_violations(df, c, keys))
     return out
 
 

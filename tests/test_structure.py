@@ -258,3 +258,205 @@ def test_runner_cli_flags(spark, tmp_path):
     # malformed specs are config errors, never silently dropped
     assert main(["--synth", "10", "--precedence", "nonsense"]) == 2
     assert main(["--synth", "10", "--opening", "role="]) == 2
+
+
+# ---------------------------------------------------------------------------
+# Alternation (consecutive-repeat check)
+# ---------------------------------------------------------------------------
+
+from ocsf_validator_spark.spec import Alternation
+from ocsf_validator_spark.violations import alternation_violations
+
+ALT = Alternation(column="role", scope=("view", "purchase"))
+
+
+def _alt_cs():
+    return [
+        Unique(
+            column="conv_turn",
+            keys=("conv_id", "turn_idx"),
+            first_seen_order=("role",),
+            id_override="unique.conv_turn",
+        ),
+        TurnOrdering(column="turn_idx"),
+        PREC,
+        OPEN,
+        ALT,
+    ]
+
+
+def _alt_suite():
+    return ConstraintSet(name="structure_alt", constraints=_alt_cs())
+
+
+def test_alternation_fused_semantics(spark):
+    df = _rows(
+        spark,
+        [
+            # scoped repeat fires; out-of-scope repeat (signup) does not
+            ("c1", 0, "view"), ("c1", 1, "view"), ("c1", 2, "click"),
+            ("c2", 0, "signup"), ("c2", 1, "signup"),
+            # NULL never matches, in either position
+            ("c3", 0, None), ("c3", 1, None), ("c3", 2, "view"),
+            # repeat across an intervening turn is NOT consecutive
+            ("c4", 0, "view"), ("c4", 1, "click"), ("c4", 2, "view"),
+        ],
+    )
+    suite = ConstraintSet(name="alt_only", constraints=[ALT])
+    got = {
+        (r.constraint_id, r.conv_id, r.turn_idx, r.reason)
+        for r in all_violations(df, suite, include_coverage=False).collect()
+    }
+    assert got == {
+        ("alternation.role", "c1", 1, "consecutive role 'view'"),
+    }
+    # unscoped: every consecutive repeat fires
+    suite_all = ConstraintSet(
+        name="alt_all", constraints=[Alternation(column="role")]
+    )
+    got_all = {
+        (r.conv_id, r.turn_idx)
+        for r in all_violations(
+            df, suite_all, include_coverage=False
+        ).collect()
+    }
+    assert got_all == {("c1", 1), ("c2", 1)}
+
+
+def test_alternation_standalone_matches_fused(spark):
+    random.seed(13)
+    roles = ["view", "click", "purchase", "signup", None]
+    rows = []
+    for c in range(60):
+        for t in range(random.randint(1, 12)):
+            rows.append((f"c{c:02d}", t, random.choice(roles)))
+    df = _rows(spark, rows)
+    fused = {
+        tuple(r)
+        for r in all_violations(
+            df, _alt_suite(), include_coverage=False
+        ).collect()
+        if r.constraint_id.startswith("alternation.")
+    }
+    solo = {tuple(r) for r in alternation_violations(df, ALT).collect()}
+    assert fused == solo and fused
+
+
+def test_alternation_skew_path_matches_fused(spark):
+    """A conversation spanning many range partitions: the repeat check
+    at each partition's first row lags against the carried previous
+    value, not NULL."""
+    random.seed(17)
+    roles = ["view", "click", "purchase", "signup"]
+    rows = [("big", t, random.choice(roles)) for t in range(5000)]
+    for c in range(30):
+        for t in range(random.randint(1, 8)):
+            rows.append((f"c{c:02d}", t, random.choice(roles)))
+    df = _rows(spark, rows)
+    cs = _alt_cs()
+    fused = sorted(
+        map(
+            tuple,
+            all_violations(df, _alt_suite(), include_coverage=False).collect(),
+        )
+    )
+    ordered = sorted(
+        map(
+            tuple,
+            scalable_group_violations(
+                df, cs, ["role"], num_partitions=16
+            ).collect(),
+        )
+    )
+    assert fused == ordered
+    assert any(r[0] == "alternation.role" for r in fused)
+
+
+def test_alternation_plan_single_exchange(spark):
+    """The alternation lag rides the SAME conversation window as every
+    other group leg: still exactly one Exchange and one Sort."""
+    df = _rows(spark, [("c1", 0, "view")])
+    plan = (
+        all_violations(df, _alt_suite(), include_coverage=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\bSort \[", plan)) == 1
+
+
+def test_alternation_incremental_boundary_repeat(spark):
+    """A repeat straddling the increment boundary fires exactly as in a
+    fresh full run: the carried last value is the lag for increment 2's
+    first row."""
+    inc1 = [
+        ("x", 0, "click"), ("x", 1, "view"),   # inc2 repeats 'view'
+        ("y", 0, "view"), ("y", 1, "purchase"),  # inc2 continues clean
+    ]
+    inc2 = [
+        ("x", 2, "view"),       # boundary-straddling repeat -> fires
+        ("y", 2, "view"),       # purchase -> view: clean
+        ("z", 0, "view"), ("z", 1, "view"),  # fresh conv, inside inc2
+    ]
+    d1, d2 = _rows(spark, inc1), _rows(spark, inc2)
+    cs, suite, ties = _alt_cs(), _alt_suite(), ["role"]
+    v1 = sorted(
+        map(tuple, all_violations(d1, suite, include_coverage=False).collect())
+    )
+    state = convstate.merge_state(None, convstate.boundary_state(d1, cs, ties))
+    v2 = sorted(
+        map(
+            tuple,
+            all_violations(
+                d2, suite, include_coverage=False, carry=state
+            ).collect(),
+        )
+    )
+    vf = sorted(
+        map(
+            tuple,
+            all_violations(
+                d1.unionByName(d2), suite, include_coverage=False
+            ).collect(),
+        )
+    )
+    assert sorted(v1 + v2) == vf
+    keys2 = {(r[0], r[1], r[2]) for r in v2}
+    assert ("alternation.role", "x", 2) in keys2
+    assert ("alternation.role", "z", 1) in keys2
+    assert not [k for k in keys2 if k[0] == "alternation.role" and k[1] == "y"]
+
+
+def test_alternation_runner_cli_flag(spark, tmp_path):
+    """--alternation extends the suite from the CLI; scoped and
+    unscoped spellings both parse; the carried last value crosses
+    --incremental runs."""
+    from ocsf_validator_spark.runner import main
+
+    root = str(tmp_path / "in_alt")
+    rows1 = [("a", 0, "user", "t", None, "2026-01-01 00:00:00"),
+             ("a", 1, "assistant", "t", None, "2026-01-01 00:00:01")]
+    rows2 = [("a", 2, "assistant", "t", None, "2026-01-01 00:00:02")]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string")
+    df1 = spark.createDataFrame(rows1, schema)
+    df1.withColumn("ts", df1.ts.cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(root)
+    manifest = str(tmp_path / "m_alt")
+    base = ["--input", root, "--incremental", "--checkpoint", manifest,
+            "--buckets", "4", "--alternation", "role=user,assistant"]
+    assert main(base) in (0, 1)
+    df2 = spark.createDataFrame(rows2, schema)
+    df2.withColumn("ts", df2.ts.cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(root)
+    viol2 = str(tmp_path / "viol2_alt")
+    assert main([*base, "--violations-out", viol2]) == 1
+    got = {(r.constraint_id, r.conv_id, r.turn_idx)
+           for r in spark.read.parquet(viol2).filter(
+               "conv_id is not null").collect()}
+    assert ("alternation.role", "a", 2) in got
+    # malformed: empty column is a config error
+    assert main(["--synth", "10", "--alternation", "=x"]) == 2
