@@ -813,6 +813,25 @@ def q_ivf_topk_refined(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 5).alias("cos_sim"))
 
 
+def q_semdedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023; NeMo Curator's
+    production keep-rule): assign every embedding to its nearest
+    frozen centroid (column algebra over literals, no shuffle), drop
+    every vector whose cosine to a lower-id vector IN THE SAME CLUSTER
+    reaches the threshold, return the survivor set. The threshold is
+    calibrated to the synthetic embeddings' cosine range (max pairwise
+    ~0.51) — at the design point it would be ~0.95 on real model
+    embeddings."""
+    from ocsf_validator_spark.pipeline.ivf_frozen import (
+        IVF_REFINED_CENTROIDS,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return similarity.semdedup_survivors(
+        emb, IVF_REFINED_CENTROIDS, threshold=0.42
+    ).orderBy("vec_id")
+
+
 def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """KenLM-style quality signal at its unigram core: per-doc average
     negative log-probability under the corpus's own unigram
@@ -1658,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_refined": q_ivf_topk_refined,
+        "semdedup_docs": q_semdedup_docs,
         "text_profile": q_text_profile,
         "lang_mismatch": q_lang_mismatch,
         "gopher_rules": q_gopher_rules,
@@ -2794,6 +2814,28 @@ FROM asg, p
 WHERE asg.acid IN (SELECT cid FROM pl)
 ORDER BY list_cosine_similarity(asg.emb, p.pe) DESC, asg.vec_id
 LIMIT 10
+"""
+
+    # replay of similarity.semdedup_survivors over the same frozen
+    # centroids: nearest-centroid assignment (argmax cosine, ties ->
+    # lowest cid), within-cluster lower-id neighbor probe at the same
+    # threshold, anti join to the survivor set
+    sqls["semdedup_docs"] = f"""
+WITH h AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+c(cid, cemb) AS (VALUES
+       {cent_rows}),
+asg AS (SELECT h.vec_id, h.emb,
+               (SELECT c.cid FROM c
+                ORDER BY list_cosine_similarity(h.emb, c.cemb) DESC, c.cid
+                LIMIT 1) AS cluster_id
+        FROM h),
+drops AS (SELECT DISTINCT b.vec_id
+          FROM asg a JOIN asg b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.42)
+SELECT asg.vec_id, CAST(asg.cluster_id AS INTEGER) AS cluster_id
+FROM asg ANTI JOIN drops USING (vec_id)
+ORDER BY asg.vec_id
 """
 
     stop = lambda ws: " OR ".join(f"tk = '{w}'" for w in ws)

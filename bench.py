@@ -225,6 +225,7 @@ def main() -> None:
         "dup_spans_docs",
         "strip_dup_spans",
         "alternation_roles",
+        "semdedup_docs",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

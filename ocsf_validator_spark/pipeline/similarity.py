@@ -362,6 +362,64 @@ def embedding_near_dup_pairs(
     return out.distinct() if n_tables > 1 else out
 
 
+def semdedup_survivors(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a frozen coarse
+    quantizer, then within each cluster drop every item whose cosine
+    to a LOWER-id item reaches ``threshold``. Returns the survivor set
+    ``(id_col, cluster_id)``.
+
+    Keep-rule semantics: this is the production restatement (NVIDIA
+    NeMo Curator's semdedup does exactly this — drop item i iff its
+    max cosine to any earlier-ranked cluster member exceeds eps, with
+    the id as the ranking), NOT the paper's sequential greedy; the two
+    differ only on chains a~b~c where a!~c (greedy re-keeps c, the
+    rank rule drops it — a strictly more aggressive dedup). The rule
+    is order-free, so the result is deterministic at any parallelism
+    and DuckDB-replayable.
+
+    Scale shape (100 TB): assignment is pure column algebra over
+    centroid literals (k dot products inlined into one projection — no
+    shuffle, no UDF); the only exchange is the self-join keyed on
+    cluster_id, whose cost is sum(|cluster|^2) — the operator's
+    intrinsic cost in every implementation. Size the codebook like the
+    paper (k ~ sqrt(N), e.g. 100k clusters at 10^10 docs) so clusters
+    stay ~sqrt(N); AQE's skew-join split handles a hot cluster, and a
+    pathological one is sub-blockable with hyperplane_bucket_col as an
+    extra join key (recall trade documented there). Vectors cross the
+    exchange once per side; the dropped-id set is
+    duplication-proportional and broadcasts back for the anti join.
+    """
+    asg = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        ivf_assign_col(centroids, vec_col).alias("cluster_id"),
+    )
+    a = asg.select(
+        "cluster_id", F.col(id_col).alias("a_id"), F.col("_v").alias("_va")
+    )
+    b = asg.select(
+        "cluster_id", F.col(id_col).alias("b_id"), F.col("_v").alias("_vb")
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.expr(cosine_expr(_dbl("_va"), _dbl("_vb")))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return asg.join(dropped, id_col, "anti").select(id_col, "cluster_id")
+
+
 def label_centroid_outliers(
     df: DataFrame,
     emb_col: str = "embedding",

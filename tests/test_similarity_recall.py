@@ -392,3 +392,66 @@ def test_centroid_drift_known_shift(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     z = centroid_drift(a, empty).collect()[0]
     assert z.n_b == 0 and z.cosine is None
+
+
+def test_semdedup_survivors_semantics(spark):
+    """SemDeDup keep-rule (NeMo Curator variant): drop iff a LOWER-id
+    same-cluster member is within eps. Chain a~b~c with a!~c drops
+    BOTH b and c (rank rule, stricter than the paper's greedy);
+    cross-cluster near-pairs never interact; determinism across
+    parallelism levels."""
+    import math
+
+    # two well-separated clusters on axes 0 and 1; within cluster 0 a
+    # chain v0~v1, v1~v2 with v0!~v2 (angles 0, 25, 50 degrees)
+    def vec(axis, deg):
+        v = [0.0] * 8
+        v[axis] = math.cos(math.radians(deg))
+        v[(axis + 2) % 8] = math.sin(math.radians(deg))
+        return v
+
+    rows = [
+        (0, vec(0, 0.0)),
+        (1, vec(0, 25.0)),   # cos(25deg)=0.906 to v0 -> dropped
+        (2, vec(0, 50.0)),   # cos(25)=0.906 to v1 (dropped peer) -> rank rule drops it too
+        (3, vec(1, 0.0)),    # other cluster, alone
+        (4, vec(1, 25.0)),   # ~v3 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    centroids = [vec(0, 25.0), vec(1, 10.0)]
+    out = {
+        (r.vec_id, r.cluster_id)
+        for r in similarity.semdedup_survivors(
+            df, centroids, threshold=0.9
+        ).collect()
+    }
+    assert out == {(0, 0), (3, 1)}
+    # lowering the threshold below cos(50deg)=0.64 changes nothing here
+    # (2 already dropped); raising it above 0.91 keeps everyone
+    all_kept = similarity.semdedup_survivors(df, centroids, threshold=0.95)
+    assert all_kept.count() == 5
+    # determinism across partitioning
+    out2 = {
+        (r.vec_id, r.cluster_id)
+        for r in similarity.semdedup_survivors(
+            df.repartition(7), centroids, threshold=0.9
+        ).collect()
+    }
+    assert out2 == out
+
+
+def test_semdedup_plan_is_cluster_keyed(spark):
+    """The candidate join must be keyed on cluster_id (sum of squared
+    cluster sizes, the operator's intrinsic cost) — never a cartesian."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id int, embedding array<double>",
+    )
+    plan = (
+        similarity.semdedup_survivors(df, [[1.0, 0.0], [0.0, 1.0]])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "cluster_id" in plan
