@@ -29,11 +29,13 @@ from ocsf_validator_spark.pipeline import (
 from ocsf_validator_spark.spec import (
     AllowedColumns,
     Alternation,
+    Check,
     ConstraintSet,
     Deprecated,
     EnumCoverage,
     InEnum,
     MaxLen,
+    MetricBound,
     Monotonic,
     NotNull,
     OpeningRole,
@@ -195,6 +197,48 @@ def q_alternation_roles(spark: SparkSession, sf: str) -> DataFrame:
     return all_violations(
         _transcripts(spark, sf), suite, include_coverage=False
     )
+
+
+def q_check_rows_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Generic SQL-predicate constraint (spec.Check — the Deequ
+    `satisfies` / SQL table-CHECK analogue): a cross-column invariant
+    the single-column kinds can't express, compiled into the same
+    fused single-scan row projection as every other row leg. SQL CHECK
+    semantics: NULL operands pass (NotNull owns missing values)."""
+    suite = ConstraintSet(
+        name="check",
+        constraints=[
+            Check(
+                column="text",
+                predicate="NOT (role = 'view' AND length(text) > 8)",
+            )
+        ],
+    )
+    return all_violations(
+        _transcripts(spark, sf), suite, include_coverage=False
+    )
+
+
+def q_metric_bounds_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-level metric thresholds (spec.MetricBound — the
+    Deequ/Great-Expectations expectation shape): whole-table statistics
+    bounded per column, ALL sharing one narrow aggregation job. Bounds
+    here are chosen so three fire at sf0.01 (min turn_idx below 1,
+    distinct conversations above 100, row count above 5000) and the
+    null-rate guard passes — findings are dataset rows with NULL keys,
+    and every reason is integer arithmetic (bit-deterministic at any
+    parallelism, SQL-replayable)."""
+    suite = ConstraintSet(
+        name="metrics",
+        constraints=[
+            MetricBound(column="turn_idx", metric="min", lo=1),
+            MetricBound(column="turn_idx", metric="max", hi=50),
+            MetricBound(column="conv_id", metric="distinct_count", hi=100),
+            MetricBound(column="role", metric="null_rate", hi=0.0005),
+            MetricBound(column="text", metric="row_count", lo=1, hi=5000),
+        ],
+    )
+    return all_violations(_transcripts(spark, sf), suite)
 
 
 def q_quarantine_rows(spark: SparkSession, sf: str) -> DataFrame:
@@ -1622,6 +1666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precedence_purchase": q_precedence_purchase,
         "opening_role_events": q_opening_role_events,
         "alternation_roles": q_alternation_roles,
+        "check_rows_events": q_check_rows_events,
+        "metric_bounds_events": q_metric_bounds_events,
         "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
@@ -1786,6 +1832,54 @@ SELECT 'opening.role' AS constraint_id, conv_id, turn_idx,
        'ERROR' AS severity
 FROM c WHERE rn = 1
   AND (role IS NULL OR role NOT IN ('view','click','signup'))
+"""
+
+    sqls["check_rows_events"] = f"""
+WITH {_T_CTE}
+SELECT 'check.text' AS constraint_id, conv_id, turn_idx,
+       'check failed: NOT (role = ''view'' AND length(text) > 8)' AS reason,
+       'ERROR' AS severity
+FROM t
+WHERE NOT COALESCE(NOT (role = 'view' AND length(text) > 8), TRUE)
+"""
+
+    sqls["metric_bounds_events"] = f"""
+WITH {_T_CTE},
+m AS (SELECT COUNT(*) AS n,
+             SUM(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS role_nulls,
+             COUNT(DISTINCT conv_id) AS conv_d,
+             MIN(turn_idx) AS ti_min,
+             MAX(turn_idx) AS ti_max
+      FROM t)
+SELECT * FROM (
+  SELECT 'metric.min.turn_idx' AS constraint_id,
+         CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS INTEGER) AS turn_idx,
+         'min(turn_idx) = ' || ti_min || ' below min 1' AS reason,
+         'ERROR' AS severity
+  FROM m WHERE ti_min < 1
+  UNION ALL
+  SELECT 'metric.max.turn_idx', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+         'max(turn_idx) = ' || ti_max || ' above max 50', 'ERROR'
+  FROM m WHERE ti_max > 50
+  UNION ALL
+  SELECT 'metric.distinct_count.conv_id', CAST(NULL AS VARCHAR),
+         CAST(NULL AS INTEGER),
+         'distinct_count(conv_id) = ' || conv_d || ' above max 100', 'ERROR'
+  FROM m WHERE conv_d > 100
+  UNION ALL
+  SELECT 'metric.null_rate.role', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+         'null_rate(role) = ' || role_nulls || '/' || n || ' above max 0.0005',
+         'ERROR'
+  FROM m WHERE role_nulls > 0.0005 * n
+  UNION ALL
+  SELECT 'metric.row_count.text', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+         'row_count(text) = ' || n || ' below min 1', 'ERROR'
+  FROM m WHERE n < 1
+  UNION ALL
+  SELECT 'metric.row_count.text', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+         'row_count(text) = ' || n || ' above max 5000', 'ERROR'
+  FROM m WHERE n > 5000
+)
 """
 
     sqls["alternation_roles"] = f"""

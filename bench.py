@@ -226,6 +226,8 @@ def main() -> None:
         "strip_dup_spans",
         "alternation_roles",
         "semdedup_docs",
+        "check_rows_events",
+        "metric_bounds_events",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

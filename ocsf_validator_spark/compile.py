@@ -22,6 +22,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ocsf_validator_spark.spec import (
+    Check,
     Constraint,
     Deprecated,
     Glob,
@@ -165,6 +166,18 @@ def compile_map_keys_in(c: MapKeysIn) -> RowLeg:
     return pred, reason
 
 
+def compile_check(c: Check) -> RowLeg:
+    """Generic SQL-predicate leg (spec.Check). SQL CHECK semantics: a
+    row violates only when the predicate is FALSE — NULL passes
+    (missing operands are NotNull's report, not a second one here), so
+    the violation test is ``NOT coalesce(pred, TRUE)``."""
+    if not c.predicate:
+        raise ValueError(f"Check constraint {c.constraint_id} has no predicate")
+    pred = _scoped(~F.coalesce(F.expr(c.predicate), F.lit(True)), c)
+    reason = F.lit(f"check failed: {c.predicate}")
+    return pred, reason
+
+
 _COMPILERS: dict[type, Callable] = {
     NotNull: compile_not_null,
     InEnum: compile_in_enum,
@@ -175,6 +188,7 @@ _COMPILERS: dict[type, Callable] = {
     MaxLen: compile_max_len,
     Range: compile_range,
     MapKeysIn: compile_map_keys_in,
+    Check: compile_check,
 }
 
 

@@ -474,6 +474,28 @@ def main(argv: list[str] | None = None) -> int:
         "window pass; the last value is carried across --incremental "
         "runs",
     )
+    p.add_argument(
+        "--check",
+        action="append",
+        default=[],
+        metavar="LABEL=PREDICATE",
+        help="add a generic row-level SQL-predicate constraint "
+        "(repeatable): the row violates when PREDICATE is FALSE (NULL "
+        "passes — SQL CHECK semantics). Cross-column invariants are "
+        "the point, e.g. --check tool_pairing=\"NOT (role = 'tool' AND "
+        "tool = 'none')\". Fuses into the single-scan row projection",
+    )
+    p.add_argument(
+        "--metric-bound",
+        action="append",
+        default=[],
+        metavar="COL:METRIC[,min=X][,max=Y]",
+        help="add a dataset-level metric threshold (repeatable): METRIC "
+        "of COL must land inside [min, max]. Metrics: null_rate, "
+        "row_count, distinct_count, min, max. e.g. --metric-bound "
+        "role:null_rate,max=0.001 --metric-bound conv_id:"
+        "distinct_count,min=1000. All bounds share one aggregation job",
+    )
     p.add_argument("--buckets", type=int, default=DEFAULT_BUCKETS)
     p.add_argument("--checkpoint", help="manifest directory for resume")
     p.add_argument("--violations-out")
@@ -672,6 +694,37 @@ def main(argv: list[str] | None = None) -> int:
             # a typo'd constraint id or level is a config error — FATAL,
             # never a silently-kept default severity
             print(f"[FATAL] bad --severity: {e}")
+            return 2
+
+    if args.check or args.metric_bound:
+        from ocsf_validator_spark.spec import Check, MetricBound
+
+        suite = suite or transcript_suite()
+        try:
+            for s_ in args.check:
+                label, _, pred = s_.partition("=")
+                if not (label and pred):
+                    raise ValueError(s_)
+                suite.add(Check(column=label, predicate=pred))
+            for s_ in args.metric_bound:
+                head, _, opts = s_.partition(",")
+                col, _, metric = head.partition(":")
+                lo = hi = None
+                for kv in filter(None, opts.split(",")):
+                    k, _, v = kv.partition("=")
+                    if k == "min":
+                        lo = float(v) if "." in v or "e" in v else int(v)
+                    elif k == "max":
+                        hi = float(v) if "." in v or "e" in v else int(v)
+                    else:
+                        raise ValueError(s_)
+                if not (col and metric) or (lo is None and hi is None):
+                    raise ValueError(s_)
+                suite.add(
+                    MetricBound(column=col, metric=metric, lo=lo, hi=hi)
+                )
+        except ValueError as e:
+            print(f"[FATAL] bad --check/--metric-bound: {e}")
             return 2
 
     if args.precedence or args.opening or args.alternation:

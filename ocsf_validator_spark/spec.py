@@ -298,6 +298,26 @@ class OpeningRole(Constraint):
 
 
 @dataclass(frozen=True)
+class Check(Constraint):
+    """Generic row-level SQL-predicate constraint — the analogue of
+    Deequ's ``satisfies`` / a SQL table CHECK, and the engine's escape
+    hatch for CROSS-COLUMN invariants the single-column kinds can't
+    express (``"NOT (role = 'tool' AND tool = 'none')"``,
+    ``"end_ts >= start_ts"``). SQL CHECK semantics: the row violates
+    only when ``predicate`` evaluates to FALSE — NULL (unknown) passes,
+    so missing operands are NotNull's job, not a double report here.
+    ``column`` is only a label for the constraint id; the predicate may
+    reference any columns. Compiles into the fused single-scan
+    projection like every other row leg — pure column algebra via
+    F.expr, whole-stage codegen, no UDF. Under ANSI mode use try_...
+    functions inside the predicate for anything that can throw.
+    """
+
+    predicate: str = ""
+    KIND = "check"
+
+
+@dataclass(frozen=True)
 class Alternation(Constraint):
     """Consecutive-repeat check: within a conversation under stable
     turn ordering, ``column`` must not repeat the immediately
@@ -350,6 +370,49 @@ class AllowedColumns(Constraint):
 
 
 @dataclass(frozen=True)
+class MetricBound(Constraint):
+    """Dataset-level metric threshold — the Deequ/Great-Expectations
+    expectation shape (``hasCompleteness >= x``, ``hasDistinctCount
+    between a and b``) as a first-class constraint: a whole-table
+    statistic of ``column`` must land inside ``[lo, hi]`` (either side
+    open when None). Metrics:
+
+    - ``null_rate``      — null fraction; compared as exact integer
+                           arithmetic (``nulls <=> bound * n``), never a
+                           float division, so the verdict is
+                           bit-deterministic at any parallelism AND
+                           replayable by a SQL oracle
+    - ``row_count``      — table row count
+    - ``distinct_count`` — exact COUNT(DISTINCT column); the HLL
+                           at-scale variant is
+                           stats.column_stats(approx) — a bound on an
+                           approximate sketch is engine-specific and
+                           therefore not oracle-replayable, so the
+                           exact metric is the constraint surface
+    - ``min`` / ``max``  — order-independent extrema (numeric or
+                           lexicographic per the column type)
+
+    Emitted as a dataset finding (NULL row keys, like the schema
+    audit): one reason row when the bound is breached, naming the
+    observed value and the bound. ALL MetricBound constraints in a
+    suite share ONE narrow aggregation job (same discipline as
+    EnumCoverage's shared scan); mean-like order-dependent float
+    metrics are deliberately excluded — a sum's rounding depends on
+    partitioning, and a constraint that can flip between runs is not a
+    constraint.
+    """
+
+    metric: str = "null_rate"
+    lo: Any = None
+    hi: Any = None
+    KIND = "metric"
+
+    @property
+    def constraint_id(self) -> str:
+        return self.id_override or f"{self.KIND}.{self.metric}.{self.column}"
+
+
+@dataclass(frozen=True)
 class EnumCoverage(Constraint):
     """Unused dictionary attribute (reference validate_unused_attrs,
     validators.py:169-198): enum values never observed in the data are
@@ -362,12 +425,13 @@ class EnumCoverage(Constraint):
 
 
 ROW_LEVEL = (
-    NotNull, InEnum, Deprecated, TypeCast, Regex, Glob, MaxLen, Range, MapKeysIn
+    NotNull, InEnum, Deprecated, TypeCast, Regex, Glob, MaxLen, Range,
+    MapKeysIn, Check,
 )
 GROUP_LEVEL = (
     Unique, TurnOrdering, Monotonic, Precedence, OpeningRole, Alternation
 )
-DATASET_LEVEL = (AllowedColumns, EnumCoverage)
+DATASET_LEVEL = (AllowedColumns, EnumCoverage, MetricBound)
 RESIDUAL_LEVEL = (PandasCheck,)
 
 

@@ -41,6 +41,7 @@ from ocsf_validator_spark.spec import (
     Alternation,
     ConstraintSet,
     EnumCoverage,
+    MetricBound,
     Monotonic,
     OpeningRole,
     Precedence,
@@ -922,6 +923,78 @@ def dataset_findings(
                             c.severity.name,
                         )
                     )
+    mb = [c for c in suite.dataset_level() if isinstance(c, MetricBound)]
+    for c in [m for m in mb if m.column not in df.columns]:
+        rows.append(
+            (
+                c.constraint_id,
+                *nulls,
+                f"column(s) {c.column} do not resolve in schema; "
+                "constraint not evaluated",
+                c.severity.name,
+            )
+        )
+    mb = [c for c in mb if c.column in df.columns]
+    if mb and include_coverage:
+        # ONE shared narrow aggregation job for every MetricBound (the
+        # EnumCoverage discipline): row count + only the per-constraint
+        # aggregates actually referenced. All are partial-aggregatable
+        # (exact count_distinct plans via expand + two-level agg), so
+        # the exchange carries one tiny row per partition.
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for i, c in enumerate(mb):
+            col = F.col(c.column)
+            if c.metric == "null_rate":
+                aggs.append(F.sum(col.isNull().cast("long")).alias(f"_m{i}"))
+            elif c.metric == "distinct_count":
+                aggs.append(F.count_distinct(col).alias(f"_m{i}"))
+            elif c.metric == "min":
+                aggs.append(F.min(col).alias(f"_m{i}"))
+            elif c.metric == "max":
+                aggs.append(F.max(col).alias(f"_m{i}"))
+            elif c.metric != "row_count":
+                raise ValueError(
+                    f"{c.constraint_id}: unknown metric {c.metric!r}"
+                )
+        row = df.agg(*aggs).collect()[0]
+        n = int(row["_n"])
+        for i, c in enumerate(mb):
+            if c.metric == "null_rate":
+                # exact integer arithmetic, never a float division: the
+                # verdict is bit-deterministic at any parallelism and
+                # SQL-replayable (nulls <=> bound * n as IEEE products
+                # of exact ints with a literal)
+                nulls_n = int(row[f"_m{i}"] or 0)
+                if c.lo is not None and nulls_n < float(c.lo) * n:
+                    rows.append((
+                        c.constraint_id, *nulls,
+                        f"null_rate({c.column}) = {nulls_n}/{n} below "
+                        f"min {c.lo}", c.severity.name,
+                    ))
+                if c.hi is not None and nulls_n > float(c.hi) * n:
+                    rows.append((
+                        c.constraint_id, *nulls,
+                        f"null_rate({c.column}) = {nulls_n}/{n} above "
+                        f"max {c.hi}", c.severity.name,
+                    ))
+                continue
+            v = n if c.metric == "row_count" else row[f"_m{i}"]
+            if v is None:
+                # extrema of an all-NULL column: nothing to bound —
+                # emptiness/nullness is null_rate's or row_count's job
+                continue
+            if c.lo is not None and v < c.lo:
+                rows.append((
+                    c.constraint_id, *nulls,
+                    f"{c.metric}({c.column}) = {v} below min {c.lo}",
+                    c.severity.name,
+                ))
+            if c.hi is not None and v > c.hi:
+                rows.append((
+                    c.constraint_id, *nulls,
+                    f"{c.metric}({c.column}) = {v} above max {c.hi}",
+                    c.severity.name,
+                ))
     return spark.createDataFrame(rows, schema)
 
 

@@ -1,0 +1,223 @@
+"""spec.Check (generic row-level SQL predicate, SQL CHECK semantics)
+and spec.MetricBound (dataset-level metric thresholds, the
+Deequ/Great-Expectations expectation shape). Check fuses into the
+single-scan row projection; all MetricBounds share ONE narrow
+aggregation job; reasons are integer arithmetic so verdicts are
+bit-deterministic at any parallelism."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ocsf_validator_spark.spec import (
+    Check,
+    ConstraintSet,
+    MetricBound,
+    NotNull,
+    Severity,
+)
+from ocsf_validator_spark.violations import all_violations, dataset_findings
+
+SCHEMA = "conv_id string, turn_idx int, role string, text string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_check_sql_semantics(spark):
+    """Violates only when the predicate is FALSE: NULL operands pass
+    (NotNull owns missing values) — no double report."""
+    df = _df(
+        spark,
+        [
+            ("c1", 0, "view", "short"),
+            ("c1", 1, "view", "averylongpayload"),
+            ("c2", 0, "view", None),
+            ("c2", 1, "tool", "averylongpayload"),
+        ],
+    )
+    suite = ConstraintSet(
+        name="t",
+        constraints=[
+            NotNull(column="text"),
+            Check(
+                column="text",
+                predicate="NOT (role = 'view' AND length(text) > 8)",
+            ),
+        ],
+    )
+    got = {
+        (r.constraint_id, r.conv_id, r.turn_idx)
+        for r in all_violations(df, suite, include_coverage=False).collect()
+    }
+    assert got == {
+        ("check.text", "c1", 1),
+        ("required.text", "c2", 0),
+    }
+
+
+def test_check_where_scoping_and_fusion(spark):
+    """`where` scopes the predicate like every row leg, and the leg
+    rides the fused projection (no extra scan: a row-only suite plans
+    zero Exchange)."""
+    df = _df(spark, [("c1", 0, "view", "x"), ("c1", 1, "tool", "x")])
+    suite = ConstraintSet(
+        name="t",
+        constraints=[
+            Check(
+                column="text",
+                predicate="length(text) > 1",
+                where="role = 'view'",
+            )
+        ],
+    )
+    out = all_violations(df, suite, include_coverage=False)
+    got = {(r.conv_id, r.turn_idx) for r in out.collect()}
+    assert got == {("c1", 0)}  # the tool row is out of scope
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_check_empty_predicate_raises(spark):
+    df = _df(spark, [("c1", 0, "view", "x")])
+    suite = ConstraintSet(name="t", constraints=[Check(column="text")])
+    with pytest.raises(ValueError, match="no predicate"):
+        all_violations(df, suite, include_coverage=False).collect()
+
+
+def test_metric_bounds_fire_and_pass(spark):
+    df = _df(
+        spark,
+        [
+            ("c1", 0, "view", "a"),
+            ("c1", 1, None, "b"),
+            ("c2", 0, "view", "c"),
+        ],
+    )
+    suite = ConstraintSet(
+        name="m",
+        constraints=[
+            MetricBound(column="turn_idx", metric="min", lo=1),  # fires
+            MetricBound(column="turn_idx", metric="max", hi=5),  # passes
+            MetricBound(column="conv_id", metric="distinct_count", hi=1),
+            MetricBound(
+                column="role",
+                metric="null_rate",
+                hi=0.25,
+                severity=Severity.WARNING,
+            ),  # 1/3 > 0.25 -> fires at WARNING
+            MetricBound(column="text", metric="row_count", lo=10),  # fires
+        ],
+    )
+    got = {
+        (r.constraint_id, r.reason, r.severity)
+        for r in dataset_findings(df, suite).collect()
+    }
+    assert got == {
+        ("metric.min.turn_idx", "min(turn_idx) = 0 below min 1", "ERROR"),
+        (
+            "metric.distinct_count.conv_id",
+            "distinct_count(conv_id) = 2 above max 1",
+            "ERROR",
+        ),
+        (
+            "metric.null_rate.role",
+            "null_rate(role) = 1/3 above max 0.25",
+            "WARNING",
+        ),
+        (
+            "metric.row_count.text",
+            "row_count(text) = 3 below min 10",
+            "ERROR",
+        ),
+    }
+    # findings carry NULL row keys (dataset scope)
+    rows = dataset_findings(df, suite).collect()
+    assert all(r.conv_id is None and r.turn_idx is None for r in rows)
+
+
+def test_metric_bounds_edge_cases(spark):
+    df = _df(spark, [("c1", 0, None, "x")])
+    # extrema of an all-NULL column: nothing to bound, no finding
+    suite = ConstraintSet(
+        name="m", constraints=[MetricBound(column="role", metric="min", lo=0)]
+    )
+    assert dataset_findings(df, suite).count() == 0
+    # a missing column is a reported defect, never a silent skip
+    suite2 = ConstraintSet(
+        name="m",
+        constraints=[MetricBound(column="nope", metric="max", hi=1)],
+    )
+    rows = dataset_findings(df, suite2).collect()
+    assert len(rows) == 1 and "do not resolve" in rows[0].reason
+    # unknown metric is a config error
+    suite3 = ConstraintSet(
+        name="m",
+        constraints=[MetricBound(column="role", metric="mean", hi=1)],
+    )
+    with pytest.raises(ValueError, match="unknown metric"):
+        dataset_findings(df, suite3).collect()
+
+
+def test_metric_bounds_share_one_job(spark):
+    """All MetricBound aggregates land in ONE aggregation: a single
+    plan with every _m alias, not one job per constraint."""
+    df = _df(spark, [("c1", 0, "view", "x")])
+    mb = [
+        MetricBound(column="turn_idx", metric="min", lo=0),
+        MetricBound(column="role", metric="null_rate", hi=0.5),
+        MetricBound(column="text", metric="distinct_count", lo=0),
+    ]
+    import pyspark.sql.functions as F
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    # mirrors the dataset_findings build: assert the combined agg plans
+    # as one aggregate over the scan
+    agg_df = df.agg(
+        aggs[0],
+        F.sum(F.col("role").isNull().cast("long")).alias("_m1"),
+        F.min("turn_idx").alias("_m0"),
+        F.count_distinct("text").alias("_m2"),
+    )
+    plan = agg_df._jdf.queryExecution().executedPlan().toString()
+    # one scan feeding the aggregate (count_distinct plans via expand,
+    # still a single job)
+    assert plan.count("Scan ExistingRDD") <= 1
+    # and the engine path returns no findings (all bounds satisfied)
+    suite = ConstraintSet(name="m", constraints=mb)
+    assert dataset_findings(df, suite).count() == 0
+
+
+def test_metric_bounds_in_verdicts(spark):
+    """MetricBound findings flow into the suite verdict like every
+    dataset finding: a breached ERROR bound fails the run."""
+    from ocsf_validator_spark.verdict import exit_code, verdicts
+
+    df = _df(spark, [("c1", 0, "view", "x")])
+    suite = ConstraintSet(
+        name="m",
+        constraints=[MetricBound(column="text", metric="row_count", lo=10)],
+    )
+    v = all_violations(df, suite)
+    vd = verdicts(df, v, suite)
+    assert exit_code(vd) == 1
+
+
+def test_runner_cli_check_and_metric_bound(spark):
+    """--check/--metric-bound extend the suite from the CLI; malformed
+    specs are FATAL (exit 2), never silently dropped."""
+    from ocsf_validator_spark.runner import main
+
+    assert main(
+        [
+            "--synth", "20000", "--buckets", "4",
+            "--check", "no_none_tool=NOT (role = 'tool' AND tool = 'none')",
+            "--metric-bound", "conv_id:distinct_count,min=1",
+        ]
+    ) in (0, 1)
+    assert main(["--synth", "10", "--check", "nopredicate"]) == 2
+    assert main(["--synth", "10", "--metric-bound", "role:null_rate"]) == 2
+    assert main(["--synth", "10", "--metric-bound", "role,max=1"]) == 2
