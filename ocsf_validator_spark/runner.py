@@ -175,16 +175,58 @@ def run_validation(
         for i, c in enumerate(cov_cs)
         for j, v in enumerate(c.values)
     }
+    # MetricBound thresholds ride the SAME scan: null counts sum-merge
+    # and extrema min/max-merge across the two-level aggregation, so
+    # declared metric bounds cost the flagship run zero extra jobs.
+    # distinct_count has no mergeable per-bucket form — those (only)
+    # fall back to dataset_findings' shared agg job.
+    from ocsf_validator_spark.spec import MetricBound
+
+    mb_cs = [
+        c
+        for c in suite.dataset_level()
+        if isinstance(c, MetricBound)
+        and c.column in df.columns
+        and c.metric in ("null_rate", "min", "max", "row_count")
+    ]
+    mb_aggs = {}
+    for i, c in enumerate(mb_cs):
+        col = F.col(c.column)
+        if c.metric == "null_rate":
+            mb_aggs[f"_mb{i}"] = (F.sum(col.isNull().cast("long")), "sum")
+        elif c.metric == "min":
+            mb_aggs[f"_mb{i}"] = (F.min(col), "min")
+        elif c.metric == "max":
+            mb_aggs[f"_mb{i}"] = (F.max(col), "max")
     bucket_stats = bucketed_probe_stats(
         df,
         conv_col=conv_col,
         num_buckets=num_buckets,
         max_aggs=cov_flags,
         probe_floor=skew_min_rows if detect_skew else None,
+        merge_aggs=mb_aggs,
     ).collect()
     lap("stats")
     n_rows = sum(r.n_rows for r in bucket_stats)
     observed = [int(r.bucket) for r in bucket_stats]
+    # fold the piggybacked MetricBound aggregates across buckets the
+    # same way level 2 merged conversations — pure driver arithmetic
+    observed_metrics: dict = {"__n_rows": n_rows}
+    for i, c in enumerate(mb_cs):
+        if c.metric == "row_count":
+            observed_metrics[c.constraint_id] = n_rows
+            continue
+        vals_ = [r[f"_mb{i}"] for r in bucket_stats if r[f"_mb{i}"] is not None]
+        if c.metric == "null_rate":
+            observed_metrics[c.constraint_id] = sum(vals_) if vals_ else 0
+        else:
+            # extrema of an all-NULL column is None — a PRESENT None
+            # (dataset_findings skips the bound, never re-aggregates)
+            observed_metrics[c.constraint_id] = (
+                (min(vals_) if c.metric == "min" else max(vals_))
+                if vals_
+                else None
+            )
     observed_enums = {
         c.column: {
             v
@@ -246,6 +288,7 @@ def run_validation(
         df,
         suite,
         observed_enums=observed_enums,
+        observed_metrics=observed_metrics,
         skewed_convs=skewed,
         ordered_partitions=ordered_partitions,
         carry=carry_state,

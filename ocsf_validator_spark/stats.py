@@ -96,6 +96,7 @@ def bucketed_probe_stats(
     num_buckets: int = DEFAULT_BUCKETS,
     max_aggs: dict | None = None,
     probe_floor: int | None = 1_000_000,
+    merge_aggs: dict | None = None,
 ) -> DataFrame:
     """Per-bucket row counts + piggybacked flag observations + the SKEW
     PROBE, all in ONE scan of the input — a two-level aggregation:
@@ -133,13 +134,24 @@ def bucketed_probe_stats(
     _skew array<struct<n:long, conv>> sorted desc) — one row per bucket.
     """
     max_aggs = max_aggs or {}
+    # merge_aggs ({alias: (aggregate Column, merge)} with merge in
+    # {"sum", "min", "max"}): piggybacked aggregates whose level-2
+    # re-aggregation is NOT max — e.g. MetricBound's per-column null
+    # counts (sum-merge) and extrema (min/max-merge) ride the same
+    # two-level scan, so declared metric thresholds cost the flagship
+    # run ZERO extra jobs. Same pure-codegen discipline as max_aggs.
+    merge_aggs = merge_aggs or {}
+    _MERGE = {"sum": F.sum, "min": F.min, "max": F.max}
     l1 = df.groupBy(conv_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[e.alias(a) for a, e in max_aggs.items()],
+        *[e.alias(a) for a, (e, _) in merge_aggs.items()],
     )
     aggs = [F.sum("_n").alias("n_rows")]
     for a in max_aggs:
         aggs.append(F.max(a).alias(a))
+    for a, (_, how) in merge_aggs.items():
+        aggs.append(_MERGE[how](a).alias(a))
     if probe_floor is not None:
         aggs.append(
             F.sort_array(

@@ -840,6 +840,7 @@ def dataset_findings(
     keys: Sequence[str] = DEFAULT_KEYS,
     include_coverage: bool = True,
     observed_enums: dict | None = None,
+    observed_metrics: dict | None = None,
 ) -> DataFrame:
     """Schema audit (unknown/missing columns — reference
     validators.py:106-158's table-level survival) and enum coverage
@@ -936,35 +937,61 @@ def dataset_findings(
         )
     mb = [c for c in mb if c.column in df.columns]
     if mb and include_coverage:
-        # ONE shared narrow aggregation job for every MetricBound (the
-        # EnumCoverage discipline): row count + only the per-constraint
-        # aggregates actually referenced. All are partial-aggregatable
-        # (exact count_distinct plans via expand + two-level agg), so
-        # the exchange carries one tiny row per partition.
-        aggs = [F.count(F.lit(1)).alias("_n")]
+        # observed_metrics ({constraint_id: value} + "__n_rows": the
+        # runner's zero-extra-scan path — metric aggregates piggybacked
+        # on the stats pass via bucketed_probe_stats merge_aggs).
+        # Constraints NOT in it (e.g. distinct_count, which has no
+        # mergeable per-bucket form) fall through to the shared agg job.
+        om = observed_metrics or {}
+        pending = [
+            (i, c) for i, c in enumerate(mb) if c.constraint_id not in om
+        ]
+        vals: dict[int, object] = {}
+        n = om.get("__n_rows")
         for i, c in enumerate(mb):
-            col = F.col(c.column)
-            if c.metric == "null_rate":
-                aggs.append(F.sum(col.isNull().cast("long")).alias(f"_m{i}"))
-            elif c.metric == "distinct_count":
-                aggs.append(F.count_distinct(col).alias(f"_m{i}"))
-            elif c.metric == "min":
-                aggs.append(F.min(col).alias(f"_m{i}"))
-            elif c.metric == "max":
-                aggs.append(F.max(col).alias(f"_m{i}"))
-            elif c.metric != "row_count":
+            if c.constraint_id in om:
+                vals[i] = om[c.constraint_id]
+        for _, c in pending:
+            if c.metric not in (
+                "null_rate", "distinct_count", "min", "max", "row_count"
+            ):
                 raise ValueError(
                     f"{c.constraint_id}: unknown metric {c.metric!r}"
                 )
-        row = df.agg(*aggs).collect()[0]
-        n = int(row["_n"])
+        if pending or n is None:
+            # ONE shared narrow aggregation job for every remaining
+            # MetricBound (the EnumCoverage discipline): row count +
+            # only the per-constraint aggregates actually referenced.
+            # All are partial-aggregatable (exact count_distinct plans
+            # via expand + two-level agg), so the exchange carries one
+            # tiny row per partition.
+            aggs = [F.count(F.lit(1)).alias("_n")]
+            for i, c in pending:
+                col = F.col(c.column)
+                if c.metric == "null_rate":
+                    aggs.append(
+                        F.sum(col.isNull().cast("long")).alias(f"_m{i}")
+                    )
+                elif c.metric == "distinct_count":
+                    aggs.append(F.count_distinct(col).alias(f"_m{i}"))
+                elif c.metric == "min":
+                    aggs.append(F.min(col).alias(f"_m{i}"))
+                elif c.metric == "max":
+                    aggs.append(F.max(col).alias(f"_m{i}"))
+            row = df.agg(*aggs).collect()[0]
+            if n is None:
+                n = int(row["_n"])
+            for i, c in pending:
+                if c.metric != "row_count":
+                    vals[i] = row[f"_m{i}"]
+        n = int(n)
         for i, c in enumerate(mb):
             if c.metric == "null_rate":
                 # exact integer arithmetic, never a float division: the
                 # verdict is bit-deterministic at any parallelism and
                 # SQL-replayable (nulls <=> bound * n as IEEE products
                 # of exact ints with a literal)
-                nulls_n = int(row[f"_m{i}"] or 0)
+                nulls_n = int(vals.get(i) or 0)
                 if c.lo is not None and nulls_n < float(c.lo) * n:
                     rows.append((
                         c.constraint_id, *nulls,
@@ -978,7 +1005,7 @@ def dataset_findings(
                         f"max {c.hi}", c.severity.name,
                     ))
                 continue
-            v = n if c.metric == "row_count" else row[f"_m{i}"]
+            v = n if c.metric == "row_count" else vals.get(i)
             if v is None:
                 # extrema of an all-NULL column: nothing to bound —
                 # emptiness/nullness is null_rate's or row_count's job
@@ -1090,6 +1117,7 @@ def all_violations(
     ordered_partitions: int | None = None,
     concurrent_skew: bool = True,
     carry: DataFrame | None = None,
+    observed_metrics: dict | None = None,
 ) -> DataFrame:
     """Full suite in as few scans as possible. When the group family is
     window-fusable (the transcript shape), the row family rides the same
@@ -1149,7 +1177,7 @@ def all_violations(
                     residual_violations(df, suite, keys)
                 )
             main_lazy = main_lazy.unionByName(
-                dataset_findings(df, suite, keys, include_coverage, observed_enums)
+                dataset_findings(df, suite, keys, include_coverage, observed_enums, observed_metrics)
             )
             ex = ThreadPoolExecutor(max_workers=1)
             try:
@@ -1193,7 +1221,7 @@ def all_violations(
     if suite.residual_level():
         main = main.unionByName(residual_violations(df, suite, keys))
     return main.unionByName(
-        dataset_findings(df, suite, keys, include_coverage, observed_enums)
+        dataset_findings(df, suite, keys, include_coverage, observed_enums, observed_metrics)
     )
 
 

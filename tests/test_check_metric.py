@@ -221,3 +221,65 @@ def test_runner_cli_check_and_metric_bound(spark):
     assert main(["--synth", "10", "--check", "nopredicate"]) == 2
     assert main(["--synth", "10", "--metric-bound", "role:null_rate"]) == 2
     assert main(["--synth", "10", "--metric-bound", "role,max=1"]) == 2
+
+
+def test_observed_metrics_short_circuits_aggregation(spark):
+    """dataset_findings with piggybacked metrics (the runner's
+    zero-extra-scan path) must use the PROVIDED values — prove it by
+    handing values that contradict the data and asserting the provided
+    ones win (no aggregation ran)."""
+    df = _df(spark, [("c1", 0, "view", "x")])  # true min(turn_idx)=0
+    suite = ConstraintSet(
+        name="m",
+        constraints=[
+            MetricBound(column="turn_idx", metric="min", lo=1),
+            MetricBound(column="text", metric="row_count", lo=10),
+        ],
+    )
+    om = {
+        "__n_rows": 50,               # contradicts count(*)=1
+        "metric.min.turn_idx": 7,     # contradicts true min 0
+        "metric.row_count.text": 50,
+    }
+    got = {
+        r.reason
+        for r in dataset_findings(df, suite, observed_metrics=om).collect()
+    }
+    # min bound satisfied per the provided 7 (true data would fire);
+    # row_count uses the provided 50 (true data would fire at 1)
+    assert got == set()
+    # and with honest values the findings match the direct path
+    direct = {
+        r.reason for r in dataset_findings(df, suite).collect()
+    }
+    honest = {
+        r.reason
+        for r in dataset_findings(
+            df,
+            suite,
+            observed_metrics={
+                "__n_rows": 1,
+                "metric.min.turn_idx": 0,
+                "metric.row_count.text": 1,
+            },
+        ).collect()
+    }
+    assert honest == direct and direct == {
+        "min(turn_idx) = 0 below min 1",
+        "row_count(text) = 1 below min 10",
+    }
+
+
+def test_runner_piggybacks_metric_bounds(spark):
+    """End-to-end: metric bounds through the runner produce the same
+    verdict rows as the direct path (the piggybacked fold is exact)."""
+    from ocsf_validator_spark.runner import main
+
+    assert main(
+        [
+            "--synth", "20000", "--buckets", "4",
+            "--metric-bound", "turn_idx:min,min=1",
+            "--metric-bound", "role:null_rate,max=0.00001",
+            "--metric-bound", "conv_id:distinct_count,min=999999",
+        ]
+    ) == 1
