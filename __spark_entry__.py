@@ -241,6 +241,27 @@ def q_metric_bounds_events(spark: SparkSession, sf: str) -> DataFrame:
     return all_violations(_transcripts(spark, sf), suite)
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility per (lang, source): chars/token and
+    bytes/token under both tokenizations (whitespace + regex
+    pre-tokenizer) — the screen run before committing a corpus mix to
+    a tokenizer budget. One partial-agg scan; every ratio divides
+    exact longs."""
+    return textstats.tokenizer_fertility(
+        _t(spark, sf, "documents")
+    ).orderBy("lang", "source")
+
+
+def q_label_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-balance audit on the labeled embedding table: per-label
+    count, exact share, global majority/minority imbalance ratio — the
+    screen run before labels feed a classifier head. One partial-agg
+    scan; the window runs over the tiny label table, never the data."""
+    return similarity.label_balance(
+        _t(spark, sf, "embeddings")
+    ).orderBy("label")
+
+
 def q_quarantine_rows(spark: SparkSession, sf: str) -> DataFrame:
     """Quarantine routing (violations.split_quarantine): the INPUT rows
     whose (conv_id, turn_idx) key is named by >= 1 ERROR/FATAL
@@ -1668,6 +1689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alternation_roles": q_alternation_roles,
         "check_rows_events": q_check_rows_events,
         "metric_bounds_events": q_metric_bounds_events,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "label_balance": q_label_balance,
         "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
@@ -1832,6 +1855,47 @@ SELECT 'opening.role' AS constraint_id, conv_id, turn_idx,
        'ERROR' AS severity
 FROM c WHERE rn = 1
   AND (role IS NULL OR role NOT IN ('view','click','signup'))
+"""
+
+    sqls["tokenizer_fertility"] = """
+WITH f AS (
+  SELECT lang, source,
+         COALESCE(LENGTH(text), 0) AS chars,
+         COALESCE(OCTET_LENGTH(CAST(text AS BLOB)), 0) AS bytes,
+         COALESCE(len(list_filter(string_split(text, ' '),
+                                  t -> t <> '')), 0) AS ws_tok,
+         COALESCE(len(regexp_extract_all(text, '[a-z]+')), 0) AS re_tok
+  FROM documents),
+a AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(chars) AS BIGINT) AS chars,
+         CAST(SUM(bytes) AS BIGINT) AS bytes,
+         CAST(SUM(ws_tok) AS BIGINT) AS ws_tokens,
+         CAST(SUM(re_tok) AS BIGINT) AS re_tokens
+  FROM f GROUP BY lang, source)
+SELECT lang, source, n_docs, chars, bytes, ws_tokens, re_tokens,
+       CASE WHEN ws_tokens > 0
+            THEN ROUND(chars / ws_tokens, 6) END AS chars_per_ws_token,
+       CASE WHEN ws_tokens > 0
+            THEN ROUND(bytes / ws_tokens, 6) END AS bytes_per_ws_token,
+       CASE WHEN re_tokens > 0
+            THEN ROUND(chars / re_tokens, 6) END AS chars_per_re_token
+FROM a ORDER BY lang, source
+"""
+
+    sqls["label_balance"] = """
+WITH c AS (
+  SELECT CAST(label AS VARCHAR) AS label, COUNT(*) AS n
+  FROM embeddings GROUP BY 1),
+g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total,
+         CAST(MAX(CASE WHEN label IS NOT NULL THEN n END) AS BIGINT) AS mx,
+         CAST(MIN(CASE WHEN label IS NOT NULL THEN n END) AS BIGINT) AS mn
+  FROM c)
+SELECT c.label, c.n,
+       ROUND(c.n / g.total, 6) AS share,
+       ROUND(g.mx / g.mn, 6) AS imbalance_ratio
+FROM c, g ORDER BY c.label
 """
 
     sqls["check_rows_events"] = f"""

@@ -228,6 +228,8 @@ def main() -> None:
         "semdedup_docs",
         "check_rows_events",
         "metric_bounds_events",
+        "tokenizer_fertility",
+        "label_balance",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -639,3 +639,37 @@ def centroid_drift(
             F.round(F.sqrt("d2"), 6).alias("l2"),
         )
     )
+
+
+def label_balance(
+    df: DataFrame, label_col: str = "label", id_col: str = "vec_id"
+) -> DataFrame:
+    """Label-balance audit for a labeled embedding table: per-label
+    count, exact share, and the global imbalance ratio (majority n /
+    minority n) stamped on every row — the screen run before the
+    labels feed a classifier head or an ANN ground-truth split (a 50:1
+    skew silently turns accuracy into the majority-class prior).
+
+    One partial-agg scan to |labels| rows; the share divides exact
+    longs (bit-deterministic); the imbalance ratio rides a single
+    window over the tiny label table (one partition of |labels| rows —
+    never the data). NULL labels are counted as their own 'unlabeled'
+    row but excluded from the imbalance ratio (missingness is
+    null_rate's job, not a class)."""
+    counts = df.groupBy(F.col(label_col).cast("string").alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(F.lit(1))
+    labeled_n = F.max(
+        F.when(F.col("label").isNotNull(), F.col("n"))
+    ).over(w)
+    labeled_min = F.min(
+        F.when(F.col("label").isNotNull(), F.col("n"))
+    ).over(w)
+    total = F.sum("n").over(w)
+    return counts.select(
+        "label",
+        "n",
+        F.round(F.col("n") / total, 6).alias("share"),
+        F.round(labeled_n / labeled_min, 6).alias("imbalance_ratio"),
+    )

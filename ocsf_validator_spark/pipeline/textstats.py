@@ -398,3 +398,58 @@ def gopher_rules(
         failed.cast("int").alias("n_rules_failed"),
         (failed == 0).alias("keep"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility table per stratum: characters-per-token and
+    bytes-per-token for BOTH tokenizations the engine uses (whitespace
+    words and the regex pre-tokenizer) — the standard screen before
+    committing a corpus mix to a tokenizer budget (a language whose
+    bytes/token runs 2-3x the corpus mean pays that multiple in
+    sequence length; Scao et al. 2022 'BLOOM' §3.1 tokenizer fertility
+    analysis is the public shape of this table).
+
+    One partial-agg scan: all six aggregates are sums of per-row ints,
+    so the exchange carries |strata| tiny rows and the ratios are
+    divisions of exact longs — bit-deterministic at any parallelism
+    and SQL-replayable. NULL texts count as zero-token docs (they
+    surface in n_docs but add nothing to the sums)."""
+    n_ws = F.expr(f"size(filter({_tokens(text_col)}, t -> t <> ''))")
+    n_re = token_count_col(text_col)
+    aggs = (
+        df.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.length(text_col), F.lit(0))).alias("chars"),
+            F.sum(
+                F.coalesce(F.octet_length(text_col), F.lit(0))
+            ).alias("bytes"),
+            F.sum(
+                F.coalesce(n_ws, F.lit(0)).cast("bigint")
+            ).alias("ws_tokens"),
+            F.sum(F.coalesce(n_re, F.lit(0))).alias("re_tokens"),
+        )
+    )
+    tok = F.col("ws_tokens")
+    rtk = F.col("re_tokens")
+    return aggs.select(
+        *group_cols,
+        "n_docs",
+        "chars",
+        "bytes",
+        "ws_tokens",
+        "re_tokens",
+        F.when(tok > 0, F.round(F.col("chars") / tok, 6)).alias(
+            "chars_per_ws_token"
+        ),
+        F.when(tok > 0, F.round(F.col("bytes") / tok, 6)).alias(
+            "bytes_per_ws_token"
+        ),
+        F.when(rtk > 0, F.round(F.col("chars") / rtk, 6)).alias(
+            "chars_per_re_token"
+        ),
+    )

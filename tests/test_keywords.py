@@ -351,3 +351,26 @@ def test_source_vocab_overlap_matrix(spark):
     )
     # report joins are broadcast; the term stream itself is never joined
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_tokenizer_fertility_semantics(spark):
+    from ocsf_validator_spark.pipeline import textstats
+
+    df = spark.createDataFrame(
+        [
+            (0, "ab cd", "en", "s1"),      # 2 ws tokens, 5 chars
+            (1, "a  b", "en", "s1"),       # double space: 2 ws tokens
+            (2, None, "en", "s1"),         # NULL: counts as doc, adds 0
+            (3, "xyz", "de", "s2"),
+        ],
+        "doc_id int, text string, lang string, source string",
+    )
+    rows = {
+        (r.lang, r.source): r
+        for r in textstats.tokenizer_fertility(df).collect()
+    }
+    en = rows[("en", "s1")]
+    assert en.n_docs == 3 and en.ws_tokens == 4 and en.chars == 9
+    assert en.chars_per_ws_token == 2.25
+    de = rows[("de", "s2")]
+    assert de.ws_tokens == 1 and de.chars_per_ws_token == 3.0

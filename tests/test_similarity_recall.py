@@ -455,3 +455,15 @@ def test_semdedup_plan_is_cluster_keyed(spark):
     )
     assert "CartesianProduct" not in plan
     assert "cluster_id" in plan
+
+
+def test_label_balance_semantics(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, None)],
+        "vec_id int, label int",
+    )
+    rows = {r.label: r for r in similarity.label_balance(df).collect()}
+    assert rows["0"].n == 3 and rows["1"].n == 1
+    assert rows["0"].share == 0.6 and rows[None].share == 0.2
+    # imbalance over labeled classes only: 3/1, the NULL row excluded
+    assert all(r.imbalance_ratio == 3.0 for r in rows.values())
