@@ -252,6 +252,24 @@ def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("lang", "source")
 
 
+def q_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token stats under a LEARNED BPE vocabulary (pipeline/bpe.py:
+    distributed Sennrich-style merge learning over the word-frequency
+    table — the corpus is scanned once however many merges are
+    learned; pytest pins it equal to a pure-Python reference). The 16
+    frozen merges (pipeline/bpe_frozen.py, tools/freeze_bpe.py) apply
+    as a chain of boundary-guarded string replaces — replace's
+    non-overlapping left-to-right substitution IS BPE's overlap rule
+    and is builtin-identical in Spark and DuckDB, so per-source token
+    totals replay exactly."""
+    from ocsf_validator_spark.pipeline import bpe
+    from ocsf_validator_spark.pipeline.bpe_frozen import BPE_MERGES
+
+    return bpe.bpe_token_stats(
+        _t(spark, sf, "documents"), BPE_MERGES
+    ).orderBy("source")
+
+
 def q_label_balance(spark: SparkSession, sf: str) -> DataFrame:
     """Label-balance audit on the labeled embedding table: per-label
     count, exact share, global majority/minority imbalance ratio — the
@@ -1691,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_bounds_events": q_metric_bounds_events,
         "tokenizer_fertility": q_tokenizer_fertility,
         "label_balance": q_label_balance,
+        "bpe_token_stats": q_bpe_token_stats,
         "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
@@ -1881,6 +1900,35 @@ SELECT lang, source, n_docs, chars, bytes, ws_tokens, re_tokens,
        CASE WHEN re_tokens > 0
             THEN ROUND(chars / re_tokens, 6) END AS chars_per_re_token
 FROM a ORDER BY lang, source
+"""
+
+    # replay of pipeline/bpe.bpe_token_stats over the FROZEN merges:
+    # per word, the spaced symbol string runs the same replace chain
+    # (boundary-guarded, non-overlapping left-to-right — the identical
+    # builtin in both engines), token count = remaining separators
+    from ocsf_validator_spark.pipeline.bpe_frozen import BPE_MERGES as _BPE_M
+
+    _bpe_expr = "array_to_string(regexp_extract_all(w, '.'), ' ') || ' _'"
+    for _a, _b in _BPE_M:
+        _bpe_expr = (
+            f"trim(replace(' ' || ({_bpe_expr}) || ' ', "
+            f"' {_a} {_b} ', ' {_a}{_b} '))"
+        )
+    sqls["bpe_token_stats"] = f"""
+WITH f AS (
+  SELECT source,
+         COALESCE(list_sum(list_transform(
+             regexp_extract_all(lower(text), '[a-z]+'),
+             w -> len(string_split(({_bpe_expr}), ' ')))), 0) AS bpe,
+         COALESCE(len(regexp_extract_all(lower(text), '[a-z]+')), 0) AS wt
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(wt) AS BIGINT) AS word_tokens,
+       CASE WHEN SUM(wt) > 0
+            THEN ROUND(CAST(SUM(bpe) AS BIGINT) /
+                       CAST(SUM(wt) AS BIGINT), 6) END AS tokens_per_word
+FROM f GROUP BY source ORDER BY source
 """
 
     sqls["label_balance"] = """

@@ -230,6 +230,7 @@ def main() -> None:
         "metric_bounds_events",
         "tokenizer_fertility",
         "label_balance",
+        "bpe_token_stats",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:
