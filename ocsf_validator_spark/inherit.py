@@ -35,15 +35,21 @@ from typing import Any, Iterable, Mapping
 
 from ocsf_validator_spark.spec import (
     AllowedColumns,
+    Alternation,
+    Check,
     Constraint,
     ConstraintSet,
     Deprecated,
     EnumCoverage,
+    Glob,
     InEnum,
     MapKeysIn,
     MaxLen,
+    MetricBound,
     Monotonic,
     NotNull,
+    OpeningRole,
+    Precedence,
     Range,
     Regex,
     Severity,
@@ -87,11 +93,17 @@ _KINDS: dict[str, type[Constraint]] = {
     "deprecated": Deprecated,
     "typecheck": TypeCast,
     "regex": Regex,
+    "glob": Glob,
     "max_len": MaxLen,
     "range": Range,
     "unique": Unique,
     "order": TurnOrdering,
     "monotonic": Monotonic,
+    "precedence": Precedence,
+    "opening": OpeningRole,
+    "alternation": Alternation,
+    "check": Check,
+    "metric": MetricBound,
     "schema": AllowedColumns,
     "coverage": EnumCoverage,
     "map_keys": MapKeysIn,

@@ -539,6 +539,15 @@ def main(argv: list[str] | None = None) -> int:
         "role:null_rate,max=0.001 --metric-bound conv_id:"
         "distinct_count,min=1000. All bounds share one aggregation job",
     )
+    p.add_argument(
+        "--dump-suite",
+        metavar="PATH",
+        help="write the EFFECTIVE suite (after --suite-json resolution, "
+        "--severity remaps, and every --check/--metric-bound/"
+        "--precedence/--opening/--alternation addition) as a registry "
+        "JSON consumable by --suite-json — snapshot/diff/version the "
+        "validation config as data",
+    )
     p.add_argument("--buckets", type=int, default=DEFAULT_BUCKETS)
     p.add_argument("--checkpoint", help="manifest directory for resume")
     p.add_argument("--violations-out")
@@ -800,6 +809,15 @@ def main(argv: list[str] | None = None) -> int:
                 suite.add(Alternation(column=col, scope=scope))
         except ValueError as e:
             print(f"[FATAL] bad --precedence/--opening/--alternation: {e}")
+            return 2
+
+    if args.dump_suite:
+        from ocsf_validator_spark.spec import save_suite
+
+        try:
+            save_suite(suite or transcript_suite(), args.dump_suite)
+        except (OSError, TypeError, ValueError) as e:
+            print(f"[FATAL] --dump-suite failed: {e}")
             return 2
 
     res = run_validation(

@@ -561,3 +561,68 @@ def transcript_suite(
             EnumCoverage(column="tool", values=tuple(tool_values)),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Suite export — constraints as data, in the SAME registry format the
+# runner's --suite-json / inherit.resolve() already consumes (the
+# reference's suites ARE data: JSON metaschema files). An in-code suite
+# round-trips to a file, so `spark-submit --py-files` deployments can
+# snapshot, diff, and version-control their validation config without
+# code changes. PandasCheck carries a Python callable — representable
+# in code only, deliberately absent from the file format (a file that
+# smuggles code is not a config file).
+# ---------------------------------------------------------------------------
+
+
+def constraint_to_spec(c: Constraint) -> dict:
+    """One constraint as the registry spec dict build_constraint
+    re-instantiates (kind + constructor fields; tuples as lists,
+    severity by name — always explicit, because classes differ in
+    their default)."""
+    import dataclasses
+
+    if c.KIND in ("residual", "abstract"):
+        raise TypeError(
+            f"{type(c).__name__} is not file-serializable "
+            "(residual checks carry code; register them in code)"
+        )
+    out: dict[str, Any] = {"kind": c.KIND}
+    for f in dataclasses.fields(c):
+        v = getattr(c, f.name)
+        if v is None or f.name == "id_override":
+            continue  # the registry KEY is the id; None -> class default
+        if f.name == "severity":
+            v = v.name
+        elif isinstance(v, tuple):
+            v = list(v)
+        elif isinstance(v, Mapping):
+            v = {
+                k: list(t) if isinstance(t, tuple) else t
+                for k, t in v.items()
+            }
+        out[f.name] = v
+    return out
+
+
+def suite_to_registry(s: ConstraintSet) -> dict:
+    """The suite as a one-entry registry consumable by
+    inherit.resolve() / the runner's --suite-json (constraints keyed by
+    their constraint_id — duplicate ids are rejected by by_id, same as
+    evaluation)."""
+    s.by_id()
+    return {
+        s.name: {
+            "constraints": {
+                c.constraint_id: constraint_to_spec(c) for c in s.constraints
+            }
+        }
+    }
+
+
+def save_suite(s: ConstraintSet, path: str) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(suite_to_registry(s), f, indent=2)
+        f.write("\n")

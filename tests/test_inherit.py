@@ -200,3 +200,116 @@ def test_imprecise_base_resolution_info_tier():
 
     with _pytest.raises(SuiteResolutionError):
         resolve(missing, "child")
+
+
+def test_suite_registry_round_trip():
+    """An in-code suite exports to the SAME registry format
+    --suite-json consumes (spec.suite_to_registry -> inherit.resolve),
+    field-exact for every file-serializable kind, including the
+    round-5 ones (alternation/check/metric/precedence/opening/glob)."""
+    import dataclasses
+
+    from ocsf_validator_spark.spec import (
+        Alternation,
+        Check,
+        Glob,
+        MetricBound,
+        OpeningRole,
+        Precedence,
+        suite_to_registry,
+        transcript_suite,
+    )
+
+    s = transcript_suite()
+    s.add(
+        Alternation(column="role", scope=("user", "assistant")),
+        Check(
+            column="pairing",
+            predicate="NOT (role = 'tool' AND tool = 'none')",
+            id_override="check.pairing",
+        ),
+        MetricBound(column="role", metric="null_rate", hi=0.001),
+        Precedence(column="role", trigger="tool", prereq=("assistant",)),
+        OpeningRole(column="role", allowed=("system", "user")),
+        Glob(column="conv_id", glob="c*"),
+    )
+    s2 = resolve(suite_to_registry(s), s.name)
+    assert [c.constraint_id for c in s.constraints] == [
+        c.constraint_id for c in s2.constraints
+    ]
+    for a, b in zip(s.constraints, s2.constraints):
+        fa = {
+            f.name: getattr(a, f.name)
+            for f in dataclasses.fields(a)
+            if f.name != "id_override"
+        }
+        fb = {
+            f.name: getattr(b, f.name)
+            for f in dataclasses.fields(b)
+            if f.name != "id_override"
+        }
+        assert type(a) is type(b) and fa == fb
+
+
+def test_suite_export_rejects_code_carrying_constraints():
+    import pytest as _pytest
+
+    from ocsf_validator_spark.spec import (
+        ConstraintSet,
+        PandasCheck,
+        suite_to_registry,
+    )
+
+    s = ConstraintSet(
+        name="t",
+        constraints=[PandasCheck(column="x", columns=("x",), check=len)],
+    )
+    with _pytest.raises(TypeError, match="not file-serializable"):
+        suite_to_registry(s)
+
+
+def test_runner_dump_suite_reloads_identically(spark, tmp_path):
+    """--dump-suite writes a file --suite-json reloads to the same
+    verdict grid: CLI-added constraints survive the round trip."""
+    import json
+
+    from ocsf_validator_spark.runner import main
+
+    dump = str(tmp_path / "suite.json")
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    base = ["--synth", "20000", "--buckets", "4"]
+    rc1 = main(
+        [
+            *base,
+            "--alternation", "role=assistant",
+            "--metric-bound", "conv_id:distinct_count,min=1",
+            "--dump-suite", dump,
+            "--verdicts-out", v1,
+        ]
+    )
+    reg = json.load(open(dump))
+    name = next(iter(reg))
+    assert "alternation.role" in reg[name]["constraints"]
+    assert "metric.distinct_count.conv_id" in reg[name]["constraints"]
+    rc2 = main(
+        [
+            *base,
+            "--suite-json", dump,
+            "--suite-name", name,
+            "--verdicts-out", v2,
+        ]
+    )
+    assert rc1 == rc2
+    g1 = {
+        (r.constraint_id, r.pass_)
+        if hasattr(r, "pass_")
+        else (r.constraint_id, r["pass"])
+        for r in spark.read.parquet(v1).collect()
+    }
+    g2 = {
+        (r.constraint_id, r["pass"])
+        for r in spark.read.parquet(v2).collect()
+    }
+    g1 = {(cid, p) for cid, p in g1}
+    assert g1 == g2
