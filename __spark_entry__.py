@@ -270,6 +270,24 @@ def q_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_mix_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus mixing to target weights (select.mix_to_weights — the
+    Pile/ROOTS rebalancing shape): sample sources src0/src1/src2 toward
+    a 3:1:1 token mix under a 6,000-token budget. Keep rates are exact
+    rationals applied as big-integer md5 thresholds — no float in the
+    keep decision, bit-identical at any parallelism, HUGEINT-replayable
+    in DuckDB. One agg scan + one map-side filter."""
+    return (
+        select.mix_to_weights(
+            _t(spark, sf, "documents"),
+            weights={"src0": 3, "src1": 1, "src2": 1},
+            budget_tokens=6000,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q_label_balance(spark: SparkSession, sf: str) -> DataFrame:
     """Label-balance audit on the labeled embedding table: per-label
     count, exact share, global majority/minority imbalance ratio — the
@@ -1710,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "label_balance": q_label_balance,
         "bpe_token_stats": q_bpe_token_stats,
+        "mix_sample_docs": q_mix_sample_docs,
         "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
@@ -1929,6 +1948,36 @@ SELECT source, COUNT(*) AS n_docs,
             THEN ROUND(CAST(SUM(bpe) AS BIGINT) /
                        CAST(SUM(wt) AS BIGINT), 6) END AS tokens_per_word
 FROM f GROUP BY source ORDER BY source
+"""
+
+    # replay of select.mix_to_weights: per-source token counts, the
+    # exact rational keep rate (w_s * budget)/(W_total * avail_s) as a
+    # HUGEINT md5-threshold — the same big-integer floor the driver
+    # computes, no float in the keep decision on either engine
+    sqls["mix_sample_docs"] = """
+WITH f AS (
+  SELECT source,
+         COALESCE(len(list_filter(string_split(text, ' '),
+                                  t -> t <> '')), 0) AS tk
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+a AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS avail
+      FROM f GROUP BY source),
+t AS (SELECT source,
+             CASE WHEN CAST(w AS HUGEINT) * 6000 >= CAST(5 AS HUGEINT) * avail
+                  THEN CAST(4294967296 AS HUGEINT)
+                  ELSE (CAST(w AS HUGEINT) * 6000 * 4294967296)
+                       // (CAST(5 AS HUGEINT) * avail) END AS thr
+      FROM (SELECT source, avail,
+                   CASE source WHEN 'src0' THEN 3
+                               WHEN 'src1' THEN 1
+                               WHEN 'src2' THEN 1 END AS w
+            FROM a)
+      WHERE avail > 0)
+SELECT d.doc_id, d.source
+FROM documents d JOIN t ON d.source = t.source
+WHERE ('0x' || substr(md5(d.source || '|' || CAST(d.doc_id AS VARCHAR)
+                          || '|' || 'mix0'), 1, 8))::BIGINT < t.thr
+ORDER BY d.doc_id
 """
 
     sqls["label_balance"] = """

@@ -231,6 +231,7 @@ def main() -> None:
         "tokenizer_fertility",
         "label_balance",
         "bpe_token_stats",
+        "mix_sample_docs",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -512,3 +512,73 @@ def itemset_pairs(
             ).alias("lift"),
         )
     )
+
+
+def mix_to_weights(
+    df: DataFrame,
+    weights: Mapping[str, int],
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix0",
+) -> DataFrame:
+    """Corpus mixing to TARGET WEIGHTS (the Pile/ROOTS rebalancing
+    shape): sample each named source so the kept corpus approximates
+    ``budget_tokens`` total whitespace tokens split across sources in
+    proportion to integer ``weights``. Sources not named are dropped —
+    the target mix defines the corpus.
+
+    Exactness contract: each source's keep rate is the RATIONAL
+    ``(w_s * budget) / (W_total * avail_s)`` (capped at 1), applied as
+    ``md5_32(group|id|salt) < floor(num * 2^32 / den)`` with the
+    threshold computed in exact big-integer arithmetic — no float ever
+    enters the keep decision, so the sample is bit-identical at any
+    parallelism AND replayable by any engine with 128-bit integers
+    (the DuckDB oracle uses HUGEINT). Same determinism rationale as
+    stratified_sample's (num, den) rates; rates here are DERIVED from
+    the declared mix instead of hand-picked.
+
+    Scale shape: ONE partial-agg scan for per-source token counts
+    (|sources| rows to the driver), then a pure map-side filter — no
+    shuffle, no RNG state, stable under retries. Under-provisioned
+    sources (avail < target share) keep everything; re-normalizing the
+    shortfall across the rest is a driver-side policy loop the caller
+    can run on the returned counts (documented, not hidden here).
+    """
+    if budget_tokens <= 0 or not weights:
+        raise ValueError("budget_tokens must be > 0 and weights non-empty")
+    w_total = sum(int(w) for w in weights.values())
+    if w_total <= 0 or any(int(w) <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    toks = F.expr(
+        f"size(filter(split({text_col}, ' '), t -> t <> ''))"
+    ).cast("bigint")
+    avail = {
+        r["g"]: int(r["toks"])
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum(F.coalesce(toks, F.lit(0))).alias("toks"))
+        .collect()
+        if r["g"] in weights and r["toks"]
+    }
+    keep = None
+    for s in sorted(weights):
+        a = avail.get(s)
+        if not a:
+            continue  # absent/empty source: nothing to keep
+        num = int(weights[s]) * int(budget_tokens)
+        den = w_total * a
+        # exact big-int threshold on the 32-bit md5 fraction; rate >= 1
+        # keeps the whole source (threshold saturates past the hash max)
+        t = (num * (1 << 32)) // den if num < den else (1 << 32)
+        key = (
+            f"concat_ws('|', {group_col}, cast({id_col} as string), "
+            f"'{salt}')"
+        )
+        cond = (F.col(group_col) == s) & (
+            F.expr(_MD5_32.format(x=key)) < F.lit(t)
+        )
+        keep = cond if keep is None else keep | cond
+    if keep is None:
+        return df.filter(F.lit(False))
+    return df.filter(keep)

@@ -487,3 +487,54 @@ def test_itemset_pairs_support_and_lift(spark):
         itemset_pairs(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_mix_to_weights_rates_and_saturation(spark):
+    from ocsf_validator_spark.pipeline.select import mix_to_weights
+
+    # 300 docs of 10 tokens per source -> 3000 tokens available each
+    rows = []
+    for s in ("a", "b", "c"):
+        for i in range(300):
+            rows.append((f"{s}{i}", "t " * 10, s))
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    # 3:1 mix over a 2000-token budget: a targets 1500/3000 = 1/2,
+    # b targets 500/3000 = 1/6; c unnamed -> dropped entirely
+    out = mix_to_weights(
+        df, {"a": 3, "b": 1}, budget_tokens=2000
+    )
+    got = out.groupBy("source").count().collect()
+    by = {r.source: r["count"] for r in got}
+    assert "c" not in by
+    assert 100 <= by.get("a", 0) <= 200      # ~150 of 300 at rate 1/2
+    assert 20 <= by.get("b", 0) <= 90        # ~50 of 300 at rate 1/6
+    # saturation: budget far above availability keeps everything named
+    full = mix_to_weights(df, {"a": 1}, budget_tokens=10**9)
+    assert full.count() == 300
+    # determinism across partitioning
+    a1 = sorted(r.doc_id for r in out.collect())
+    a2 = sorted(
+        r.doc_id
+        for r in mix_to_weights(
+            df.repartition(13), {"a": 3, "b": 1}, budget_tokens=2000
+        ).collect()
+    )
+    assert a1 == a2
+
+
+def test_mix_to_weights_config_errors(spark):
+    import pytest as _pytest
+
+    from ocsf_validator_spark.pipeline.select import mix_to_weights
+
+    df = spark.createDataFrame(
+        [("d", "x y", "a")], "doc_id string, text string, source string"
+    )
+    with _pytest.raises(ValueError):
+        mix_to_weights(df, {}, budget_tokens=100)
+    with _pytest.raises(ValueError):
+        mix_to_weights(df, {"a": 1}, budget_tokens=0)
+    with _pytest.raises(ValueError):
+        mix_to_weights(df, {"a": -1}, budget_tokens=100)
+    # a named-but-absent source yields an empty (not failing) sample
+    assert mix_to_weights(df, {"zz": 1}, budget_tokens=100).count() == 0
