@@ -288,6 +288,29 @@ def q_mix_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_conv_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversation-level exact dedup (render.conv_dedup): duplicate
+    whole conversations under different ids, keyed on the rendered
+    content md5 — group size + deterministic lexicographic-min keep
+    flag per conversation. Injected duplicates: two synthetic clones of
+    existing conversations unioned in, so the dedup has real work at
+    every sf."""
+    from ocsf_validator_spark.pipeline.render import conv_dedup
+
+    t = _transcripts(spark, sf)
+    # clone two conversations under new ids (pure column algebra —
+    # deterministic, engine-replayable)
+    clones = t.filter(F.col("conv_id").isin("7", "23")).select(
+        F.concat(F.lit("clone_"), F.col("conv_id")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
+    return conv_dedup(t.unionByName(clones)).orderBy("conv_id")
+
+
 def q_label_balance(spark: SparkSession, sf: str) -> DataFrame:
     """Label-balance audit on the labeled embedding table: per-label
     count, exact share, global majority/minority imbalance ratio — the
@@ -1729,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_balance": q_label_balance,
         "bpe_token_stats": q_bpe_token_stats,
         "mix_sample_docs": q_mix_sample_docs,
+        "conv_dedup": q_conv_dedup,
         "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
@@ -1978,6 +2002,27 @@ FROM documents d JOIN t ON d.source = t.source
 WHERE ('0x' || substr(md5(d.source || '|' || CAST(d.doc_id AS VARCHAR)
                           || '|' || 'mix0'), 1, 8))::BIGINT < t.thr
 ORDER BY d.doc_id
+"""
+
+    sqls["conv_dedup"] = f"""
+WITH {_T_CTE},
+u AS (
+  SELECT conv_id, turn_idx, role, text FROM t
+  UNION ALL
+  SELECT 'clone_' || conv_id, turn_idx, role, text
+  FROM t WHERE conv_id IN ('7', '23')),
+r AS (
+  SELECT conv_id, COUNT(*)::BIGINT AS n_turns,
+         md5(string_agg(coalesce(role,'') || ': ' || coalesce(text,''),
+                        chr(10)
+                        ORDER BY turn_idx,
+                                 coalesce(role,'') || ': ' ||
+                                 coalesce(text,''))) AS content_key
+  FROM u GROUP BY conv_id)
+SELECT conv_id, n_turns, content_key,
+       COUNT(*) OVER (PARTITION BY content_key) AS group_n,
+       conv_id = MIN(conv_id) OVER (PARTITION BY content_key) AS keep
+FROM r ORDER BY conv_id
 """
 
     sqls["label_balance"] = """

@@ -232,6 +232,7 @@ def main() -> None:
         "label_balance",
         "bpe_token_stats",
         "mix_sample_docs",
+        "conv_dedup",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -87,3 +87,37 @@ def render_conversations(
             F.md5(F.col("rendered")).alias("content_key"),
         )
     )
+
+
+def conv_dedup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level exact dedup over the rendered content key:
+    one row per conversation with its duplicate-group size and a
+    deterministic keep flag (lexicographic-min conv_id survives) — the
+    SFT-set screen for whole conversations ingested twice under
+    different ids.
+
+    Scale shape: rides render_conversations' single conversation
+    exchange, then ONE more exchange on the content key over the
+    already conversation-collapsed frame (|convs| narrow rows, the
+    rendered text itself never re-shuffles — only its md5). Group
+    sizes are duplication-proportional; the keep rule is order-free.
+    """
+    from pyspark.sql import Window
+
+    r = render_conversations(
+        df, conv_col, order_col, role_col, text_col
+    ).select(conv_col, "n_turns", "content_key")
+    w = Window.partitionBy("content_key")
+    return r.select(
+        conv_col,
+        "n_turns",
+        "content_key",
+        F.count(F.lit(1)).over(w).alias("group_n"),
+        (F.col(conv_col) == F.min(conv_col).over(w)).alias("keep"),
+    )

@@ -84,3 +84,29 @@ def test_single_exchange_no_window_no_join(spark):
 
 def test_empty_input(spark):
     assert render_conversations(make_df(spark, [])).count() == 0
+
+
+def test_conv_dedup_groups_and_keep(spark):
+    from ocsf_validator_spark.pipeline.render import conv_dedup
+
+    rows = [
+        ("a", 0, "user", "hi"), ("a", 1, "assistant", "yo"),
+        ("b", 0, "user", "hi"), ("b", 1, "assistant", "yo"),   # dup of a
+        ("c", 0, "user", "hi"), ("c", 1, "assistant", "NO"),   # differs
+        ("d", 0, "user", "hi"),                                 # fewer turns
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {r.conv_id: r for r in conv_dedup(df).collect()}
+    assert got["a"].group_n == 2 and got["b"].group_n == 2
+    assert got["a"].keep and not got["b"].keep  # lexicographic-min wins
+    assert got["c"].group_n == 1 and got["c"].keep
+    assert got["d"].group_n == 1 and got["d"].keep
+    assert got["a"].content_key == got["b"].content_key
+    # determinism across partitioning
+    got2 = {
+        r.conv_id: (r.group_n, r.keep)
+        for r in conv_dedup(df.repartition(5)).collect()
+    }
+    assert got2 == {k: (v.group_n, v.keep) for k, v in got.items()}
