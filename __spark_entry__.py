@@ -241,6 +241,36 @@ def q_metric_bounds_events(spark: SparkSession, sf: str) -> DataFrame:
     return all_violations(_transcripts(spark, sf), suite)
 
 
+def q_ann_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8-quantized ANN top-k (similarity.ann_topk_int8): per-vector
+    symmetric max-abs quantization with explicit half-up rounding, an
+    exact INTEGER dot product, and a fixed-order float rescale — the
+    4x-smaller-table scale path whose scoring is bit-deterministic and
+    engine-replayable. Probe = vec_id 0, quantized driver-side with the
+    identical formula."""
+    emb = _t(spark, sf, "embeddings")
+    probe = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    top = similarity.ann_topk_int8(
+        emb.filter(F.col("vec_id") != 0), probe, k=10
+    )
+    return top.select("vec_id", F.round("score_q", 5).alias("score_q"))
+
+
+def q_quality_logit(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear quality-filter inference (textstats.quality_logit_cols):
+    the fastText/CCNet classifier step with frozen literal weights —
+    logit = w.f + b over four exact-ratio features, keep = logit > 0.
+    One scan of pure column algebra; no sigmoid (monotone, and exp is
+    the one libm op that could diverge across engines)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", *textstats.quality_logit_cols("text")
+    ).orderBy("doc_id")
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer fertility per (lang, source): chars/token and
     bytes/token under both tokenizations (whitespace + regex
@@ -1753,6 +1783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "mix_sample_docs": q_mix_sample_docs,
         "conv_dedup": q_conv_dedup,
+        "quality_logit": q_quality_logit,
+        "ann_topk_int8": q_ann_topk_int8,
         "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
@@ -3627,6 +3659,66 @@ e AS (SELECT ROUND(-CAST(SUM(CAST(ROUND(token_share * log2(token_share), 7)
              AS mix_entropy_bits
       FROM s WHERE token_share > 0)
 SELECT source, docs, tokens, token_share, mix_entropy_bits FROM s, e
+"""
+
+    # replay of textstats.quality_logit_cols: same exact-ratio features
+    # in the same left-associated multiply-add order, no libm ops
+    sqls["quality_logit"] = f"""
+WITH f AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    LENGTH(REPLACE(text, ' ', '')) AS nonspace,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+      AS n_sym,
+    LENGTH(text) AS n_chars,
+    len(list_filter(string_split(text, ' '),
+                    tk -> {stop(textstats.STOPWORDS['en'])})) AS s_en
+  FROM documents),
+l AS (
+  SELECT doc_id,
+    1.25 * (LEAST(n_tokens, 400)::DOUBLE / 400.0)
+    + 0.8 * ((nonspace::DOUBLE / n_tokens) / 10.0)
+    + 2.0 * (s_en::DOUBLE / n_tokens)
+    + (-3.0) * (n_sym::DOUBLE / n_chars)
+    + (-1.1) AS logit
+  FROM f)
+SELECT doc_id, ROUND(logit, 6) AS quality_logit, logit > 0 AS keep
+FROM l ORDER BY doc_id
+"""
+
+    # replay of similarity.ann_topk_int8: identical symmetric max-abs
+    # quantization (scale = max|x|/127, half-up via floor(x/s + 0.5)) on
+    # both the probe (vec_id 0) and the rows; the dot product is small
+    # exact integers (|q| <= 127, products sum well inside double's
+    # exact-integer range), and the rescale is the same two multiplies
+    # in the same left-assoc order: (dot * s_row) * s_probe
+    sqls["ann_topk_int8"] = """
+WITH pr AS (
+  SELECT list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS ps,
+         embedding::DOUBLE[] AS pe
+  FROM embeddings WHERE vec_id = 0),
+pq AS (
+  SELECT ps,
+         list_transform(pe, x -> CAST(CASE WHEN ps = 0.0 THEN 0.0
+           ELSE floor(x / ps + 0.5) END AS DOUBLE)) AS pqv
+  FROM pr),
+e AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS s,
+         embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE vec_id <> 0),
+q AS (
+  SELECT vec_id, s,
+         list_transform(emb, x -> CAST(CASE WHEN s = 0.0 THEN 0.0
+           ELSE floor(x / s + 0.5) END AS DOUBLE)) AS qv
+  FROM e),
+sc AS (
+  SELECT vec_id, (list_dot_product(qv, pqv) * s) * ps AS score
+  FROM q, pq)
+SELECT vec_id, ROUND(score, 5) AS score_q
+FROM sc ORDER BY score DESC, vec_id LIMIT 10
 """
 
     sqls["text_profile"] = f"""

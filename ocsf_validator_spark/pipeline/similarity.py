@@ -673,3 +673,65 @@ def label_balance(
         F.round(F.col("n") / total, 6).alias("share"),
         F.round(labeled_n / labeled_min, 6).alias("imbalance_ratio"),
     )
+
+
+def int8_scale_expr(vec_dbl: str) -> str:
+    """Per-vector symmetric int8 scale: max|x| / 127 (0.0 for the zero
+    vector — its quantized form is all zeros either way)."""
+    return f"(array_max(transform({vec_dbl}, x -> abs(x))) / 127.0D)"
+
+
+def int8_quant_expr(vec_dbl: str, scale: str) -> str:
+    """Quantized int64 component array: floor(x/scale + 0.5) — explicit
+    half-up rounding, identical in every engine (cast-to-int truncation
+    and banker's rounding both vary; floor does not). Zero scale maps
+    to all-zero components."""
+    return (
+        f"transform({vec_dbl}, x -> cast(CASE WHEN {scale} = 0.0D THEN 0.0D "
+        f"ELSE floor(x / {scale} + 0.5D) END as bigint))"
+    )
+
+
+def ann_topk_int8(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by int8-quantized dot product with exact rescale — the
+    memory-quantization path for ANN at scale: the stored table shrinks
+    4x (int8 vs float32; here int64 components stand in for the storage
+    type, the ARITHMETIC contract is what matters), scan bandwidth
+    drops with it, and the scoring stays engine-exact: the quantized
+    dot product is INTEGER math (bit-exact at any parallelism, any
+    engine), and the only floats are the two per-vector scales applied
+    once per pair in fixed order: score = (dot_q * scale_a) * scale_b.
+
+    Quantization: symmetric per-vector max-abs (scale = max|x|/127),
+    half-up rounding via explicit floor(x/s + 0.5) — truncation and
+    banker's rounding differ across engines; floor does not. The probe
+    is quantized DRIVER-side with the same formula (same IEEE ops, same
+    values). Recall loss vs exact cosine is the standard int8 trade
+    (pytest pins it on the synthetic table); rank ties break by id."""
+    import math
+
+    pd_ = [float(x) for x in probe]
+    pmax = max((abs(x) for x in pd_), default=0.0)
+    ps = pmax / 127.0
+    pq = [
+        0 if ps == 0.0 else int(math.floor(x / ps + 0.5)) for x in pd_
+    ]
+    v = _dbl(vec_col)
+    s = int8_scale_expr(v)
+    q = int8_quant_expr(v, s)
+    pq_lit = "array(" + ",".join(f"{x}L" for x in pq) + ")"
+    dot_q = (
+        f"aggregate(zip_with({q}, {pq_lit}, (x, y) -> x * y), 0L, "
+        f"(acc, v2) -> acc + v2)"
+    )
+    score = F.expr(f"((cast({dot_q} as double) * {s}) * {float(ps)}D)")
+    scored = df.select(F.col(id_col), score.alias("score_q"))
+    return scored.orderBy(
+        F.col("score_q").desc(), F.col(id_col)
+    ).limit(k)

@@ -453,3 +453,50 @@ def tokenizer_fertility(
             "chars_per_re_token"
         ),
     )
+
+
+# Frozen linear quality-filter weights (the fastText/CCNet quality
+# classifier step with the model baked as literals — the engine
+# contract here is the INFERENCE plumbing: feature extraction + scoring
+# as one scan of pure column algebra; swap in trained weights without
+# changing the query shape). Features, in weight order:
+#   f0 = min(n_tokens, 400) / 400       (length, saturating)
+#   f1 = avg_token_len / 10             (word-shape)
+#   f2 = stopword_ratio                 (English-likeness)
+#   f3 = nonalpha fraction              (symbol noise, negative signal)
+QUALITY_W = (1.25, 0.8, 2.0, -3.0)
+QUALITY_B = -1.1
+
+
+def quality_logit_cols(text_col: str = "text") -> list[Column]:
+    """Per-row linear quality score: ``logit = w . f + b`` over the
+    four frozen features, plus ``keep = logit > 0``. Every feature is a
+    ratio of exact integer counts and every term a fixed-order
+    multiply-add of literals — bit-deterministic at any parallelism and
+    SQL-replayable (no exp/log/sigmoid: the sigmoid is monotone, so
+    thresholding the LOGIT is the same decision without the one
+    libm-dependent op that could diverge across engines)."""
+    tok = _tokens(text_col)
+    n_tokens = F.expr(f"size({tok})").cast("bigint")
+    nonspace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    n_alpha = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "[^a-zA-Z ]", "")
+    )
+    f0 = F.least(n_tokens, F.lit(400)).cast("double") / F.lit(400.0)
+    f1 = (nonspace.cast("double") / n_tokens) / F.lit(10.0)
+    f2 = F.expr(_stop_hits(text_col, STOPWORDS["en"])).cast(
+        "double"
+    ) / n_tokens
+    f3 = n_alpha.cast("double") / F.length(F.col(text_col))
+    w0, w1, w2, w3 = QUALITY_W
+    logit = (
+        F.lit(w0) * f0
+        + F.lit(w1) * f1
+        + F.lit(w2) * f2
+        + F.lit(w3) * f3
+        + F.lit(QUALITY_B)
+    )
+    return [
+        F.round(logit, 6).alias("quality_logit"),
+        (logit > 0).alias("keep"),
+    ]

@@ -374,3 +374,40 @@ def test_tokenizer_fertility_semantics(spark):
     assert en.chars_per_ws_token == 2.25
     de = rows[("de", "s2")]
     assert de.ws_tokens == 1 and de.chars_per_ws_token == 3.0
+
+
+def test_quality_logit_matches_hand_computation(spark):
+    """quality_logit_cols: logit = w.f + b over four exact-ratio
+    features — replayed by hand for two fixed docs, exact to the
+    rounding the column applies (round 6)."""
+    from ocsf_validator_spark.pipeline import textstats
+
+    docs = [
+        (0, ("the cat and the dog of the house is a friend of the bird " * 12).strip()),
+        (1, "zzz #### !!!!"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.quality_logit, r.keep)
+        for r in df.select(
+            "doc_id", *textstats.quality_logit_cols("text")
+        ).collect()
+    }
+    w0, w1, w2, w3 = textstats.QUALITY_W
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        n_tokens = len(toks)
+        nonspace = len(text.replace(" ", ""))
+        n_sym = len(text) - sum(
+            1 for c in text if c.isascii() and (c.isalpha() or c == " ")
+        )
+        stops = sum(1 for t in toks if t in textstats.STOPWORDS["en"])
+        logit = (
+            w0 * (min(n_tokens, 400) / 400.0)
+            + w1 * ((nonspace / n_tokens) / 10.0)
+            + w2 * (stops / n_tokens)
+            + w3 * (n_sym / len(text))
+            + textstats.QUALITY_B
+        )
+        assert got[doc_id] == (round(logit, 6), logit > 0)
+    assert got[0][1] is True and got[1][1] is False

@@ -5,6 +5,8 @@ multimodal fake-feature stub and an exchange audit of exact dedup."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -467,3 +469,63 @@ def test_label_balance_semantics(spark):
     assert rows["0"].share == 0.6 and rows[None].share == 0.2
     # imbalance over labeled classes only: 3/1, the NULL row excluded
     assert all(r.imbalance_ratio == 3.0 for r in rows.values())
+
+
+def test_ann_topk_int8_matches_numpy_quantized_scores(spark):
+    """The int8 path's scoring contract: score = (int_dot * s_row) *
+    s_probe with half-up floor quantization — replayed here in numpy
+    with the identical IEEE ops, exact equality (no tolerance)."""
+    df, probe_np = _vecs(spark, n_base=60, n_dups=4)
+    probe = [float(x) for x in probe_np]
+    got = {
+        r.vec_id: r.score_q
+        for r in similarity.ann_topk_int8(df, probe, k=8).collect()
+    }
+    rows = {r.vec_id: r.embedding for r in df.collect()}
+    ps = max(abs(x) for x in probe) / 127.0
+    pq = np.array(
+        [math.floor(x / ps + 0.5) for x in probe], dtype=np.int64
+    )
+    for vid, sq in got.items():
+        emb = rows[vid]
+        s = max(abs(x) for x in emb) / 127.0
+        q = np.array(
+            [0 if s == 0.0 else math.floor(x / s + 0.5) for x in emb],
+            dtype=np.int64,
+        )
+        assert sq == (float(int(q @ pq)) * s) * ps
+
+
+def test_ann_topk_int8_recall_vs_exact(spark):
+    """Int8 quantization keeps recall@10 high on the near-dup fixture
+    (the standard int8 trade: tiny score perturbation, rank mostly
+    preserved — pin >= 0.8 so a broken quantizer fails loudly)."""
+    df, probe_np = _vecs(spark)
+    probe = [float(x) for x in probe_np]
+    exact = {
+        r.vec_id
+        for r in similarity.cosine_topk(df, probe, k=10).collect()
+    }
+    quant = {
+        r.vec_id
+        for r in similarity.ann_topk_int8(df, probe, k=10).collect()
+    }
+    assert len(exact & quant) >= 8
+
+
+def test_ann_topk_int8_zero_vector_scores_zero(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {
+        r.vec_id: r.score_q
+        for r in similarity.ann_topk_int8(df, [1.0, 0.0, 0.0], k=5).collect()
+    }
+    assert rows[0] == 0.0 and rows[1] > 0.0
+    # zero PROBE: every score collapses to 0, ties break by id
+    ids = [
+        r.vec_id
+        for r in similarity.ann_topk_int8(df, [0.0, 0.0, 0.0], k=5).collect()
+    ]
+    assert ids == [0, 1]
