@@ -241,6 +241,28 @@ def q_metric_bounds_events(spark: SparkSession, sf: str) -> DataFrame:
     return all_violations(_transcripts(spark, sf), suite)
 
 
+def q_fd_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """FunctionalDependency constraint kind (violations.fd_violations):
+    ``source -> lang`` over the documents table — the
+    metadata-consistency check no row predicate can express (a source
+    must be single-language; rows differing from the group's canonical
+    minimum non-null value violate, NULL counting as a value). One
+    partial-agg exchange on the determinant + a defect-proportional
+    null-safe join-back; reasons use the TIE_DISPLAY_LEN-capped
+    display, replayed verbatim by the DuckDB oracle."""
+    from ocsf_validator_spark.spec import FunctionalDependency
+    from ocsf_validator_spark.violations import fd_violations
+
+    d = _t(spark, sf, "documents")
+    suite = ConstraintSet(
+        name="docfd",
+        constraints=[
+            FunctionalDependency(column="lang", determinants=("source",))
+        ],
+    )
+    return fd_violations(d, suite, keys=("doc_id",)).orderBy("doc_id")
+
+
 def q_ann_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
     """Int8-quantized ANN top-k (similarity.ann_topk_int8): per-vector
     symmetric max-abs quantization with explicit half-up rounding, an
@@ -1785,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dedup": q_conv_dedup,
         "quality_logit": q_quality_logit,
         "ann_topk_int8": q_ann_topk_int8,
+        "fd_documents": q_fd_documents,
         "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
@@ -3684,6 +3707,30 @@ l AS (
   FROM f)
 SELECT doc_id, ROUND(logit, 6) AS quality_logit, logit > 0 AS keep
 FROM l ORDER BY doc_id
+"""
+
+    # replay of violations.fd_violations: null-safe determinant groups,
+    # NULL-counts-as-a-value distinctness, canonical = min non-null,
+    # identical capped reason string
+    sqls["fd_documents"] = """
+WITH g AS (
+  SELECT source,
+         COUNT(DISTINCT lang)
+           + MAX(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nvals,
+         MIN(lang) AS canon
+  FROM documents GROUP BY source),
+b AS (SELECT * FROM g WHERE nvals > 1)
+SELECT 'fd.source->lang' AS constraint_id,
+       d.doc_id,
+       'fd (source=(' || COALESCE(substr(d.source, 1, 256), '<null>')
+         || ')) -> lang: found '
+         || COALESCE(substr(d.lang, 1, 256), '<null>')
+         || '; expected ' || COALESCE(substr(b.canon, 1, 256), '<null>')
+         || '; ' || b.nvals || ' values' AS reason,
+       'ERROR' AS severity
+FROM documents d JOIN b ON d.source IS NOT DISTINCT FROM b.source
+WHERE d.lang IS DISTINCT FROM b.canon
+ORDER BY d.doc_id
 """
 
     # replay of similarity.ann_topk_int8: identical symmetric max-abs

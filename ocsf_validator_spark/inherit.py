@@ -41,6 +41,7 @@ from ocsf_validator_spark.spec import (
     ConstraintSet,
     Deprecated,
     EnumCoverage,
+    FunctionalDependency,
     Glob,
     InEnum,
     MapKeysIn,
@@ -103,6 +104,7 @@ _KINDS: dict[str, type[Constraint]] = {
     "opening": OpeningRole,
     "alternation": Alternation,
     "check": Check,
+    "fd": FunctionalDependency,
     "metric": MetricBound,
     "schema": AllowedColumns,
     "coverage": EnumCoverage,

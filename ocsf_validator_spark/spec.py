@@ -355,6 +355,43 @@ class Alternation(Constraint):
 
 
 @dataclass(frozen=True)
+class FunctionalDependency(Constraint):
+    """Functional dependency ``determinants -> column``: all rows that
+    agree on the determinant columns must agree on the dependent column
+    — the metadata-consistency shape (one source, one language; one
+    conversation, one session tag) that no row predicate can express
+    and the conv-window family cannot host (the grouping key is
+    arbitrary, not the conversation). NULL is a value: {NULL, 'x'}
+    within one group violates, an all-NULL group does not; a NULL
+    determinant is its own group (null-safe grouping AND join-back).
+
+    Violations fire for every row whose dependent differs (null-safely)
+    from the group's CANONICAL value — the minimum non-null dependent,
+    the deterministic analogue of first-seen-wins (reference collision
+    semantics, validators.py:236-262: keep one, report the rest against
+    it). ``where`` scopes the check to a row subset before grouping.
+
+    Evaluated as its own leg (KEY_LEVEL family, fd_violations): one
+    partial-agg exchange keyed on the determinants — map-side combine
+    collapses it to |groups| rows — then the defect-proportional
+    violating-key set joins back null-safely (AQE picks broadcast when
+    it is small). Never fused into the conversation window and never
+    disables that fusion for the rest of the suite. Batch +
+    incremental-within-increment only; cross-batch streaming state is
+    not carried for this kind.
+    """
+
+    determinants: tuple[str, ...] = ()
+    KIND = "fd"
+
+    @property
+    def constraint_id(self) -> str:
+        return self.id_override or (
+            f"fd.{','.join(self.determinants)}->{self.column}"
+        )
+
+
+@dataclass(frozen=True)
 class AllowedColumns(Constraint):
     """No unknown keys (reference validate_no_unknown_keys,
     validators.py:106-158): every column present must be declared.
@@ -432,6 +469,7 @@ GROUP_LEVEL = (
     Unique, TurnOrdering, Monotonic, Precedence, OpeningRole, Alternation
 )
 DATASET_LEVEL = (AllowedColumns, EnumCoverage, MetricBound)
+KEY_LEVEL = (FunctionalDependency,)
 RESIDUAL_LEVEL = (PandasCheck,)
 
 
@@ -483,6 +521,9 @@ class ConstraintSet:
 
     def dataset_level(self) -> list[Constraint]:
         return [c for c in self.constraints if isinstance(c, DATASET_LEVEL)]
+
+    def key_level(self) -> list[Constraint]:
+        return [c for c in self.constraints if isinstance(c, KEY_LEVEL)]
 
     def residual_level(self) -> list[Constraint]:
         return [c for c in self.constraints if isinstance(c, RESIDUAL_LEVEL)]

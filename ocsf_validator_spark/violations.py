@@ -41,6 +41,7 @@ from ocsf_validator_spark.spec import (
     Alternation,
     ConstraintSet,
     EnumCoverage,
+    FunctionalDependency,
     MetricBound,
     Monotonic,
     OpeningRole,
@@ -116,6 +117,8 @@ def _resolves(df: DataFrame, cols: Sequence[str]) -> bool:
 def _referenced_columns(c) -> list[str]:
     if isinstance(c, Unique):
         return [*c.keys, *c.first_seen_order]
+    if isinstance(c, FunctionalDependency):
+        return [*c.determinants, c.column]
     if isinstance(c, Monotonic):
         return [c.partition_by, c.order_by, c.column]
     if isinstance(c, TurnOrdering):
@@ -801,6 +804,99 @@ def fused_group_violations(
     )
 
 
+def fd_violations(
+    df: DataFrame, suite: ConstraintSet, keys: Sequence[str] = DEFAULT_KEYS
+) -> DataFrame:
+    """All FunctionalDependency constraints, one leg each (their
+    grouping keys are arbitrary, so unlike the conv-window family the
+    legs share nothing). Unresolvable columns are skipped here and
+    reported by dataset_findings, like every other family."""
+    out = _empty(df, keys)
+    if not _present(df, keys):
+        return out
+    for c in suite.key_level():
+        if c.determinants and _resolves(df, [*c.determinants, c.column]):
+            out = out.unionByName(_fd_leg(df, c, keys))
+    return out
+
+
+def _fd_leg(
+    df: DataFrame, c: FunctionalDependency, keys: Sequence[str]
+) -> DataFrame:
+    """One FD check: ``determinants -> column``.
+
+    Shape at scale: project to (keys, determinants, dependent) FIRST —
+    the scan prunes to exactly the referenced columns and struct paths
+    become plain columns, so the one exchange this check intrinsically
+    needs (partial-agg groupBy on the determinants, map-side combine
+    collapsing to |groups| rows) never carries the table's wide body.
+    The violating-group set is defect-proportional; the join-back is
+    null-safe on every determinant (a NULL determinant is its own
+    group, mirroring the groupBy), and AQE broadcasts it when small.
+    Violations = rows whose dependent differs null-safely from the
+    group's canonical (minimum non-null) value; reasons display capped
+    values (TIE_DISPLAY_LEN) so text-typed columns never put unbounded
+    strings in the violation sink."""
+    src = df.filter(F.expr(c.where)) if c.where else df
+    det = list(c.determinants)
+    dep_dt = _resolve_path(df.schema, c.column)
+    det_dts = [_resolve_path(df.schema, d) for d in det]
+    proj = src.select(
+        *keys,
+        *[F.col(d).alias(f"_d{i}") for i, d in enumerate(det)],
+        F.col(c.column).alias("_dep"),
+    )
+    grp = (
+        proj.groupBy(*[f"_d{i}" for i in range(len(det))])
+        .agg(
+            F.countDistinct(F.col("_dep")).alias("_nd"),
+            F.max(F.col("_dep").isNull().cast("int")).alias("_null"),
+            F.min(F.col("_dep")).alias("_canon"),
+        )
+        .filter((F.col("_nd") + F.col("_null")) > 1)
+        # rename the group side: grp derives from proj, and a
+        # same-lineage join on identically-named columns is ambiguous
+        .select(
+            *[
+                F.col(f"_d{i}").alias(f"_g{i}")
+                for i in range(len(det))
+            ],
+            "_nd",
+            "_null",
+            "_canon",
+        )
+    )
+    cond = proj["_d0"].eqNullSafe(grp["_g0"])
+    for i in range(1, len(det)):
+        cond = cond & proj[f"_d{i}"].eqNullSafe(grp[f"_g{i}"])
+    j = proj.join(grp, cond, "inner").filter(
+        ~proj["_dep"].eqNullSafe(grp["_canon"])
+    )
+    disp = lambda col, dt: F.coalesce(  # noqa: E731
+        _tie_display(col, dt).cast("string"), F.lit("<null>")
+    )
+    det_repr = F.concat_ws(
+        ",", *[disp(proj[f"_d{i}"], det_dts[i]) for i in range(len(det))]
+    )
+    reason = F.concat(
+        F.lit(f"fd ({','.join(det)}=("),
+        det_repr,
+        F.lit(f")) -> {c.column}: found "),
+        disp(proj["_dep"], dep_dt),
+        F.lit("; expected "),
+        disp(grp["_canon"], dep_dt),
+        F.lit("; "),
+        (grp["_nd"] + grp["_null"]).cast("string"),
+        F.lit(" values"),
+    )
+    return j.select(
+        F.lit(c.constraint_id).alias("constraint_id"),
+        *[proj[k] for k in keys],
+        reason.alias("reason"),
+        F.lit(c.severity.name).alias("severity"),
+    )
+
+
 def group_violations(
     df: DataFrame, suite: ConstraintSet, keys: Sequence[str] = DEFAULT_KEYS
 ) -> DataFrame:
@@ -881,7 +977,12 @@ def dataset_findings(
     # passes skip it, but NEVER silently: the user who declared
     # NotNull("meta.width") against a schema without it gets a finding,
     # not a false PASS (reference reports missing attrs the same way).
-    for c in [*suite.row_level(), *suite.group_level(), *suite.residual_level()]:
+    for c in [
+        *suite.row_level(),
+        *suite.group_level(),
+        *suite.key_level(),
+        *suite.residual_level(),
+    ]:
         missing = sorted(
             p for p in set(_referenced_columns(c))
             if _resolve_path(df.schema, p) is None
@@ -1176,6 +1277,10 @@ def all_violations(
                 main_lazy = main_lazy.unionByName(
                     residual_violations(df, suite, keys)
                 )
+            if suite.key_level():
+                main_lazy = main_lazy.unionByName(
+                    fd_violations(df, suite, keys)
+                )
             main_lazy = main_lazy.unionByName(
                 dataset_findings(df, suite, keys, include_coverage, observed_enums, observed_metrics)
             )
@@ -1220,6 +1325,8 @@ def all_violations(
         )
     if suite.residual_level():
         main = main.unionByName(residual_violations(df, suite, keys))
+    if suite.key_level():
+        main = main.unionByName(fd_violations(df, suite, keys))
     return main.unionByName(
         dataset_findings(df, suite, keys, include_coverage, observed_enums, observed_metrics)
     )
