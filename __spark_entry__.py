@@ -47,6 +47,7 @@ from ocsf_validator_spark.spec import (
 )
 from ocsf_validator_spark.stats import (
     column_stats,
+    column_topk_values,
     conversation_stats,
     length_histogram,
     md5_bucket_col,
@@ -239,6 +240,18 @@ def q_metric_bounds_events(spark: SparkSession, sf: str) -> DataFrame:
         ],
     )
     return all_violations(_transcripts(spark, sf), suite)
+
+
+def q_column_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent-values profile (stats.column_topk_values): top-5 values
+    per column over the derived transcripts' role (enum-like) and text
+    (high-cardinality) columns — the Deequ Histogram / mode-collapse
+    surface. Counts ride a (col, 60-bit md5-prefix hash) exchange;
+    winner strings come back via a broadcast bounded second pass."""
+    t = _transcripts(spark, sf)
+    return column_topk_values(t, ["role", "text"], k=5).orderBy(
+        "col", "rank"
+    )
 
 
 def q_fd_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -1808,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logit": q_quality_logit,
         "ann_topk_int8": q_ann_topk_int8,
         "fd_documents": q_fd_documents,
+        "column_topk": q_column_topk,
         "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
@@ -3707,6 +3721,32 @@ l AS (
   FROM f)
 SELECT doc_id, ROUND(logit, 6) AS quality_logit, logit > 0 AS keep
 FROM l ORDER BY doc_id
+"""
+
+    # replay of stats.column_topk_values: same melt, same 60-bit
+    # md5-prefix hash as BOTH the count key and the rank tie-break,
+    # same min-per-hash string recovery and 256-char display cap
+    sqls["column_topk"] = f"""
+WITH {_T_CTE},
+m AS (
+  SELECT 'role' AS col, role AS val FROM t WHERE role IS NOT NULL
+  UNION ALL
+  SELECT 'text' AS col, text AS val FROM t WHERE text IS NOT NULL),
+hm AS (
+  SELECT col, val, ('0x' || substr(md5(val), 1, 15))::BIGINT AS h FROM m),
+c AS (
+  SELECT col, h, MIN(val) AS value, COUNT(*) AS cnt
+  FROM hm GROUP BY col, h),
+tot AS (SELECT col, SUM(cnt) AS total FROM c GROUP BY col),
+r AS (
+  SELECT col, h, value, cnt,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY col ORDER BY cnt DESC, h ASC) AS INTEGER) AS rank
+  FROM c)
+SELECT r.col, r.rank, substr(r.value, 1, 256) AS value, r.cnt,
+       ROUND(r.cnt::DOUBLE / tot.total, 6) AS share
+FROM r JOIN tot ON r.col = tot.col
+WHERE r.rank <= 5 ORDER BY r.col, r.rank
 """
 
     # replay of violations.fd_violations: null-safe determinant groups,

@@ -195,6 +195,89 @@ def length_histogram(
     )
 
 
+def column_topk_values(
+    df: DataFrame, columns: Sequence[str], k: int = 5
+) -> DataFrame:
+    """Per-column top-k most frequent values — the Deequ
+    Histogram / frequent-items profile and the mode-collapse signal (a
+    categorical column whose top value's ``share`` approaches 1 is
+    constant or collapsing; an enum column sprouting a new frequent
+    value is upstream drift). Returns (col, rank, value, cnt, share),
+    rank 1..k by (cnt DESC, hash ASC), share = cnt / column non-null
+    count rounded 6 dp. Values compare as their ``cast(string)`` form;
+    NULLs are excluded (the null_rate stat owns them).
+
+    Scale shape (the ngram_topk/decontam discipline): melt to
+    (col, value) map-side, count on (col, 60-bit md5-prefix hash) — the
+    exchange carries 8-byte ints, never value strings, and partial agg
+    collapses it to |distinct| — localCheckpoint the counted frame once
+    for its |columns|+1 consumers, then per-column
+    TakeOrderedAndProject (no per-column single-reducer global window).
+    The k winning STRINGS come back via a bounded second pass: a
+    broadcast semi join of the winner (col, hash) set against the
+    melted stream, min(value) per hash — value strings cross an
+    exchange only for the k×|columns| winners. The md5-prefix hash (not
+    xxhash64) because it is the tie-break in the output rank and must
+    replay in a SQL oracle. Display capped at 256 chars AFTER counting,
+    so long-text columns profile correctly but never put unbounded
+    strings in the report."""
+    from pyspark.sql import Window
+
+    melted = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col"),
+                            F.col(c).cast("string").alias("val"),
+                        )
+                        for c in columns
+                    ]
+                )
+            ).alias("cv")
+        )
+        .select("cv.col", "cv.val")
+        .filter(F.col("val").isNotNull())
+        .withColumn(
+            "h",
+            F.expr("cast(conv(substring(md5(val), 1, 15), 16, 10) as bigint)"),
+        )
+    )
+    counted = (
+        melted.groupBy("col", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counted.groupBy("col").agg(F.sum("cnt").alias("total"))
+    tops = None
+    for c in columns:
+        t = (
+            counted.filter(F.col("col") == c)
+            .orderBy(F.col("cnt").desc(), F.col("h").asc())
+            .limit(k)
+        )
+        tops = t if tops is None else tops.unionByName(t)
+    rec = (
+        melted.join(F.broadcast(tops.select("col", "h")), ["col", "h"], "semi")
+        .groupBy("col", "h")
+        .agg(F.min("val").alias("_value"))
+    )
+    w = Window.partitionBy("col").orderBy(F.col("cnt").desc(), F.col("h").asc())
+    return (
+        tops.join(rec, ["col", "h"])
+        .join(totals, "col")
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "col",
+            "rank",
+            F.substring(F.col("_value"), 1, 256).alias("value"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
 def value_histogram(df: DataFrame, expr: str, bin_expr: str) -> DataFrame:
     """Generic histogram over an arbitrary SQL expression; ``bin_expr``
     maps the value to an integer bin (e.g. day number for timestamps)."""

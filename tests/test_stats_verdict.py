@@ -195,3 +195,91 @@ def test_turn_echo_set_semantics_and_edges(spark):
             c2.full_echo_turns) == (1, 0, None, None, 0)
     c3 = got["c3"]
     assert (c3.n_turns, c3.turns_scored) == (3, 0)
+
+
+def test_column_topk_values_semantics(spark):
+    from ocsf_validator_spark.stats import column_topk_values
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x"), ("a", "x"), ("a", "y"), ("a", None),
+            ("b", "x"), ("b", "y"), ("c", "z"),
+        ],
+        "cat string, sub string",
+    )
+    rows = column_topk_values(df, ["cat", "sub"], k=2).collect()
+    got = {(r.col, r.rank): r for r in rows}
+    # cat: a=4, b=2 (c=1 cut by k=2); NULL sub excluded from sub counts
+    assert (got[("cat", 1)].value, got[("cat", 1)].cnt) == ("a", 4)
+    assert (got[("cat", 2)].value, got[("cat", 2)].cnt) == ("b", 2)
+    # share = cnt / non-null count of THAT column (7 cats, 6 subs)
+    assert got[("cat", 1)].share == round(4 / 7, 6)
+    assert got[("sub", 1)].cnt == 3 and got[("sub", 1)].value == "x"
+    assert got[("sub", 1)].share == 0.5
+    assert len(rows) == 4
+
+
+def test_column_topk_tie_break_is_hash_deterministic(spark):
+    """Equal counts rank by the 60-bit md5-prefix hash ascending — the
+    same total order at any partitioning and in the SQL oracle."""
+    import hashlib
+
+    from ocsf_validator_spark.stats import column_topk_values
+
+    df = spark.createDataFrame(
+        [("p",), ("q",), ("r",)], "v string"
+    )
+    h = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: E731
+    expect = sorted(["p", "q", "r"], key=h)
+    got = [
+        r.value
+        for r in column_topk_values(df, ["v"], k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
+    got4 = [
+        r.value
+        for r in column_topk_values(df.repartition(4), ["v"], k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got4 == expect
+
+
+def test_column_topk_long_values_capped_after_counting(spark):
+    from ocsf_validator_spark.stats import column_topk_values
+
+    long_a = "a" * 300
+    long_b = "a" * 256 + "b" * 44  # same 256-prefix, different value
+    df = spark.createDataFrame(
+        [(long_a,), (long_a,), (long_b,)], "v string"
+    )
+    rows = column_topk_values(df, ["v"], k=2).orderBy("rank").collect()
+    # counted as DISTINCT values (2 vs 1), displayed capped at 256
+    assert [r.cnt for r in rows] == [2, 1]
+    assert all(len(r.value) == 256 for r in rows)
+
+
+def test_column_topk_plan_hash_keyed_count_and_broadcast_recovery(spark):
+    from ocsf_validator_spark.stats import column_topk_values
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).cast("string").alias("v"),
+        F.lit("wide body").alias("text"),
+    )
+    plan = (
+        column_topk_values(df, ["v"], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the count exchange is keyed on (col, h) — never the value string
+    count_parts = [
+        ln for ln in plan.splitlines()
+        if "hashpartitioning" in ln and "h#" in ln
+    ]
+    assert count_parts, plan
+    assert not any("val#" in ln for ln in count_parts)
+    # winner-string recovery rides a broadcast, not a shuffled join
+    assert "BroadcastExchange" in plan
