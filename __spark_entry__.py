@@ -242,6 +242,17 @@ def q_metric_bounds_events(spark: SparkSession, sf: str) -> DataFrame:
     return all_violations(_transcripts(spark, sf), suite)
 
 
+def q_volume_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Volume anomaly gate (drift.volume_anomaly): per-day row counts
+    of events flagged against median ± 3·MAD of the day-count series —
+    the missed-ingest/duplicated-load monitor the distribution checks
+    can't see. One partial-agg exchange; fences are exact order
+    statistics of integer counts, replayed by the DuckDB rank
+    formula."""
+    ev = _t(spark, sf, "events")
+    return drift.volume_anomaly(ev, ts_col="ts", granularity="day", k=3)
+
+
 def q_column_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Frequent-values profile (stats.column_topk_values): top-5 values
     per column over the derived transcripts' role (enum-like) and text
@@ -1822,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_int8": q_ann_topk_int8,
         "fd_documents": q_fd_documents,
         "column_topk": q_column_topk,
+        "volume_anomaly": q_volume_anomaly,
         "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
@@ -3721,6 +3733,29 @@ l AS (
   FROM f)
 SELECT doc_id, ROUND(logit, 6) AS quality_logit, logit > 0 AS keep
 FROM l ORDER BY doc_id
+"""
+
+    # replay of drift.volume_anomaly: day-count series, exact
+    # order-statistic median and MAD via the rank formula
+    # floor((n-1)*0.5)+1, fences med ± 3*mad in the same op order
+    sqls["volume_anomaly"] = """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS bucket, COUNT(*)::BIGINT AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM c),
+r AS (SELECT cnt::DOUBLE AS v, row_number() OVER (ORDER BY cnt::DOUBLE) AS rn
+      FROM c),
+m AS (SELECT (SELECT r.v FROM r, n
+              WHERE r.rn = CAST(floor((n.n - 1) * 0.5) AS BIGINT) + 1) AS med),
+d AS (SELECT abs(c.cnt::DOUBLE - m.med) AS dv FROM c, m),
+rd AS (SELECT dv, row_number() OVER (ORDER BY dv) AS rn FROM d),
+md AS (SELECT (SELECT rd.dv FROM rd, n
+               WHERE rd.rn = CAST(floor((n.n - 1) * 0.5) AS BIGINT) + 1) AS mad),
+f AS (SELECT m.med, md.mad, m.med - 3 * md.mad AS lo,
+             m.med + 3 * md.mad AS hi FROM m, md)
+SELECT c.bucket, c.cnt, f.med AS median, f.mad, f.lo, f.hi,
+       (c.cnt::DOUBLE < f.lo OR c.cnt::DOUBLE > f.hi) AS anomaly
+FROM c CROSS JOIN f ORDER BY c.bucket
 """
 
     # replay of stats.column_topk_values: same melt, same 60-bit

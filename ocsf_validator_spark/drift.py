@@ -344,3 +344,63 @@ def drift_findings(
             )
         )
     return out
+
+
+def volume_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    granularity: str = "day",
+    k: int = 3,
+) -> DataFrame:
+    """Per-time-bucket row-count anomaly gate — the volume/completeness
+    monitor next to the distribution monitors (PSI/KS): a day whose row
+    count falls outside ``median ± k * MAD`` of the bucket-count series
+    is a missed ingest, a duplicated load, or an upstream outage, none
+    of which a distribution check sees (PSI normalizes counts away).
+
+    Shape at scale: ONE partial-agg exchange over the table (groupBy
+    date_trunc bucket — map-side combine collapses to |buckets| per
+    partition), then the count SERIES is eagerly checkpointed so the
+    fence passes (quantiles.exact_quantiles twice: median of counts,
+    median of |cnt - median|) run over |buckets| rows, never re-scanning
+    the source. Fences are exact order statistics of integer counts —
+    engine-replayable to the bit (no mean/stddev, no float sums whose
+    rounding depends on partitioning) — with the robust breakdown point
+    a mean-based gate lacks (one outage day cannot drag the fence).
+
+    Returns the full series, not only outliers (a volume report that
+    hides the normal days can't be eyeballed): ``(bucket, cnt, median,
+    mad, lo, hi, anomaly)`` ordered by bucket. NULL timestamps are
+    excluded. Empty input returns an empty frame."""
+    from ocsf_validator_spark.pipeline.quantiles import exact_quantiles
+
+    spark = df.sparkSession
+    schema = (
+        "bucket timestamp, cnt bigint, median double, mad double, "
+        "lo double, hi double, anomaly boolean"
+    )
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.date_trunc(granularity, F.col(ts_col)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    med_rows = exact_quantiles(counts, "cnt", qs=(0.5,)).collect()
+    if not med_rows:
+        return spark.createDataFrame([], schema)
+    med = med_rows[0]["value"]
+    dev = counts.select(
+        F.abs(F.col("cnt").cast("double") - F.lit(med)).alias("_d")
+    )
+    mad = exact_quantiles(dev, "_d", qs=(0.5,)).collect()[0]["value"]
+    lo, hi = med - k * mad, med + k * mad
+    c = F.col("cnt").cast("double")
+    return counts.select(
+        "bucket",
+        "cnt",
+        F.lit(med).alias("median"),
+        F.lit(mad).alias("mad"),
+        F.lit(lo).alias("lo"),
+        F.lit(hi).alias("hi"),
+        ((c < F.lit(lo)) | (c > F.lit(hi))).alias("anomaly"),
+    ).orderBy("bucket")

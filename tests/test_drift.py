@@ -167,3 +167,46 @@ def test_psi_split_by_bucket_matches_per_bucket_psi(spark):
         bucket_expr=(F.col("id") % 2).cast("int"),  # bucket == side
     ).collect()
     assert all(r.psi is None and r.drifted for r in rows)
+
+
+def test_volume_anomaly_flags_outage_and_double_load(spark):
+    """12 stable days (100±2 rows), one outage day (8 rows), one
+    double-load day (210): exactly those two flag; median/MAD fences
+    are exact data values."""
+    import datetime as dt
+
+    from ocsf_validator_spark import drift
+
+    rows = []
+    day0 = dt.datetime(2026, 1, 1)
+    sizes = [100, 101, 99, 100, 102, 98, 100, 101, 99, 100, 100, 101]
+    for d, n in enumerate(sizes):
+        rows += [(day0 + dt.timedelta(days=d, seconds=s),) for s in range(n)]
+    rows += [(day0 + dt.timedelta(days=12, seconds=s),) for s in range(8)]
+    rows += [(day0 + dt.timedelta(days=13, seconds=s),) for s in range(210)]
+    rows.append((None,))  # NULL ts excluded
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = drift.volume_anomaly(df, k=3).collect()
+    assert len(out) == 14
+    flagged = {r.bucket.day: r.cnt for r in out if r.anomaly}
+    assert flagged == {13: 8, 14: 210}
+    r0 = out[0]
+    assert r0.median == 100.0 and r0.mad == 1.0
+    assert r0.lo == 97.0 and r0.hi == 103.0
+
+
+def test_volume_anomaly_empty_and_degenerate(spark):
+    import datetime as dt
+
+    from ocsf_validator_spark import drift
+
+    empty = spark.createDataFrame([], "ts timestamp")
+    assert drift.volume_anomaly(empty).count() == 0
+    # constant series: mad=0, point fence, nothing anomalous
+    day0 = dt.datetime(2026, 1, 1)
+    const = spark.createDataFrame(
+        [(day0 + dt.timedelta(days=d, seconds=s),) for d in range(5) for s in range(10)],
+        "ts timestamp",
+    )
+    out = drift.volume_anomaly(const).collect()
+    assert len(out) == 5 and not any(r.anomaly for r in out)
