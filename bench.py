@@ -233,6 +233,11 @@ def main() -> None:
         "bpe_token_stats",
         "mix_sample_docs",
         "conv_dedup",
+        "quality_logit",
+        "ann_topk_int8",
+        "fd_documents",
+        "column_topk",
+        "volume_anomaly",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:
