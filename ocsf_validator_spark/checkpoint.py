@@ -142,7 +142,10 @@ def seen_files(manifest_dir: str) -> set[str]:
 
 
 def record_files(
-    manifest_dir: str, files: list[dict], state_dir: str | None = None
+    manifest_dir: str,
+    files: list[dict],
+    state_dir: str | None = None,
+    fd_state: "dict[str, str] | None" = None,
 ) -> str:
     """Atomically commit the file set an incremental run validated
     ({path, bytes} rows, temp + rename). Called AFTER the run's bucket
@@ -162,6 +165,11 @@ def record_files(
             f.write(json.dumps({"path": e["path"], "bytes": e["bytes"]}) + "\n")
         if state_dir is not None:
             f.write(json.dumps({"conv_state": state_dir}) + "\n")
+        if fd_state:
+            # FD group-state snapshots commit in the same rename, for
+            # the same reason as conv_state: ledger and carried state
+            # must never disagree
+            f.write(json.dumps({"fd_state": fd_state}) + "\n")
     final = os.path.join(
         manifest_dir, f"files-{time.time_ns():020d}-{uuid.uuid4().hex}.files"
     )

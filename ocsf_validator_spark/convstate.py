@@ -324,3 +324,52 @@ def read_state(spark: SparkSession, checkpoint_dir: str) -> DataFrame | None:
     if path is None or not os.path.isdir(path):
         return None
     return spark.read.parquet(path)
+
+
+# --- FunctionalDependency group-state carry (same ledger discipline as
+# the conversation boundary state: data directories become current only
+# when the ledger part-file referencing them commits) -----------------
+
+
+def write_fd_state(
+    state: DataFrame, checkpoint_dir: str, constraint_id: str, tag: str
+) -> str:
+    """Write one FD constraint's group-state snapshot
+    (violations.fd_group_state schema). Keyed by constraint_id AND
+    increment tag so a crash re-validation overwrites the same
+    uncommitted directory."""
+    safe = "".join(
+        ch if ch.isalnum() or ch in "-_." else "_"
+        for ch in f"{constraint_id}__{tag}"
+    )
+    out = os.path.join(checkpoint_dir, "fdstate", safe)
+    state.write.mode("overwrite").parquet(out)
+    return out
+
+
+def latest_fd_state_dirs(checkpoint_dir: str) -> dict[str, str]:
+    """constraint_id -> committed state snapshot dir, from the newest
+    ledger part-file carrying an ``fd_state`` line."""
+    if not os.path.isdir(checkpoint_dir):
+        return {}
+    best: dict[str, str] = {}
+    for name in sorted(os.listdir(checkpoint_dir)):
+        if not name.endswith(".files"):
+            continue
+        with open(os.path.join(checkpoint_dir, name)) as f:
+            for line in f:
+                if line.strip():
+                    d = json.loads(line)
+                    if "fd_state" in d:
+                        best = d["fd_state"]
+    return best
+
+
+def read_fd_states(
+    spark: SparkSession, checkpoint_dir: str
+) -> dict[str, DataFrame]:
+    out = {}
+    for cid, path in latest_fd_state_dirs(checkpoint_dir).items():
+        if os.path.isdir(path):
+            out[cid] = spark.read.parquet(path)
+    return out

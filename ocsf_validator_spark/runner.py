@@ -113,6 +113,7 @@ def run_validation(
     skew_min_rows: int = 1_000_000,
     max_violation_rows: int | None = None,
     carry_state: DataFrame | None = None,
+    fd_carry: "dict[str, DataFrame] | None" = None,
 ) -> RunResult:
     suite = suite or transcript_suite()
     threshold = Severity.WARNING if strict else Severity.ERROR
@@ -292,6 +293,7 @@ def run_validation(
         skewed_convs=skewed,
         ordered_partitions=ordered_partitions,
         carry=carry_state,
+        fd_carry=fd_carry,
     )
     # NOTE: when skew is routed, all_violations executes BOTH legs
     # inside this phase — the ordered leg in a worker thread overlapped
@@ -637,6 +639,7 @@ def main(argv: list[str] | None = None) -> int:
 
     inc_files: list | None = None
     carry_state = None
+    fd_carry = {}
     if args.incremental:
         if not (args.input and args.checkpoint):
             print("[FATAL] --incremental requires --input and --checkpoint")
@@ -674,6 +677,12 @@ def main(argv: list[str] | None = None) -> int:
         carry_state = convstate.read_state(spark, args.checkpoint)
         if carry_state is not None:
             print("incremental: seeding carried conversation state")
+        fd_carry = convstate.read_fd_states(spark, args.checkpoint)
+        if fd_carry:
+            print(
+                "incremental: seeding carried fd group state "
+                f"({len(fd_carry)} constraint(s))"
+            )
     elif args.input:
         from ocsf_validator_spark.sources import load_table
 
@@ -833,6 +842,7 @@ def main(argv: list[str] | None = None) -> int:
         quarantine_out=args.quarantine_out,
         max_violation_rows=args.max_violation_rows,
         carry_state=carry_state,
+        fd_carry=fd_carry,
     )
     if inc_files is not None and res.exit_code != 2:
         # commit the file ledger only after the bucket manifest landed:
@@ -856,7 +866,30 @@ def main(argv: list[str] | None = None) -> int:
             state_dir = convstate.write_state(
                 merged, args.checkpoint, tag=str(snapshot)
             )
-        ckpt.record_files(args.checkpoint, inc_files, state_dir=state_dir)
+        # FD group state: same sticky-canonical contract, same atomic
+        # ledger commit (one fd_state line mapping constraint_id -> dir)
+        from ocsf_validator_spark.violations import (
+            _resolves,
+            fd_group_state,
+            merge_fd_state,
+        )
+
+        fd_dirs = {}
+        for c in eff_suite.key_level():
+            if not (c.determinants and _resolves(df, [*c.determinants, c.column])):
+                continue
+            merged_fd = merge_fd_state(
+                fd_carry.get(c.constraint_id), fd_group_state(df, c)
+            )
+            fd_dirs[c.constraint_id] = convstate.write_fd_state(
+                merged_fd, args.checkpoint, c.constraint_id, tag=str(snapshot)
+            )
+        ckpt.record_files(
+            args.checkpoint,
+            inc_files,
+            state_dir=state_dir,
+            fd_state=fd_dirs or None,
+        )
     return res.exit_code
 
 

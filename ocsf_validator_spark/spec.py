@@ -376,9 +376,13 @@ class FunctionalDependency(Constraint):
     collapses it to |groups| rows — then the defect-proportional
     violating-key set joins back null-safely (AQE picks broadcast when
     it is small). Never fused into the conversation window and never
-    disables that fusion for the rest of the suite. Batch +
-    incremental-within-increment only; cross-batch streaming state is
-    not carried for this kind.
+    disables that fusion for the rest of the suite. ``--incremental``
+    runs CARRY per-group state (determinants, canonical, null flag —
+    violations.fd_group_state, committed in the same atomic ledger
+    rename as the file set): later increments validate against the
+    carried STICKY canonical, so cross-increment disagreements fire
+    instead of silently passing within-increment. Cross-batch
+    STREAMING state is not carried for this kind.
     """
 
     determinants: tuple[str, ...] = ()

@@ -805,23 +805,87 @@ def fused_group_violations(
 
 
 def fd_violations(
-    df: DataFrame, suite: ConstraintSet, keys: Sequence[str] = DEFAULT_KEYS
+    df: DataFrame,
+    suite: ConstraintSet,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    carry: "dict[str, DataFrame] | None" = None,
 ) -> DataFrame:
     """All FunctionalDependency constraints, one leg each (their
     grouping keys are arbitrary, so unlike the conv-window family the
     legs share nothing). Unresolvable columns are skipped here and
-    reported by dataset_findings, like every other family."""
+    reported by dataset_findings, like every other family.
+
+    ``carry`` maps constraint_id -> carried group-state frame
+    (fd_group_state schema) from prior ``--incremental`` runs: an
+    increment's rows then validate against the CARRIED canonical, so a
+    group whose dependent disagrees with what an earlier increment
+    established fires instead of silently passing within-increment."""
     out = _empty(df, keys)
     if not _present(df, keys):
         return out
     for c in suite.key_level():
         if c.determinants and _resolves(df, [*c.determinants, c.column]):
-            out = out.unionByName(_fd_leg(df, c, keys))
+            prior = carry.get(c.constraint_id) if carry else None
+            out = out.unionByName(_fd_leg(df, c, keys, prior=prior))
     return out
 
 
+def fd_group_state(df: DataFrame, c: FunctionalDependency) -> DataFrame:
+    """Per-group FD state for the incremental carry: one row per
+    determinant group — ``(_d0.._dn, _canon, _null)`` with _canon the
+    group's minimum non-null dependent and _null whether any NULL
+    dependent was seen. Bounded by |groups| (the state's intrinsic
+    size), built by the same partial-agg exchange as the check."""
+    src = df.filter(F.expr(c.where)) if c.where else df
+    det = list(c.determinants)
+    proj = src.select(
+        *[F.col(d).alias(f"_d{i}") for i, d in enumerate(det)],
+        F.col(c.column).alias("_dep"),
+    )
+    return proj.groupBy(*[f"_d{i}" for i in range(len(det))]).agg(
+        F.min(F.col("_dep")).alias("_canon"),
+        F.max(F.col("_dep").isNull().cast("int")).alias("_null"),
+    )
+
+
+def merge_fd_state(
+    prior: "DataFrame | None", new: DataFrame
+) -> DataFrame:
+    """Fold one increment's FD group state into the accumulated state.
+    The carried canonical is STICKY — the first increment to establish
+    a non-null canonical for a group keeps it (first-seen-wins across
+    increments, the same conservative contract as the conversation
+    boundary state: already-emitted verdicts are never retroactively
+    contradicted by a later, lexicographically-smaller value). An
+    all-NULL group's canonical upgrades to the first non-null arrival;
+    the null flag is monotone."""
+    if prior is None:
+        return new
+    det = [c for c in new.columns if c.startswith("_d")]
+    p = prior.select(
+        *[F.col(d).alias(f"_p{d}") for d in det],
+        F.col("_canon").alias("_pcanon"),
+        F.col("_null").alias("_pnull"),
+    )
+    cond = new[det[0]].eqNullSafe(p[f"_p{det[0]}"])
+    for d in det[1:]:
+        cond = cond & new[d].eqNullSafe(p[f"_p{d}"])
+    j = new.join(p, cond, "full")
+    return j.select(
+        *[F.coalesce(new[d], p[f"_p{d}"]).alias(d) for d in det],
+        F.coalesce(p["_pcanon"], new["_canon"]).alias("_canon"),
+        F.greatest(
+            F.coalesce(p["_pnull"], F.lit(0)),
+            F.coalesce(new["_null"], F.lit(0)),
+        ).alias("_null"),
+    )
+
+
 def _fd_leg(
-    df: DataFrame, c: FunctionalDependency, keys: Sequence[str]
+    df: DataFrame,
+    c: FunctionalDependency,
+    keys: Sequence[str],
+    prior: "DataFrame | None" = None,
 ) -> DataFrame:
     """One FD check: ``determinants -> column``.
 
@@ -846,26 +910,53 @@ def _fd_leg(
         *[F.col(d).alias(f"_d{i}") for i, d in enumerate(det)],
         F.col(c.column).alias("_dep"),
     )
-    grp = (
-        proj.groupBy(*[f"_d{i}" for i in range(len(det))])
-        .agg(
-            F.countDistinct(F.col("_dep")).alias("_nd"),
-            F.max(F.col("_dep").isNull().cast("int")).alias("_null"),
-            F.min(F.col("_dep")).alias("_canon"),
-        )
-        .filter((F.col("_nd") + F.col("_null")) > 1)
-        # rename the group side: grp derives from proj, and a
-        # same-lineage join on identically-named columns is ambiguous
-        .select(
-            *[
-                F.col(f"_d{i}").alias(f"_g{i}")
-                for i in range(len(det))
-            ],
-            "_nd",
-            "_null",
-            "_canon",
-        )
+    agg = proj.groupBy(*[f"_d{i}" for i in range(len(det))]).agg(
+        F.countDistinct(F.col("_dep")).alias("_nd"),
+        F.max(F.col("_dep").isNull().cast("int")).alias("_null"),
+        F.min(F.col("_dep")).alias("_canon"),
     )
+    if prior is not None:
+        # incremental carry: this increment's rows validate against the
+        # MERGED canonical (carried sticky canonical, or the increment's
+        # own when the group is new / was all-NULL). A group is bad iff
+        # some increment row differs from that canonical: more than one
+        # value within the increment, or a single increment value that
+        # disagrees with the carried one.
+        p = prior.select(
+            *[F.col(f"_d{i}").alias(f"_p{i}") for i in range(len(det))],
+            F.col("_canon").alias("_pcanon"),
+        )
+        cond = agg["_d0"].eqNullSafe(p["_p0"])
+        for i in range(1, len(det)):
+            cond = cond & agg[f"_d{i}"].eqNullSafe(p[f"_p{i}"])
+        m = agg.join(p, cond, "left")
+        canon_m = F.coalesce(p["_pcanon"], agg["_canon"])
+        single_val = F.when(agg["_nd"] == 1, agg["_canon"])  # else NULL
+        bad = ((agg["_nd"] + agg["_null"]) > 1) | ~single_val.eqNullSafe(
+            canon_m
+        )
+        grp = m.filter(bad).select(
+            *[agg[f"_d{i}"].alias(f"_g{i}") for i in range(len(det))],
+            agg["_nd"],
+            agg["_null"],
+            canon_m.alias("_canon"),
+            p["_pcanon"].isNotNull().alias("_carried"),
+        )
+    else:
+        grp = (
+            agg.filter((F.col("_nd") + F.col("_null")) > 1)
+            # rename the group side: grp derives from proj, and a
+            # same-lineage join on identically-named columns is ambiguous
+            .select(
+                *[
+                    F.col(f"_d{i}").alias(f"_g{i}")
+                    for i in range(len(det))
+                ],
+                "_nd",
+                "_null",
+                "_canon",
+            )
+        )
     cond = proj["_d0"].eqNullSafe(grp["_g0"])
     for i in range(1, len(det)):
         cond = cond & proj[f"_d{i}"].eqNullSafe(grp[f"_g{i}"])
@@ -878,6 +969,23 @@ def _fd_leg(
     det_repr = F.concat_ws(
         ",", *[disp(proj[f"_d{i}"], det_dts[i]) for i in range(len(det))]
     )
+    # within-run reasons count the group's values; groups whose
+    # canonical CAME FROM carried state name the contract instead (the
+    # increment can't know the all-time value count, and must not
+    # pretend to) — groups new to this increment keep the batch-run
+    # reason verbatim
+    count_tail = F.concat(
+        F.lit("; "),
+        (grp["_nd"] + grp["_null"]).cast("string"),
+        F.lit(" values"),
+    )
+    tail = (
+        F.when(grp["_carried"], F.lit("; cross-increment")).otherwise(
+            count_tail
+        )
+        if prior is not None
+        else count_tail
+    )
     reason = F.concat(
         F.lit(f"fd ({','.join(det)}=("),
         det_repr,
@@ -885,9 +993,7 @@ def _fd_leg(
         disp(proj["_dep"], dep_dt),
         F.lit("; expected "),
         disp(grp["_canon"], dep_dt),
-        F.lit("; "),
-        (grp["_nd"] + grp["_null"]).cast("string"),
-        F.lit(" values"),
+        tail,
     )
     return j.select(
         F.lit(c.constraint_id).alias("constraint_id"),
@@ -1219,6 +1325,7 @@ def all_violations(
     concurrent_skew: bool = True,
     carry: DataFrame | None = None,
     observed_metrics: dict | None = None,
+    fd_carry: "dict[str, DataFrame] | None" = None,
 ) -> DataFrame:
     """Full suite in as few scans as possible. When the group family is
     window-fusable (the transcript shape), the row family rides the same
@@ -1279,7 +1386,7 @@ def all_violations(
                 )
             if suite.key_level():
                 main_lazy = main_lazy.unionByName(
-                    fd_violations(df, suite, keys)
+                    fd_violations(df, suite, keys, carry=fd_carry)
                 )
             main_lazy = main_lazy.unionByName(
                 dataset_findings(df, suite, keys, include_coverage, observed_enums, observed_metrics)
@@ -1326,7 +1433,7 @@ def all_violations(
     if suite.residual_level():
         main = main.unionByName(residual_violations(df, suite, keys))
     if suite.key_level():
-        main = main.unionByName(fd_violations(df, suite, keys))
+        main = main.unionByName(fd_violations(df, suite, keys, carry=fd_carry))
     return main.unionByName(
         dataset_findings(df, suite, keys, include_coverage, observed_enums, observed_metrics)
     )

@@ -177,3 +177,126 @@ def test_merge_state_unit(spark):
     z = got["z"]
     assert (z[convstate.CARRY_PREV_IDX], z[convstate.CARRY_FIRST]) == (2, "first-z")
     assert convstate.merge_state(None, new) is new
+
+
+# --- FunctionalDependency cross-increment carry -----------------------
+
+# fd: a conversation uses ONE tool. g is consistent per increment but
+# DISAGREES across them (the blind spot the carry closes); h is
+# consistent throughout; i is inconsistent WITHIN increment 2 (new
+# group — must keep the batch-run reason verbatim).
+FD_INC1 = [
+    ("g", 0, "assistant", "g0", "search", "2026-01-01 00:00:00"),
+    ("g", 1, "assistant", "g1", "search", "2026-01-01 00:00:01"),
+    ("h", 0, "assistant", "h0", "calc", "2026-01-01 00:01:00"),
+]
+FD_INC2 = [
+    ("g", 2, "assistant", "g2", "browser", "2026-01-01 00:00:02"),
+    ("h", 1, "assistant", "h1", "calc", "2026-01-01 00:01:01"),
+    ("i", 0, "assistant", "i0", "aaa", "2026-01-01 00:02:00"),
+    ("i", 1, "assistant", "i1", "bbb", "2026-01-01 00:02:01"),
+]
+
+FD_REGISTRY = {
+    "transcripts": {
+        "constraints": {
+            "fd.conv_id->tool": {
+                "kind": "fd",
+                "column": "tool",
+                "determinants": ["conv_id"],
+            }
+        }
+    }
+}
+
+
+def test_fd_state_carries_across_increments(spark, tmp_path):
+    import json as _json
+
+    root = str(tmp_path / "landing")
+    manifest = str(tmp_path / "manifest")
+    viol = str(tmp_path / "viol_inc")
+    sj = str(tmp_path / "fd_suite.json")
+    with open(sj, "w") as f:
+        _json.dump(FD_REGISTRY, f)
+    argv = ["--input", root, "--incremental", "--checkpoint", manifest,
+            "--buckets", "4", "--violations-out", viol, "--suite-json", sj]
+    _df(spark, FD_INC1).coalesce(1).write.mode("append").parquet(root)
+    assert main(argv) == 0  # increment 1 is internally consistent
+    _df(spark, FD_INC2).coalesce(1).write.mode("append").parquet(root)
+    assert main(argv) == 1
+    got = {
+        (r.conv_id, r.turn_idx): r.reason
+        for r in spark.read.parquet(viol)
+        .filter("conv_id is not null")
+        .collect()
+    }
+    # g2 disagrees with the CARRIED canonical from increment 1 — the
+    # per-increment contract silently passed this before the carry
+    assert got[("g", 2)] == (
+        "fd (conv_id=(g)) -> tool: found browser; expected search"
+        "; cross-increment"
+    )
+    # h continues consistently: nothing fires
+    assert not any(k[0] == "h" for k in got)
+    # i is NEW to increment 2: batch-run reason verbatim
+    assert got[("i", 1)] == (
+        "fd (conv_id=(i)) -> tool: found bbb; expected aaa; 2 values"
+    )
+    assert set(got) == {("g", 2), ("i", 1)}
+    # the committed fd state reflects the merged groups with the STICKY
+    # canonical (g keeps 'search' even though 'browser' arrived later)
+    states = convstate.read_fd_states(spark, manifest)
+    st = {r._d0: (r._canon, r._null)
+          for r in states["fd.conv_id->tool"].collect()}
+    assert st == {"g": ("search", 0), "h": ("calc", 0),
+                  "i": ("aaa", 0)}
+
+
+def test_merge_fd_state_unit(spark):
+    from ocsf_validator_spark.violations import merge_fd_state
+
+    prior = spark.createDataFrame(
+        [("w", "en", 0), ("x", None, 1), ("y", "de", 0)],
+        "_d0 string, _canon string, _null int",
+    )
+    new = spark.createDataFrame(
+        [("w", "aa", 1),   # sticky: prior canon wins; null upgrades
+         ("x", "pt", 0),   # all-NULL group upgrades to first non-null
+         ("z", "fr", 0)],  # fresh group
+        prior.schema,
+    )
+    got = {r._d0: (r._canon, r._null)
+           for r in merge_fd_state(prior, new).collect()}
+    assert got == {"w": ("en", 1), "x": ("pt", 1), "y": ("de", 0),
+                   "z": ("fr", 0)}
+    # no prior -> the new state verbatim
+    assert merge_fd_state(None, new) is new
+
+
+def test_fd_all_null_group_upgrade_across_increments(spark, tmp_path):
+    """Increment 1's group is all-NULL (no violation); increment 2
+    establishes a canonical — its own rows validate against it, and a
+    further disagreeing increment fires."""
+    import json as _json
+
+    root = str(tmp_path / "landing")
+    manifest = str(tmp_path / "manifest")
+    viol = str(tmp_path / "viol_inc")
+    sj = str(tmp_path / "fd_suite.json")
+    with open(sj, "w") as f:
+        _json.dump(FD_REGISTRY, f)
+    argv = ["--input", root, "--incremental", "--checkpoint", manifest,
+            "--buckets", "4", "--violations-out", viol, "--suite-json", sj]
+    _df(spark, [("n", 0, "assistant", "n0", None, "2026-01-01 00:00:00")]
+        ).coalesce(1).write.mode("append").parquet(root)
+    assert main(argv) == 0
+    _df(spark, [("n", 1, "assistant", "n1", "calc", "2026-01-01 00:00:01")]
+        ).coalesce(1).write.mode("append").parquet(root)
+    assert main(argv) == 0  # upgrade, no violation (prior NULLs passed)
+    _df(spark, [("n", 2, "assistant", "n2", "other", "2026-01-01 00:00:02")]
+        ).coalesce(1).write.mode("append").parquet(root)
+    assert main(argv) == 1
+    rows = spark.read.parquet(viol).filter("conv_id is not null").collect()
+    assert [(r.conv_id, r.turn_idx) for r in rows] == [("n", 2)]
+    assert "expected calc; cross-increment" in rows[0].reason
