@@ -745,6 +745,17 @@ def q_psi_value_drift(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame([(round(val, 4),)], "psi double")
 
 
+def q_emd_value_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """EMD (Wasserstein-1, bin units) on the same even/odd value split
+    as psi_value_drift — the drift triad's magnitude member: PSI is
+    unordered, KS is the max CDF gap, EMD integrates the ordered CDF
+    gap. Exact big-int arithmetic until one cast-then-divide, matched
+    by the DuckDB HUGEINT replay."""
+    ev = _t(spark, sf, "events")
+    val = drift.emd_split(ev, "event_id % 2 = 0", "value", "floor(_v / 10)")
+    return spark.createDataFrame([(round(val, 6),)], "emd double")
+
+
 def q_increment_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Increment-vs-corpus drift gate: PSI of the text-length
     distribution between today's increment (odd ids) and the ingested
@@ -1834,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_documents": q_fd_documents,
         "column_topk": q_column_topk,
         "volume_anomaly": q_volume_anomaly,
+        "emd_value_drift": q_emd_value_drift,
         "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
@@ -3733,6 +3745,38 @@ l AS (
   FROM f)
 SELECT doc_id, ROUND(logit, 6) AS quality_logit, logit > 0 AS keep
 FROM l ORDER BY doc_id
+"""
+
+    # replay of drift.emd_split/_emd_of_counts: same conditional
+    # per-bin counts, cumulative sums in HUGEINT (cum·total products
+    # exceed int64 at corpus scale), gap-width multipliers, one
+    # cast-then-divide
+    sqls["emd_value_drift"] = """
+WITH s AS (
+  SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+         (event_id % 2 = 0) AS is_cur,
+         NOT (event_id % 2 = 0) AS is_ref
+  FROM events
+  WHERE value IS NOT NULL
+    AND ((event_id % 2 = 0) OR NOT (event_id % 2 = 0))),
+c AS (
+  SELECT bin,
+         SUM(CASE WHEN is_cur THEN 1 ELSE 0 END)::HUGEINT AS c_cnt,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)::HUGEINT AS r_cnt
+  FROM s GROUP BY bin),
+t AS (SELECT SUM(c_cnt) AS nc, SUM(r_cnt) AS nr FROM c),
+w AS (
+  SELECT bin,
+         SUM(c_cnt) OVER (ORDER BY bin) AS cum_c,
+         SUM(r_cnt) OVER (ORDER BY bin) AS cum_r,
+         LEAD(bin) OVER (ORDER BY bin) AS nb
+  FROM c),
+e AS (
+  SELECT COALESCE(SUM(abs(w.cum_c * t.nr - w.cum_r * t.nc)
+                      * (w.nb - w.bin)::HUGEINT), 0) AS total
+  FROM w, t WHERE w.nb IS NOT NULL)
+SELECT ROUND(e.total::DOUBLE / (t.nc * t.nr)::DOUBLE, 6) AS emd
+FROM e, t
 """
 
     # replay of drift.volume_anomaly: day-count series, exact

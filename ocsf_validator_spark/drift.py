@@ -404,3 +404,98 @@ def volume_anomaly(
         F.lit(hi).alias("hi"),
         ((c < F.lit(lo)) | (c > F.lit(hi))).alias("anomaly"),
     ).orderBy("bucket")
+
+
+def _emd_of_counts(rows: list[tuple[int, int, int]]) -> float:
+    """1-D EMD (Wasserstein-1, in bin-width units) from sorted
+    ``(bin, cur_cnt, ref_cnt)`` rows — driver arithmetic over the tiny
+    collected histogram, EXACT until the final division:
+
+        EMD = sum over the support range of |CDF_cur − CDF_ref|
+            = Σ_i |cum_c_i·n_r − cum_r_i·n_c| · (bin_{i+1} − bin_i)
+              / (n_c · n_r)
+
+    Every term is Python big-int (no float accumulation order to
+    diverge, no epsilon floors — unlike PSI, EMD is finite for
+    disjoint supports); gaps of empty bins between occupied ones
+    contribute via the (bin_{i+1} − bin_i) multiplier, not by
+    materializing them. The one division is cast-then-divide
+    (float(total)/float(n_c·n_r)) to match a SQL replay's
+    ``::DOUBLE / ::DOUBLE`` bit-for-bit."""
+    rows = sorted(rows)
+    nc = sum(c for _, c, _ in rows)
+    nr = sum(r for _, _, r in rows)
+    if nc == 0 or nr == 0:
+        return float("nan")
+    total = 0
+    cum_c = cum_r = 0
+    for i, (b, c, r) in enumerate(rows[:-1]):
+        cum_c += c
+        cum_r += r
+        total += abs(cum_c * nr - cum_r * nc) * (rows[i + 1][0] - b)
+    return float(total) / float(nc * nr)
+
+
+def emd_from_histograms(cur: DataFrame, ref: DataFrame) -> float:
+    """EMD between two (bin, cnt) histograms (one collect, like
+    psi_from_histograms)."""
+    joined = (
+        cur.select("bin", F.col("cnt").alias("c_cnt"))
+        .join(
+            ref.select("bin", F.col("cnt").alias("r_cnt")),
+            "bin",
+            "full_outer",
+        )
+        .select(
+            "bin",
+            F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
+            F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+        )
+    )
+    return _emd_of_counts(
+        [(int(r.bin), int(r.c_cnt), int(r.r_cnt)) for r in joined.collect()]
+    )
+
+
+def emd_split(
+    df: DataFrame,
+    cur_pred: str,
+    value_expr: str,
+    bin_expr: str,
+    ref_pred: str | None = None,
+) -> float:
+    """EMD between two slices of the SAME table in ONE scan (the
+    psi_split shape: conditional counts per bin, one shuffle of
+    ≤ n_bins tiny rows, one collect). EMD complements PSI/KS in the
+    drift triad: PSI is support-sensitive but unordered (shifting mass
+    one bin vs fifty bins scores the same per-bin term), KS sees only
+    the max CDF gap; EMD integrates the ordered CDF gap, so it scales
+    with HOW FAR the distribution moved — the right gate for
+    "text lengths drifted longer" magnitude questions."""
+    rp = f"NOT ({cur_pred})" if ref_pred is None else ref_pred
+    staged = (
+        df.select(
+            F.expr(value_expr).alias("_v"),
+            F.expr(cur_pred).alias("_is_cur"),
+            F.expr(rp).alias("_is_ref"),
+        )
+        .filter(
+            F.col("_v").isNotNull() & (F.col("_is_cur") | F.col("_is_ref"))
+        )
+        .select(
+            "_is_cur",
+            "_is_ref",
+            F.expr(bin_expr).cast("bigint").alias("bin"),
+        )
+    )
+    rows = (
+        staged.groupBy("bin")
+        .agg(
+            F.sum(F.col("_is_cur").cast("long")).alias("c_cnt"),
+            F.sum(F.col("_is_ref").cast("long")).alias("r_cnt"),
+        )
+        .collect()
+    )
+    return _emd_of_counts(
+        [(int(r.bin), int(r.c_cnt), int(r.r_cnt)) for r in rows]
+    )

@@ -210,3 +210,48 @@ def test_volume_anomaly_empty_and_degenerate(spark):
     )
     out = drift.volume_anomaly(const).collect()
     assert len(out) == 5 and not any(r.anomaly for r in out)
+
+
+def test_emd_known_answers(spark):
+    from ocsf_validator_spark import drift
+
+    # point masses 5 bins apart, equal weight: EMD = 5 exactly —
+    # including the empty-bin gap contribution
+    df = spark.createDataFrame(
+        [(0, True)] * 4 + [(5, False)] * 4, "v long, cur boolean"
+    )
+    got = drift.emd_split(df, "cur", "v", "_v")
+    assert got == 5.0
+    # identical slices: 0; PSI needs epsilon floors here, EMD does not
+    same = spark.createDataFrame(
+        [(i % 3, i % 2 == 0) for i in range(12)], "v long, cur boolean"
+    )
+    assert drift.emd_split(same, "cur", "v", "_v") == 0.0
+    # asymmetric masses: cur = {0:1, 1:1}, ref = {0:2} ->
+    # |1*2-2*2|/(2*2) * 1 = 0.5
+    df3 = spark.createDataFrame(
+        [(0, True), (1, True), (0, False), (0, False)],
+        "v long, cur boolean",
+    )
+    assert drift.emd_split(df3, "cur", "v", "_v") == 0.5
+    # empty side -> nan
+    import math as m
+
+    one_sided = spark.createDataFrame([(1, True)], "v long, cur boolean")
+    assert m.isnan(drift.emd_split(one_sided, "cur", "v", "_v"))
+
+
+def test_emd_from_histograms_matches_split(spark):
+    from pyspark.sql import functions as F
+
+    from ocsf_validator_spark import drift
+
+    rows = [(i % 7 + (3 if i % 2 == 0 else 0),) for i in range(200)]
+    df = spark.createDataFrame(rows, "v long").withColumn(
+        "cur", (F.col("v") % 2 == 0)
+    )
+    a = drift.histogram(df.filter("cur"), "v", "_v")
+    b = drift.histogram(df.filter("NOT cur"), "v", "_v")
+    assert drift.emd_from_histograms(a, b) == drift.emd_split(
+        df, "cur", "v", "_v"
+    )
