@@ -238,6 +238,7 @@ def main() -> None:
         "fd_documents",
         "column_topk",
         "volume_anomaly",
+        "emd_value_drift",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:
