@@ -1050,6 +1050,14 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return keywords.unigram_logprob_score(_t(spark, sf, "documents"))
 
 
+def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Perplexity filter one Markov order up (bigram-conditional
+    negative log-prob under the corpus's own transition counts):
+    transition-scrambled text scores high where the unigram filter is
+    blind. Hash-keyed count streams, map-side gram hashes."""
+    return keywords.bigram_logprob_score(_t(spark, sf, "documents"))
+
+
 def q_exact_quantiles_value(spark: SparkSession, sf: str) -> DataFrame:
     """Exact order-statistic quantiles of events.value via histogram
     narrowing (two partial-agg scans + a boundary-bin window) — never a
@@ -1890,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "tfidf_topterms": q_tfidf_topterms,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "boilerplate_grams": q_boilerplate_grams,
         "strip_boilerplate": q_strip_boilerplate,
         "dup_spans_docs": q_dup_spans,
@@ -3745,6 +3754,31 @@ l AS (
   FROM f)
 SELECT doc_id, ROUND(logit, 6) AS quality_logit, logit > 0 AS keep
 FROM l ORDER BY doc_id
+"""
+
+    # replay of keywords.bigram_logprob_score: same map-side 60-bit
+    # gram/context hashes, hash-keyed count joins, identical double
+    # expression tree tf * ln(cb/cl)
+    sqls["bigram_logprob"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE text IS NOT NULL),
+pr AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 15))::BIGINT AS hb,
+         ('0x' || substr(md5(tk[i]), 1, 15))::BIGINT AS hl
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        FROM d WHERE len(tk) >= 2)),
+tf AS (SELECT doc_id, hb, hl, COUNT(*)::BIGINT AS tf
+       FROM pr GROUP BY 1, 2, 3),
+cb AS (SELECT hb, SUM(tf)::BIGINT AS cb FROM tf GROUP BY 1),
+cl AS (SELECT hl, SUM(tf)::BIGINT AS cl FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+       SUM(tf.tf)::BIGINT AS n_bigrams,
+       ROUND(-SUM(tf.tf * ln(cb.cb::DOUBLE / cl.cl::DOUBLE)) / SUM(tf.tf), 6)
+         AS avg_neg_logprob
+FROM tf JOIN cb ON tf.hb = cb.hb JOIN cl ON tf.hl = cl.hl
+GROUP BY tf.doc_id ORDER BY tf.doc_id
 """
 
     # replay of drift.emd_split/_emd_of_counts: same conditional

@@ -239,6 +239,7 @@ def main() -> None:
         "column_topk",
         "volume_anomaly",
         "emd_value_drift",
+        "bigram_logprob",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -573,3 +573,80 @@ def source_vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average bigram-conditional negative log-probability
+    — the KenLM-style perplexity filter one Markov order up from
+    :func:`unigram_logprob_score`:
+
+        score(d) = - sum_i ln( c(w_{i-1} w_i) / c_ctx(w_{i-1}) )
+                   / (len(d) - 1)
+
+    with c_ctx the context's corpus count AS a bigram start (the MLE
+    conditional denominator, so p in (0, 1]). The corpus scores ITSELF,
+    so every observed transition has count >= 1 — no backoff or
+    smoothing enters, and the score is a pure function of exact corpus
+    counts. Templated/boilerplate text scores near 0 (every transition
+    memorized); unigram-plausible but transition-scrambled text (shuffled
+    words, model babble) scores HIGH — the failure mode the unigram
+    filter is structurally blind to.
+
+    Scale (the pmi_collocations discipline): the token array binds once
+    per row, per-doc (bigram-hash, context-hash) tf rows carry 60-bit
+    md5-prefix hashes computed MAP-SIDE pre-explode — 8-byte ints in
+    every exchange, never gram strings — and the checkpointed tf frame
+    feeds its three consumers (bigram counts, context counts, the
+    per-doc reduction) without re-scanning the source. Both count
+    joins are hash-keyed equi-joins. Docs with < 2 tokens have no
+    transitions and drop (deterministic; mirror in any replay).
+
+    Returns (id_col, n_bigrams, avg_neg_logprob) rounded to 6 dp,
+    ordered by id."""
+    toks = "_tk"
+    gram = f"concat_ws(' ', slice({toks}, i, 2))"
+    left = f"element_at({toks}, i)"
+    pairs = (
+        f"case when size({toks}) >= 2 then "
+        f"transform(sequence(1, size({toks}) - 1), i -> named_struct("
+        f"'hb', {_MD5_60.format(x=gram)}, "
+        f"'hl', {_MD5_60.format(x=left)})) "
+        f"else array() end"
+    )
+    tfb = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col), F.expr(f"split({text_col}, ' ')").alias("_tk")
+        )
+        .select(F.col(id_col), F.explode(F.expr(pairs)).alias("_p"))
+        .select(id_col, F.col("_p.hb").alias("hb"), F.col("_p.hl").alias("hl"))
+        .groupBy(id_col, "hb", "hl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    cb = tfb.groupBy("hb").agg(F.sum("tf").alias("_cb"))
+    cl = tfb.groupBy("hl").agg(F.sum("tf").alias("_cl"))
+    return (
+        tfb.join(cb, "hb")
+        .join(cl, "hl")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(
+                -F.sum(
+                    F.col("tf")
+                    * F.log(
+                        F.col("_cb").cast("double")
+                        / F.col("_cl").cast("double")
+                    )
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+        .orderBy(id_col)
+    )

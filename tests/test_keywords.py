@@ -411,3 +411,47 @@ def test_quality_logit_matches_hand_computation(spark):
         )
         assert got[doc_id] == (round(logit, 6), logit > 0)
     assert got[0][1] is True and got[1][1] is False
+
+
+def test_bigram_logprob_known_values_and_ordering(spark):
+    import math
+
+    from ocsf_validator_spark.pipeline import keywords
+
+    df = spark.createDataFrame(
+        [
+            (0, "x x x x"),      # the only x-transition: p=1, score 0
+            (1, "p q"),          # ctx p seen twice, p(q|p)=1/2
+            (2, "p r"),
+            (3, "solo"),         # <2 tokens: no transitions, drops
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in keywords.bigram_logprob_score(df).collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0].n_bigrams, got[0].avg_neg_logprob) == (3, 0.0)
+    assert got[1].avg_neg_logprob == round(math.log(2), 6)
+    assert got[2].avg_neg_logprob == round(math.log(2), 6)
+
+
+def test_bigram_logprob_catches_transition_scramble(spark):
+    """Same unigram profile, scrambled transitions: the bigram score
+    separates what the unigram score cannot."""
+    from ocsf_validator_spark.pipeline import keywords
+
+    template = "the cat sat on the mat"
+    docs = [(i, template) for i in range(10)]
+    docs.append((10, "mat the on sat cat the"))  # same bag of words
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bi = {
+        r.doc_id: r.avg_neg_logprob
+        for r in keywords.bigram_logprob_score(df).collect()
+    }
+    uni = {
+        r.doc_id: r.avg_neg_logprob
+        for r in keywords.unigram_logprob_score(df).collect()
+    }
+    # identical unigram score (same token multiset)...
+    assert uni[10] == uni[0]
+    # ...but the scramble's transitions are corpus-rare
+    assert bi[10] > bi[0] + 1.0
