@@ -472,6 +472,45 @@ def q_suite_verdicts(
     )
 
 
+def q_verdict_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Run-over-run verdict regression report (verdict.verdict_diff):
+    the scorecard of the even-conversation half (yesterday's snapshot)
+    diffed against the full table (today's) — emits only regressed /
+    fixed / new_fail / gone_fail / still_failing / count_changed rows,
+    change-proportional at any scale."""
+    t = _transcripts(spark, sf)
+    suite = _events_suite()
+    ev = _t(spark, sf, "events")
+
+    def _vd(pred: str | None) -> DataFrame:
+        tt = t.filter(pred) if pred else t
+        base = ev.select(F.col("user_id").cast("string").alias("conv_id"))
+        if pred:
+            base = base.filter(pred)
+        observed = [
+            int(r[0])
+            for r in base.select(md5_bucket_col("conv_id", 8).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        return verdicts(
+            tt,
+            all_violations(tt, suite),
+            suite,
+            num_buckets=8,
+            bucket_expr=md5_bucket_col("conv_id", 8),
+            observed_buckets=observed,
+        )
+
+    from ocsf_validator_spark.verdict import verdict_diff
+
+    before = _vd("CAST(conv_id AS BIGINT) % 2 = 0")
+    after = _vd(None)
+    return verdict_diff(before, after).orderBy(
+        "bucket", "constraint_id", "status"
+    )
+
+
 def q_conversation_stats(spark: SparkSession, sf: str) -> DataFrame:
     return conversation_stats(_transcripts(spark, sf))
 
@@ -1899,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
+        "verdict_diff": q_verdict_diff,
         "boilerplate_grams": q_boilerplate_grams,
         "strip_boilerplate": q_strip_boilerplate,
         "dup_spans_docs": q_dup_spans,
@@ -3754,6 +3794,76 @@ l AS (
   FROM f)
 SELECT doc_id, ROUND(logit, 6) AS quality_logit, logit > 0 AS keep
 FROM l ORDER BY doc_id
+"""
+
+    # replay of verdict.verdict_diff over two suite_verdicts replays
+    # (even-conversation half vs full table): same violation legs, same
+    # bucket/grid/dataset-row construction, parameterized by predicate
+    def _sql_verdicts_cte(name: str, pred: str | None) -> str:
+        pa = f" AND ({pred})" if pred else ""
+        pw = f" WHERE ({pred})" if pred else ""
+        return f"""
+{name}_v AS (
+  SELECT conv_id, 'ref.role' AS constraint_id, 3 AS sev FROM t
+    WHERE role IS NOT NULL
+      AND role NOT IN ('click','view','purchase','signup'){pa}
+  UNION ALL SELECT conv_id, 'deprecated.role', 2 FROM t
+    WHERE role = 'signup'{pa}
+  UNION ALL SELECT conv_id, 'max_len.text', 3 FROM t
+    WHERE text IS NOT NULL AND length(text) > 9{pa}
+  UNION ALL SELECT CAST(NULL AS VARCHAR), 'coverage.role', 2
+),
+{name}_bk AS (SELECT DISTINCT {_sql_bucket('conv_id', 8)} AS bucket
+              FROM t{pw}),
+{name}_vc AS (
+  SELECT CASE WHEN conv_id IS NULL THEN -1
+              ELSE {_sql_bucket('conv_id', 8)} END AS bucket,
+         constraint_id, COUNT(*) AS violation_count, MAX(sev) AS mx
+  FROM {name}_v GROUP BY 1, 2
+),
+{name} AS (
+  SELECT bk.bucket, c.constraint_id,
+         COALESCE(vc.violation_count, 0) AS violation_count,
+         COALESCE(vc.mx, 0) < 3 AS pass
+  FROM {name}_bk bk CROSS JOIN c
+  LEFT JOIN {name}_vc vc
+    ON vc.bucket = bk.bucket AND vc.constraint_id = c.constraint_id
+  UNION ALL
+  SELECT bucket, constraint_id, violation_count, mx < 3
+  FROM {name}_vc WHERE bucket = -1
+)"""
+
+    sqls["verdict_diff"] = f"""
+WITH {_T_CTE},
+c(constraint_id, severity) AS ({_VERDICT_CONSTRAINTS}),
+{_sql_verdicts_cte('vb', "CAST(conv_id AS BIGINT) % 2 = 0")},
+{_sql_verdicts_cte('va', None)},
+j AS (
+  SELECT COALESCE(vb.bucket, va.bucket) AS bucket,
+         COALESCE(vb.constraint_id, va.constraint_id) AS constraint_id,
+         vb.pass AS pass_before, va.pass AS pass_after,
+         vb.violation_count AS count_before,
+         va.violation_count AS count_after
+  FROM vb FULL JOIN va
+    ON vb.bucket = va.bucket AND vb.constraint_id = va.constraint_id
+),
+d AS (
+  SELECT *,
+    CASE
+      WHEN pass_before IS NULL AND NOT pass_after THEN 'new_fail'
+      WHEN pass_after IS NULL AND NOT pass_before THEN 'gone_fail'
+      WHEN pass_before AND NOT pass_after THEN 'regressed'
+      WHEN NOT pass_before AND pass_after THEN 'fixed'
+      WHEN NOT pass_before AND NOT pass_after THEN 'still_failing'
+      WHEN pass_before AND pass_after
+           AND count_before <> count_after THEN 'count_changed'
+    END AS status
+  FROM j)
+SELECT bucket, constraint_id, status, pass_before, pass_after,
+       count_before, count_after,
+       COALESCE(count_after, 0) - COALESCE(count_before, 0) AS count_delta
+FROM d WHERE status IS NOT NULL
+ORDER BY bucket, constraint_id, status
 """
 
     # replay of keywords.bigram_logprob_score: same map-side 60-bit

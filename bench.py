@@ -240,6 +240,7 @@ def main() -> None:
         "volume_anomaly",
         "emd_value_drift",
         "bigram_logprob",
+        "verdict_diff",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

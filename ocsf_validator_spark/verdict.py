@@ -167,3 +167,68 @@ def exit_code_rows(verdict_rows) -> int:
         if not r["pass"]:
             code = 1
     return code
+
+
+def verdict_diff(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Run-over-run verdict regression report — the CI diff surface for
+    two per-(bucket, constraint) scorecards (yesterday's snapshot vs
+    today's, pre-fix vs post-fix, increment N vs N+1). Null-safe full
+    outer join on (bucket, constraint_id); emits ONLY rows where
+    something is wrong or changed:
+
+    - ``regressed``      pass -> fail (the page-someone row)
+    - ``fixed``          fail -> pass
+    - ``new_fail``       bucket/constraint absent before, failing now
+    - ``gone_fail``      was failing, bucket absent now (data vanished
+                         before the defect was resolved)
+    - ``still_failing``  fail -> fail (count_delta shows magnitude)
+    - ``count_changed``  pass -> pass but the violation count moved
+                         (WARNING-class churn below the fail threshold)
+
+    Pass-and-unchanged rows — the overwhelming majority at 10^12 scale
+    — are NOT emitted, so the report is change-proportional. Both
+    inputs are verdict-shaped tiny frames (buckets × constraints); the
+    join is a broadcast in practice."""
+    b = before.select(
+        "bucket",
+        "constraint_id",
+        F.col("pass").alias("_pb"),
+        F.col("violation_count").alias("count_before"),
+    )
+    a = after.select(
+        "bucket",
+        "constraint_id",
+        F.col("pass").alias("_pa"),
+        F.col("violation_count").alias("count_after"),
+    )
+    j = b.join(a, ["bucket", "constraint_id"], "full_outer")
+    pb, pa = F.col("_pb"), F.col("_pa")
+    status = (
+        F.when(pb.isNull() & ~pa, F.lit("new_fail"))
+        .when(pa.isNull() & ~pb, F.lit("gone_fail"))
+        .when(pb & ~pa, F.lit("regressed"))
+        .when(~pb & pa, F.lit("fixed"))
+        .when(~pb & ~pa, F.lit("still_failing"))
+        .when(
+            pb & pa
+            & (F.col("count_before") != F.col("count_after")),
+            F.lit("count_changed"),
+        )
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            "bucket",
+            "constraint_id",
+            "status",
+            F.col("_pb").alias("pass_before"),
+            F.col("_pa").alias("pass_after"),
+            "count_before",
+            "count_after",
+            (
+                F.coalesce(F.col("count_after"), F.lit(0))
+                - F.coalesce(F.col("count_before"), F.lit(0))
+            ).alias("count_delta"),
+        )
+    )

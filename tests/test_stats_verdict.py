@@ -283,3 +283,50 @@ def test_column_topk_plan_hash_keyed_count_and_broadcast_recovery(spark):
     assert not any("val#" in ln for ln in count_parts)
     # winner-string recovery rides a broadcast, not a shuffled join
     assert "BroadcastExchange" in plan
+
+
+def test_verdict_diff_all_statuses_and_silence(spark):
+    from ocsf_validator_spark.verdict import verdict_diff
+
+    schema = (
+        "bucket int, constraint_id string, severity string, "
+        "violation_count long, pass boolean"
+    )
+    before = spark.createDataFrame(
+        [
+            (0, "a", "ERROR", 0, True),    # -> fail: regressed
+            (0, "b", "ERROR", 5, False),   # -> pass: fixed
+            (0, "c", "ERROR", 3, False),   # -> fail: still_failing
+            (0, "d", "WARNING", 2, True),  # count moves: count_changed
+            (0, "e", "ERROR", 0, True),    # unchanged pass: SILENT
+            (1, "a", "ERROR", 9, False),   # bucket gone: gone_fail
+            (1, "e", "ERROR", 0, True),    # bucket gone, was pass: SILENT
+        ],
+        schema,
+    )
+    after = spark.createDataFrame(
+        [
+            (0, "a", "ERROR", 4, False),
+            (0, "b", "ERROR", 0, True),
+            (0, "c", "ERROR", 7, False),
+            (0, "d", "WARNING", 6, True),
+            (0, "e", "ERROR", 0, True),
+            (2, "a", "ERROR", 1, False),   # new bucket failing: new_fail
+            (2, "e", "ERROR", 0, True),    # new bucket passing: SILENT
+        ],
+        schema,
+    )
+    rows = verdict_diff(before, after).collect()
+    got = {(r.bucket, r.constraint_id): r for r in rows}
+    assert got[(0, "a")].status == "regressed"
+    assert got[(0, "b")].status == "fixed"
+    assert (got[(0, "c")].status, got[(0, "c")].count_delta) == (
+        "still_failing",
+        4,
+    )
+    assert got[(0, "d")].status == "count_changed"
+    assert got[(1, "a")].status == "gone_fail"
+    assert got[(2, "a")].status == "new_fail"
+    # pass-and-unchanged rows (0,e), (1,e), (2,e) are not emitted
+    assert set(got) == {(0, "a"), (0, "b"), (0, "c"), (0, "d"),
+                        (1, "a"), (2, "a")}
