@@ -603,3 +603,77 @@ def streaming_turn_stats(
             "max_idx",
         )
     )
+
+
+def streaming_emd(
+    sdf: DataFrame,
+    ref_hist: dict[int, int],
+    bin_expr: str,
+    watermark_col: str = "ts",
+    watermark: str = "1 hour",
+    window: str = "10 minutes",
+    threshold: float = 1.0,
+    min_n: int = 0,
+) -> DataFrame:
+    """Per-event-time-window EMD (Wasserstein-1, bin units) vs a
+    broadcast reference histogram — the streaming leg of the magnitude
+    drift gate (batch: drift.emd_split). Same single-stateful-agg shape
+    as streaming_psi: per-bin conditional counts inside ONE windowed
+    groupBy; the EMD fold over the ordered reference bins is pure
+    column arithmetic over those counts with the reference cumulative
+    counts baked as literals —
+
+        EMD = sum_i |cum_c_i·N_r − cum_r_i·N_c| · gap_i / (N_c·N_r)
+
+    (decimal(38,0) cross-products so corpus-scale windows cannot
+    overflow, one division at the end). Rows binning outside the
+    reference support are excluded from the EMD (EMD needs an ordered
+    support; PSI's "other" lump has no position) but still count in
+    ``n`` — pair with streaming_psi when out-of-support mass itself is
+    the signal. ``min_n`` guards the small-sample false positive, as in
+    streaming_psi. Returns (win_start, win_end, n, emd, drifted);
+    append mode — final once the watermark closes the window."""
+    bins = sorted(int(b) for b in ref_hist)
+    nr = sum(int(ref_hist[b]) for b in bins)
+    cum_r = []
+    acc = 0
+    for b in bins:
+        acc += int(ref_hist[b])
+        cum_r.append(acc)
+    b_col = F.expr(bin_expr).cast("long")
+    aggs = [
+        F.sum(F.when(b_col == int(b), 1).otherwise(0)).alias(f"_c{b}")
+        for b in bins
+    ]
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    win = (
+        sdf.withWatermark(watermark_col, watermark)
+        .groupBy(F.window(F.col(watermark_col), window))
+        .agg(*aggs)
+    )
+    dec = "decimal(38,0)"
+    nc = F.col(f"_c{bins[0]}").cast(dec)
+    for b in bins[1:]:
+        nc = nc + F.col(f"_c{b}").cast(dec)
+    total = F.lit(0).cast(dec)
+    cum_c = F.lit(0).cast(dec)
+    for i, b in enumerate(bins[:-1]):
+        cum_c = cum_c + F.col(f"_c{b}").cast(dec)
+        gap = bins[i + 1] - b
+        total = total + F.abs(
+            cum_c * F.lit(nr).cast(dec)
+            - F.lit(cum_r[i]).cast(dec) * nc
+        ) * F.lit(gap).cast(dec)
+    emd = F.when(
+        nc > 0,
+        total.cast("double") / (nc.cast("double") * F.lit(float(nr))),
+    )
+    return win.select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        F.col("n"),
+        emd.alias("emd"),
+        (
+            (emd >= F.lit(threshold)) & (F.col("n") >= F.lit(int(min_n)))
+        ).alias("drifted"),
+    )

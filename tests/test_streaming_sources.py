@@ -900,3 +900,63 @@ def test_stateful_precedence_across_batches(spark, tmp_path):
         if r.constraint_id == "precedence.role.purchase"
     }
     assert prec_rows == {("c2", 1), ("c3", 2)}
+
+
+def test_streaming_emd_windows(spark, tmp_path):
+    """Streaming EMD vs a broadcast reference histogram: a matching
+    window scores 0 exactly; a window with all mass moved from bin 0 to
+    bin 5 scores the move distance (bins {0,5}, ref 50/50, cur 0/10:
+    |0*100 - 50*10| * 5 / (10*100) = 2.5)."""
+    import time as t
+
+    root = str(tmp_path / "emd_in")
+    os.makedirs(root)
+    # window A matches the reference exactly (5 in bin 0, 5 in bin 5)
+    rows_a = [
+        ("c", 0 if i < 5 else 5, "user", "x", None, "2026-01-01 00:01:00")
+        for i in range(10)
+    ]
+    # window B: all mass in bin 5
+    rows_b = [
+        ("c", 5, "user", "x", None, "2026-01-01 01:01:00")
+        for _ in range(10)
+    ]
+    rows_c = [("c", 0, "user", "x", None, "2026-01-01 09:00:00")]
+    for i, rows in enumerate([rows_a, rows_b, rows_c]):
+        df = spark.createDataFrame(
+            rows, st.TRANSCRIPT_DDL.replace("timestamp", "string")
+        )
+        df.withColumn("ts", df.ts.cast("timestamp")).coalesce(1).write.parquet(
+            f"{root}/b{i}", mode="overwrite"
+        )
+        t.sleep(1.1)
+    sdf = (
+        spark.readStream.schema(st.TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root + "/b*")
+    )
+    out = str(tmp_path / "emd_out")
+    q = (
+        st.streaming_emd(
+            sdf,
+            ref_hist={0: 50, 5: 50},
+            bin_expr="turn_idx",
+            watermark="30 minutes",
+            window="10 minutes",
+            threshold=1.0,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "emd_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.win_start.strftime("%H:%M"): r
+        for r in spark.read.parquet(out).collect()
+    }
+    a = got["00:00"]
+    assert (a.n, a.emd, a.drifted) == (10, 0.0, False)
+    b = got["01:00"]
+    assert (b.n, b.emd, b.drifted) == (10, 2.5, True)
