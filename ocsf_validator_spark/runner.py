@@ -114,6 +114,7 @@ def run_validation(
     max_violation_rows: int | None = None,
     carry_state: DataFrame | None = None,
     fd_carry: "dict[str, DataFrame] | None" = None,
+    diff_verdicts_against: str | None = None,
 ) -> RunResult:
     suite = suite or transcript_suite()
     threshold = Severity.WARNING if strict else Severity.ERROR
@@ -339,12 +340,41 @@ def run_validation(
     lap("verdict")
     if violations_out or quarantine_out:
         viol.unpersist()
+    vd_schema = (
+        "bucket int, constraint_id string, severity string, "
+        "violation_count long, pass boolean"
+    )
     if verdicts_out:
-        spark.createDataFrame(
-            vd_rows,
-            "bucket int, constraint_id string, severity string, "
-            "violation_count long, pass boolean",
-        ).write.mode("append").parquet(verdicts_out)
+        spark.createDataFrame(vd_rows, vd_schema).write.mode(
+            "append"
+        ).parquet(verdicts_out)
+    if diff_verdicts_against:
+        # run-over-run regression report vs a prior run's --verdicts-out
+        # parquet: change-proportional, both sides tiny
+        from ocsf_validator_spark.verdict import verdict_diff
+
+        try:
+            prior = spark.read.parquet(diff_verdicts_against)
+        except Exception as e:
+            say(f"[WARN] --diff-verdicts: cannot read prior verdicts: {e}")
+            prior = None
+        if prior is not None:
+            cur = spark.createDataFrame(vd_rows, vd_schema)
+            drows = (
+                verdict_diff(prior, cur)
+                .orderBy("bucket", "constraint_id", "status")
+                .collect()
+            )
+            say(f"verdict diff vs {diff_verdicts_against}: "
+                f"{len(drows)} changed row(s)")
+            for r in drows[:200]:
+                say(
+                    f"[DIFF {r.status:>13}] bucket={r.bucket} "
+                    f"{r.constraint_id:<32} "
+                    f"count {r.count_before} -> {r.count_after}"
+                )
+            if len(drows) > 200:
+                say(f"  ... {len(drows) - 200} more diff rows")
 
     summary = summarize_rows(vd_rows)
     n_violations = int(sum(s["violation_count"] for s in summary))
@@ -564,6 +594,12 @@ def main(argv: list[str] | None = None) -> int:
         "constraint fails a large fraction of a huge table",
     )
     p.add_argument("--verdicts-out")
+    p.add_argument(
+        "--diff-verdicts",
+        help="prior run's --verdicts-out parquet: print a run-over-run "
+        "verdict regression report (regressed/fixed/new_fail/gone_fail/"
+        "still_failing/count_changed) against it",
+    )
     p.add_argument(
         "--quarantine-out",
         metavar="PATH",
@@ -843,6 +879,7 @@ def main(argv: list[str] | None = None) -> int:
         max_violation_rows=args.max_violation_rows,
         carry_state=carry_state,
         fd_carry=fd_carry,
+        diff_verdicts_against=args.diff_verdicts,
     )
     if inc_files is not None and res.exit_code != 2:
         # commit the file ledger only after the bucket manifest landed:

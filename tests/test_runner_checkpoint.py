@@ -434,3 +434,38 @@ def test_cli_sample_mode(spark, tmp_path, capsys):
     # malformed specs exit 2 before any data job
     assert main(["--input", inp, "--sample", "nonsense"]) == 2
     assert main(["--input", inp, "--sample", "5:4"]) == 2
+
+
+def test_diff_verdicts_cli_reports_regression(spark, tmp_path, capsys):
+    """--diff-verdicts against a prior run's --verdicts-out parquet:
+    run 1 on clean data, run 2 on data with an injected bad role —
+    the diff report names the regressed constraint."""
+    from ocsf_validator_spark.runner import main
+
+    clean = [
+        ("a", 0, "user", "t0", None, "2026-01-01 00:00:00"),
+        ("a", 1, "assistant", "t1", None, "2026-01-01 00:00:01"),
+    ]
+    dirty = clean + [
+        ("a", 2, "not_a_role", "t2", None, "2026-01-01 00:00:02"),
+    ]
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    )
+
+    def write(rows, name):
+        p = str(tmp_path / name)
+        df = spark.createDataFrame(rows, ddl)
+        df.withColumn("ts", df.ts.cast("timestamp")).write.parquet(p)
+        return p
+
+    in1, in2 = write(clean, "in1"), write(dirty, "in2")
+    vd1 = str(tmp_path / "vd1")
+    assert main(["--input", in1, "--buckets", "4",
+                 "--verdicts-out", vd1]) == 0
+    assert main(["--input", in2, "--buckets", "4",
+                 "--diff-verdicts", vd1]) == 1
+    out = capsys.readouterr().out
+    assert "verdict diff vs" in out
+    assert "regressed" in out and "ref.role" in out
