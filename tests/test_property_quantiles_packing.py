@@ -226,3 +226,50 @@ def test_scrub_equal_python_re(spark, texts):
         for _, p, repl in PII_PATTERNS:
             out = re.sub(p, repl, out)
         assert got[i] == (*counts, out), repr(t)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2", None]),   # determinant
+            st.sampled_from(["a", "b", "c", None]),      # dependent
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_fd_matches_pure_python_reference(spark, rows):
+    """fd_violations == the naive per-group reference for every mix of
+    NULL determinants, NULL dependents, and all-NULL groups."""
+    from ocsf_validator_spark.spec import ConstraintSet, FunctionalDependency
+    from ocsf_validator_spark.violations import fd_violations
+
+    data = [(f"c{i}", 0, d, v) for i, (d, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, det string, dep string"
+    )
+    got = {
+        r.conv_id
+        for r in fd_violations(
+            df,
+            ConstraintSet("t").add(
+                FunctionalDependency(column="dep", determinants=("det",))
+            ),
+        ).collect()
+    }
+    # naive reference: group rows by det (None its own group); canonical
+    # = min non-null dep; every row whose dep differs violates
+    groups: dict = {}
+    for cid, _, d, v in data:
+        groups.setdefault(d, []).append((cid, v))
+    want = set()
+    for members in groups.values():
+        vals = [v for _, v in members if v is not None]
+        if not vals:
+            continue
+        canon = min(vals)
+        for cid, v in members:
+            if v != canon:
+                want.add(cid)
+    assert got == want
