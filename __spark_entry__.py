@@ -287,6 +287,25 @@ def q_fd_documents(spark: SparkSession, sf: str) -> DataFrame:
     return fd_violations(d, suite, keys=("doc_id",)).orderBy("doc_id")
 
 
+def q_quantile_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """QuantileBound constraint kind: exact-order-statistic thresholds
+    as dataset findings (Deequ hasQuantile made exact) — p99 of
+    turn_idx bounded above 0.5 (fires: some conversation has a second
+    turn) and the median bounded below 0 (passes). Observed values
+    render %.6f so the DuckDB rank-formula replay prints the identical
+    reason."""
+    from ocsf_validator_spark.spec import QuantileBound
+
+    suite = ConstraintSet(
+        name="quantiles",
+        constraints=[
+            QuantileBound(column="turn_idx", q=0.99, hi=0.5),
+            QuantileBound(column="turn_idx", q=0.5, lo=0),
+        ],
+    )
+    return all_violations(_transcripts(spark, sf), suite)
+
+
 def q_ann_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
     """Int8-quantized ANN top-k (similarity.ann_topk_int8): per-vector
     symmetric max-abs quantization with explicit half-up rounding, an
@@ -1893,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_topk": q_column_topk,
         "volume_anomaly": q_volume_anomaly,
         "emd_value_drift": q_emd_value_drift,
+        "quantile_bounds": q_quantile_bounds,
         "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
@@ -3794,6 +3814,24 @@ l AS (
   FROM f)
 SELECT doc_id, ROUND(logit, 6) AS quality_logit, logit > 0 AS keep
 FROM l ORDER BY doc_id
+"""
+
+    # replay of the QuantileBound findings: exact order statistic via
+    # the rank formula floor((n-1)*q)+1, %.6f render on both engines
+    sqls["quantile_bounds"] = f"""
+WITH {_T_CTE},
+v AS (SELECT turn_idx::DOUBLE AS v FROM t WHERE turn_idx IS NOT NULL),
+n AS (SELECT COUNT(*) AS n FROM v),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+q AS (SELECT (SELECT r.v FROM r, n
+              WHERE r.rn = CAST(floor((n.n - 1) * 0.99) AS BIGINT) + 1)
+         AS p99)
+SELECT 'quantile.0.99.turn_idx' AS constraint_id,
+       CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS INTEGER) AS turn_idx,
+       'quantile(0.99, turn_idx) = ' || printf('%.6f', q.p99)
+         || ' above max 0.5' AS reason,
+       'ERROR' AS severity
+FROM q WHERE q.p99 > 0.5
 """
 
     # replay of verdict.verdict_diff over two suite_verdicts replays

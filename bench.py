@@ -241,6 +241,7 @@ def main() -> None:
         "emd_value_drift",
         "bigram_logprob",
         "verdict_diff",
+        "quantile_bounds",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -51,6 +51,7 @@ from ocsf_validator_spark.spec import (
     NotNull,
     OpeningRole,
     Precedence,
+    QuantileBound,
     Range,
     Regex,
     Severity,
@@ -106,6 +107,7 @@ _KINDS: dict[str, type[Constraint]] = {
     "check": Check,
     "fd": FunctionalDependency,
     "metric": MetricBound,
+    "quantile": QuantileBound,
     "schema": AllowedColumns,
     "coverage": EnumCoverage,
     "map_keys": MapKeysIn,

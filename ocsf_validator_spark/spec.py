@@ -454,6 +454,38 @@ class MetricBound(Constraint):
 
 
 @dataclass(frozen=True)
+class QuantileBound(Constraint):
+    """Dataset-level exact-quantile threshold (the Deequ
+    ``hasApproxQuantile`` / Great-Expectations
+    ``expect_column_quantile_values_to_be_between`` shape, made exact):
+    the ``q``-quantile of ``column`` must land inside ``[lo, hi]``
+    (either side open when None) — "p99 of text length ≤ 4 KiB",
+    "median turn count ≥ 2".
+
+    The quantile is the EXACT order statistic (quantiles.exact_quantiles:
+    rank floor((n−1)·q)+1 via histogram narrowing — a handful of
+    column-pruned scans, bounded driver state, no global sort). No
+    approx sketch on purpose: a bound on an engine-specific sketch is
+    not oracle-replayable and can flip between engines/runs — the same
+    reasoning that keeps MetricBound.distinct_count exact. NULL/NaN are
+    excluded (they have no place in a total order); an empty/all-NULL
+    column yields no quantile and the bound is skipped (emptiness is
+    row_count's / null_rate's job). Multiple QuantileBounds on one
+    column share a single exact_quantiles pass. Observed values render
+    with a fixed %.6f format so any SQL replay prints the identical
+    reason. Emitted as a dataset finding (NULL row keys)."""
+
+    q: float = 0.5
+    lo: Any = None
+    hi: Any = None
+    KIND = "quantile"
+
+    @property
+    def constraint_id(self) -> str:
+        return self.id_override or f"{self.KIND}.{self.q}.{self.column}"
+
+
+@dataclass(frozen=True)
 class EnumCoverage(Constraint):
     """Unused dictionary attribute (reference validate_unused_attrs,
     validators.py:169-198): enum values never observed in the data are
@@ -472,7 +504,7 @@ ROW_LEVEL = (
 GROUP_LEVEL = (
     Unique, TurnOrdering, Monotonic, Precedence, OpeningRole, Alternation
 )
-DATASET_LEVEL = (AllowedColumns, EnumCoverage, MetricBound)
+DATASET_LEVEL = (AllowedColumns, EnumCoverage, MetricBound, QuantileBound)
 KEY_LEVEL = (FunctionalDependency,)
 RESIDUAL_LEVEL = (PandasCheck,)
 

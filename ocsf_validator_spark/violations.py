@@ -46,6 +46,7 @@ from ocsf_validator_spark.spec import (
     Monotonic,
     OpeningRole,
     Precedence,
+    QuantileBound,
     Severity,
     TurnOrdering,
     Unique,
@@ -1229,6 +1230,50 @@ def dataset_findings(
                     f"{c.metric}({c.column}) = {v} above max {c.hi}",
                     c.severity.name,
                 ))
+    qb = [c for c in suite.dataset_level() if isinstance(c, QuantileBound)]
+    for c in [x for x in qb if x.column not in df.columns]:
+        rows.append(
+            (
+                c.constraint_id,
+                *nulls,
+                f"column(s) {c.column} do not resolve in schema; "
+                "constraint not evaluated",
+                c.severity.name,
+            )
+        )
+    qb = [c for c in qb if c.column in df.columns]
+    if qb and include_coverage:
+        # exact order statistics via histogram narrowing; all bounds on
+        # one column share a single exact_quantiles pass. %.6f render
+        # so a SQL replay prints the identical reason.
+        from ocsf_validator_spark.pipeline.quantiles import exact_quantiles
+
+        by_col: dict[str, list] = {}
+        for c in qb:
+            by_col.setdefault(c.column, []).append(c)
+        for col_name, cs_ in by_col.items():
+            got = {
+                float(r["q"]): float(r["value"])
+                for r in exact_quantiles(
+                    df, col_name, qs=tuple(sorted({float(c.q) for c in cs_}))
+                ).collect()
+            }
+            for c in cs_:
+                v = got.get(float(c.q))
+                if v is None:
+                    continue  # empty/all-NULL column: nothing to bound
+                if c.lo is not None and v < float(c.lo):
+                    rows.append((
+                        c.constraint_id, *nulls,
+                        f"quantile({c.q}, {c.column}) = {v:.6f} "
+                        f"below min {c.lo}", c.severity.name,
+                    ))
+                if c.hi is not None and v > float(c.hi):
+                    rows.append((
+                        c.constraint_id, *nulls,
+                        f"quantile({c.q}, {c.column}) = {v:.6f} "
+                        f"above max {c.hi}", c.severity.name,
+                    ))
     return spark.createDataFrame(rows, schema)
 
 

@@ -283,3 +283,62 @@ def test_runner_piggybacks_metric_bounds(spark):
             "--metric-bound", "conv_id:distinct_count,min=999999",
         ]
     ) == 1
+
+
+def test_quantile_bounds_fire_pass_and_share_one_pass(spark):
+    from ocsf_validator_spark.spec import ConstraintSet, QuantileBound
+
+    # values 0..9: median = 4.0 (rank floor(9*0.5)+1 = 5), p90 = 8.0
+    df = spark.createDataFrame(
+        [("c", i, float(i)) for i in range(10)],
+        "conv_id string, turn_idx int, v double",
+    )
+    suite = ConstraintSet("q").add(
+        QuantileBound(column="v", q=0.5, hi=3),     # 4.0 > 3: fires
+        QuantileBound(column="v", q=0.9, lo=8),     # 8.0 >= 8: passes
+        QuantileBound(column="v", q=0.9, hi=7.5,    # 8.0 > 7.5: fires
+                      id_override="quantile.p90cap"),
+    )
+    rows = {r.constraint_id: r.reason for r in dataset_findings(df, suite).collect()}
+    assert rows["quantile.0.5.v"] == (
+        "quantile(0.5, v) = 4.000000 above max 3"
+    )
+    assert rows["quantile.p90cap"] == (
+        "quantile(0.9, v) = 8.000000 above max 7.5"
+    )
+    assert "quantile.0.9.v" not in rows
+
+
+def test_quantile_bounds_null_column_and_unresolvable(spark):
+    from ocsf_validator_spark.spec import ConstraintSet, QuantileBound
+
+    df = spark.createDataFrame(
+        [("c", 0, None)], "conv_id string, turn_idx int, v double"
+    )
+    suite = ConstraintSet("q").add(
+        QuantileBound(column="v", q=0.5, hi=3),      # all-NULL: skipped
+        QuantileBound(column="nope", q=0.5, hi=3),   # reported
+    )
+    rows = dataset_findings(df, suite).collect()
+    assert len(rows) == 1
+    assert rows[0].constraint_id == "quantile.0.5.nope"
+    assert "do not resolve" in rows[0].reason
+
+
+def test_quantile_bound_registry_round_trip(spark):
+    from ocsf_validator_spark.inherit import resolve
+    from ocsf_validator_spark.spec import (
+        ConstraintSet,
+        QuantileBound,
+        suite_to_registry,
+    )
+
+    suite = ConstraintSet("qs").add(QuantileBound(column="v", q=0.99, hi=10))
+    reg = suite_to_registry(suite)
+    spec = reg["qs"]["constraints"]["quantile.0.99.v"]
+    assert spec == {"kind": "quantile", "column": "v", "severity": "ERROR",
+                    "q": 0.99, "hi": 10}
+    rebuilt = resolve(reg, "qs").constraints[0]
+    assert rebuilt == suite.constraints[0].__class__(
+        column="v", q=0.99, hi=10, id_override="quantile.0.99.v"
+    )
