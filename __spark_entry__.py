@@ -145,6 +145,17 @@ def q_suite_violations(spark: SparkSession, sf: str) -> DataFrame:
     return all_violations(_transcripts(spark, sf), _events_suite())
 
 
+def q_worst_conversations(spark: SparkSession, sf: str) -> DataFrame:
+    """Triage report (violations.top_offending_groups): the 20
+    conversations with the most suite violations, with how many
+    distinct constraints each trips — runs over the defect-proportional
+    violations frame, one partial-agg exchange + TakeOrderedAndProject."""
+    from ocsf_validator_spark.violations import top_offending_groups
+
+    v = all_violations(_transcripts(spark, sf), _events_suite())
+    return top_offending_groups(v, "conv_id", k=20)
+
+
 def q_precedence_purchase(spark: SparkSession, sf: str) -> DataFrame:
     """Sequential-structure check (spec.Precedence): a 'purchase' turn
     requires a prior 'view'/'click' in the same conversation — the
@@ -1896,6 +1907,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "suite_violations": q_suite_violations,
+        "worst_conversations": q_worst_conversations,
         "precedence_purchase": q_precedence_purchase,
         "opening_role_events": q_opening_role_events,
         "alternation_roles": q_alternation_roles,
@@ -2053,6 +2065,17 @@ def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
     sqls["suite_violations"] = f"WITH {_T_CTE} {_SUITE_VIOLATION_LEGS}"
+
+    # replay of violations.top_offending_groups over the same suite
+    # violation legs (dataset findings have NULL conv_id and are
+    # excluded by construction here: every leg emits a conv_id)
+    sqls["worst_conversations"] = f"""
+WITH base AS (WITH {_T_CTE} {_SUITE_VIOLATION_LEGS})
+SELECT conv_id, COUNT(*)::BIGINT AS n_violations,
+       COUNT(DISTINCT constraint_id)::BIGINT AS n_constraints
+FROM base WHERE conv_id IS NOT NULL
+GROUP BY conv_id ORDER BY n_violations DESC, conv_id ASC LIMIT 20
+"""
 
     sqls["precedence_purchase"] = f"""
 WITH {_T_CTE},

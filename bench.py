@@ -242,6 +242,7 @@ def main() -> None:
         "bigram_logprob",
         "verdict_diff",
         "quantile_bounds",
+        "worst_conversations",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -1587,3 +1587,28 @@ def split_quarantine(
         df.join(bad, key_list, "left_anti"),
         df.join(bad, key_list, "left_semi"),
     )
+
+
+def top_offending_groups(
+    viol: DataFrame,
+    group_col: str = "conv_id",
+    k: int = 20,
+) -> DataFrame:
+    """Triage report: the k groups (conversations) with the most
+    violations — (group, n_violations, n_constraints), ranked
+    (n_violations DESC, group ASC) so the order is total. Runs over the
+    defect-proportional violations frame, never the input table: one
+    partial-agg exchange on the group key (count + exact distinct
+    constraint over a tiny per-group constraint set), then
+    TakeOrderedAndProject — no global single-reducer window. Dataset
+    findings (NULL group) are excluded; they have no group to triage."""
+    return (
+        viol.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_violations"),
+            F.count_distinct(F.col("constraint_id")).alias("n_constraints"),
+        )
+        .orderBy(F.col("n_violations").desc(), F.col(group_col).asc())
+        .limit(k)
+    )

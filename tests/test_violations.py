@@ -424,3 +424,23 @@ def test_runner_quarantine_out(spark, transcripts, tmp_path):
     out = spark.read.parquet(qdir)
     assert set(out.columns) == set(transcripts.columns)
     assert 0 < out.count() < transcripts.count()
+
+
+def test_top_offending_groups_rank_and_ties(spark):
+    from ocsf_validator_spark.violations import top_offending_groups
+
+    viol = spark.createDataFrame(
+        [
+            ("x", "a", 0), ("x", "a", 1), ("x", "b", 2),   # 3 viols, 2 cons
+            ("y", "a", 0), ("y", "a", 1), ("y", "a", 2),   # 3 viols, 1 con
+            ("z", "a", 0),                                  # 1 viol
+            (None, "schema", None),                         # dataset: excluded
+        ],
+        "conv_id string, constraint_id string, turn_idx int",
+    )
+    rows = top_offending_groups(viol, "conv_id", k=2).collect()
+    # tie on 3 violations breaks by conv_id ascending: x before y
+    assert [(r.conv_id, r.n_violations, r.n_constraints) for r in rows] == [
+        ("x", 3, 2),
+        ("y", 3, 1),
+    ]
