@@ -572,11 +572,32 @@ def main(argv: list[str] | None = None) -> int:
         "distinct_count,min=1000. All bounds share one aggregation job",
     )
     p.add_argument(
+        "--fd",
+        action="append",
+        default=[],
+        metavar="DET1,DET2=DEP",
+        help="add a FunctionalDependency constraint (repeatable): rows "
+        "agreeing on the determinant columns must agree on DEP, e.g. "
+        "--fd source=lang (one source, one language). Own "
+        "partial-agg leg; group state carried across --incremental runs",
+    )
+    p.add_argument(
+        "--quantile-bound",
+        action="append",
+        default=[],
+        metavar="COL:Q[,min=X][,max=Y]",
+        help="add a dataset-level exact-quantile threshold "
+        "(repeatable): the Q-quantile of COL must land inside "
+        "[min, max], e.g. --quantile-bound text_len:0.99,max=4096. "
+        "Exact order statistic; bounds on one column share one pass",
+    )
+    p.add_argument(
         "--dump-suite",
         metavar="PATH",
         help="write the EFFECTIVE suite (after --suite-json resolution, "
-        "--severity remaps, and every --check/--metric-bound/"
-        "--precedence/--opening/--alternation addition) as a registry "
+        "--severity remaps, and every --check/--metric-bound/--fd/"
+        "--quantile-bound/--precedence/--opening/--alternation addition) "
+        "as a registry "
         "JSON consumable by --suite-json — snapshot/diff/version the "
         "validation config as data",
     )
@@ -822,6 +843,42 @@ def main(argv: list[str] | None = None) -> int:
                 )
         except ValueError as e:
             print(f"[FATAL] bad --check/--metric-bound: {e}")
+            return 2
+
+    if args.fd or args.quantile_bound:
+        from ocsf_validator_spark.spec import FunctionalDependency, QuantileBound
+
+        suite = suite or transcript_suite()
+
+        def _num(v: str):
+            return float(v) if "." in v or "e" in v else int(v)
+
+        try:
+            for s_ in args.fd:
+                dets, _, dep = s_.partition("=")
+                det = tuple(x for x in dets.split(",") if x)
+                if not (det and dep):
+                    raise ValueError(s_)
+                suite.add(FunctionalDependency(column=dep, determinants=det))
+            for s_ in args.quantile_bound:
+                head, _, opts = s_.partition(",")
+                col, _, qtxt = head.partition(":")
+                lo = hi = None
+                for kv in filter(None, opts.split(",")):
+                    k, _, v = kv.partition("=")
+                    if k == "min":
+                        lo = _num(v)
+                    elif k == "max":
+                        hi = _num(v)
+                    else:
+                        raise ValueError(s_)
+                if not (col and qtxt) or (lo is None and hi is None):
+                    raise ValueError(s_)
+                suite.add(
+                    QuantileBound(column=col, q=float(qtxt), lo=lo, hi=hi)
+                )
+        except ValueError as e:
+            print(f"[FATAL] bad --fd/--quantile-bound: {e}")
             return 2
 
     if args.precedence or args.opening or args.alternation:

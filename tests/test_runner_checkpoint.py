@@ -469,3 +469,42 @@ def test_diff_verdicts_cli_reports_regression(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "verdict diff vs" in out
     assert "regressed" in out and "ref.role" in out
+
+
+def test_fd_and_quantile_cli_flags(spark, tmp_path, capsys):
+    """--fd and --quantile-bound compose into the suite from the CLI
+    and round-trip through --dump-suite."""
+    import json
+
+    from ocsf_validator_spark.runner import main
+
+    rows = [
+        ("a", 0, "user", "t0", "search", "2026-01-01 00:00:00"),
+        ("a", 1, "assistant", "t1", "browser", "2026-01-01 00:00:01"),
+        ("b", 0, "user", "t0", "calc", "2026-01-01 00:01:00"),
+    ]
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    )
+    p = str(tmp_path / "in")
+    df = spark.createDataFrame(rows, ddl)
+    df.withColumn("ts", df.ts.cast("timestamp")).write.parquet(p)
+    dump = str(tmp_path / "suite.json")
+    code = main([
+        "--input", p, "--buckets", "4",
+        "--fd", "conv_id=tool",                    # conv a uses 2 tools
+        "--quantile-bound", "turn_idx:0.99,max=0.5",  # p99 = 1 > 0.5
+        "--dump-suite", dump,
+    ])
+    assert code == 1
+    out = capsys.readouterr().out
+    assert "fd.conv_id->tool" in out and "FAILED" in out
+    assert "quantile.0.99.turn_idx" in out
+    reg = json.load(open(dump))
+    cs = reg["transcripts"]["constraints"]
+    assert cs["fd.conv_id->tool"]["kind"] == "fd"
+    assert cs["quantile.0.99.turn_idx"] == {
+        "kind": "quantile", "column": "turn_idx", "severity": "ERROR",
+        "q": 0.99, "hi": 0.5,
+    }
