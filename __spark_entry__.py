@@ -1524,6 +1524,21 @@ def q_repetition_profile(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.repetition_profile(_t(spark, sf, "documents"), n=2)
 
 
+def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/val split-leakage report (decontam.split_leakage): exact
+    content keys present on BOTH sides of an even/odd doc_id split —
+    the self-holdout form of contamination. One hash-keyed exchange,
+    leakage-proportional output, the raw text never shuffles."""
+    d = _t(spark, sf, "documents")
+    # the synthetic corpus has no full-text duplicates straddling the
+    # split, so key on the 100-char prefix — the template-leakage form
+    # (boilerplate openings shared across the split); pass key_expr for
+    # any other canonicalization
+    return decontam.split_leakage(
+        d, "doc_id % 2 = 0", key_expr="md5(substr(text, 1, 100))"
+    )
+
+
 def q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination scores (decontam.contamination_scores):
     documents split deterministically — md5₃₂(doc_id) % 20 == 0 is the
@@ -2010,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": q_token_budget_select,
         "repetition_profile": q_repetition_profile,
         "decontam_overlap": q_decontam_overlap,
+        "split_leakage": q_split_leakage,
         "curation_pipeline": q_curation_pipeline,
         "star_revenue_region": q_star_revenue_region,
         "salted_join_events": q_salted_join_events,
@@ -4233,6 +4249,21 @@ FROM g LEFT JOIN m USING (doc_id)
     # per-doc dedup, and the membership join — so hash membership is
     # bit-identical across engines. Zero-gram corpus docs re-enter via
     # the z LEFT JOIN (Spark keeps them via explode_outer).
+    # replay of decontam.split_leakage: same md5 content key, same
+    # conditional per-side counts
+    sqls["split_leakage"] = """
+WITH t AS (
+  SELECT md5(substr(text, 1, 100)) AS content_key,
+         (doc_id % 2 = 0) AS is_train
+  FROM documents WHERE text IS NOT NULL)
+SELECT content_key,
+       SUM(CASE WHEN is_train THEN 1 ELSE 0 END)::BIGINT AS n_train,
+       SUM(CASE WHEN is_train THEN 0 ELSE 1 END)::BIGINT AS n_val
+FROM t GROUP BY content_key
+HAVING n_train > 0 AND n_val > 0
+ORDER BY content_key
+"""
+
     sqls["decontam_overlap"] = """
 WITH base AS (
   SELECT doc_id, string_split(text, ' ') AS toks,

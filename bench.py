@@ -243,6 +243,7 @@ def main() -> None:
         "verdict_diff",
         "quantile_bounds",
         "worst_conversations",
+        "split_leakage",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -159,3 +159,43 @@ def decontaminate(
         .select(id_col)
     )
     return docs.join(bad, id_col, "left_anti")
+
+
+def split_leakage(
+    df: DataFrame,
+    split_pred: str,
+    text_col: str = "text",
+    key_expr: str | None = None,
+) -> DataFrame:
+    """Train/val split-leakage report: content keys present on BOTH
+    sides of a split — the exact-duplicate form of benchmark
+    contamination, applied to one's own holdout (a val doc whose exact
+    content also sits in train inflates every eval number; the n-gram
+    overlap form is :func:`contamination_scores`). ``split_pred`` is a
+    SQL predicate marking the train side; NULL-predicate rows are
+    ignored. ``key_expr`` defaults to md5 of the raw text — pass
+    render/canonicalization keys for looser equality.
+
+    ONE exchange: groupBy(content key) with conditional per-side counts
+    (partial agg collapses map-side to |distinct keys|), filter to keys
+    seen on both sides — output is leakage-proportional, the raw text
+    never shuffles. Returns (content_key, n_train, n_val) ordered by
+    key."""
+    key = key_expr or f"md5({text_col})"
+    tagged = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.expr(key).alias("content_key"),
+            F.expr(split_pred).alias("_is_train"),
+        )
+        .filter(F.col("_is_train").isNotNull())
+    )
+    return (
+        tagged.groupBy("content_key")
+        .agg(
+            F.sum(F.col("_is_train").cast("long")).alias("n_train"),
+            F.sum((~F.col("_is_train")).cast("long")).alias("n_val"),
+        )
+        .filter((F.col("n_train") > 0) & (F.col("n_val") > 0))
+        .orderBy("content_key")
+    )

@@ -165,3 +165,52 @@ def test_mode_fold_matches_relational_mode(spark):
     # docs with no bigrams are NULL in the fold output and absent here
     for doc_id in set(fold) - set(rel):
         assert fold[doc_id] is None
+
+
+def test_split_leakage_semantics(spark):
+    from ocsf_validator_spark.pipeline.decontam import split_leakage
+
+    df = spark.createDataFrame(
+        [
+            (0, "leaked body"),     # train
+            (1, "leaked body"),     # val  -> leaks
+            (2, "train only"),
+            (4, "train only"),      # duplicated WITHIN train: no leak
+            (3, "val only"),
+            (5, None),              # NULL text ignored
+        ],
+        "doc_id long, text string",
+    )
+    rows = split_leakage(df, "doc_id % 2 = 0").collect()
+    assert len(rows) == 1
+    assert (rows[0].n_train, rows[0].n_val) == (1, 1)
+    # custom key: prefix equality catches template leakage
+    df2 = spark.createDataFrame(
+        [(0, "TEMPLATE: alpha"), (1, "TEMPLATE: beta")],
+        "doc_id long, text string",
+    )
+    assert split_leakage(df2, "doc_id % 2 = 0").count() == 0
+    assert (
+        split_leakage(
+            df2, "doc_id % 2 = 0", key_expr="md5(substr(text, 1, 9))"
+        ).count()
+        == 1
+    )
+
+
+def test_split_leakage_plan_no_text_in_exchange(spark):
+    from ocsf_validator_spark.pipeline.decontam import split_leakage
+
+    df = spark.createDataFrame(
+        [(0, "body")], "doc_id long, text string"
+    )
+    plan = (
+        split_leakage(df, "doc_id % 2 = 0")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exchanges = [
+        ln for ln in plan.splitlines() if "hashpartitioning" in ln
+    ]
+    assert exchanges and all("text#" not in ln for ln in exchanges)
