@@ -317,6 +317,21 @@ def q_quantile_bounds(spark: SparkSession, sf: str) -> DataFrame:
     return all_violations(_transcripts(spark, sf), suite)
 
 
+def q_volume_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """VolumeGate constraint kind: the volume anomaly monitor folded
+    into the suite — per-day buckets of the transcripts' ts outside
+    median ± 1·MAD of the day-count series land as WARNING dataset
+    findings (k=1 here so the synthetic series flags; production uses
+    the default k=3)."""
+    from ocsf_validator_spark.spec import VolumeGate
+
+    suite = ConstraintSet(
+        name="volume",
+        constraints=[VolumeGate(column="ts", granularity="day", k=1)],
+    )
+    return all_violations(_transcripts(spark, sf), suite).orderBy("reason")
+
+
 def q_ann_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
     """Int8-quantized ANN top-k (similarity.ann_topk_int8): per-vector
     symmetric max-abs quantization with explicit half-up rounding, an
@@ -1940,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_anomaly": q_volume_anomaly,
         "emd_value_drift": q_emd_value_drift,
         "quantile_bounds": q_quantile_bounds,
+        "volume_gate": q_volume_gate,
         "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
@@ -3853,6 +3869,36 @@ l AS (
   FROM f)
 SELECT doc_id, ROUND(logit, 6) AS quality_logit, logit > 0 AS keep
 FROM l ORDER BY doc_id
+"""
+
+    # replay of the VolumeGate findings: same day-count series, exact
+    # MAD fences (the volume_anomaly replay), %.6f + strftime render
+    sqls["volume_gate"] = f"""
+WITH {_T_CTE},
+c AS (
+  SELECT date_trunc('day', ts) AS bucket, COUNT(*)::BIGINT AS cnt
+  FROM t WHERE ts IS NOT NULL GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM c),
+r AS (SELECT cnt::DOUBLE AS v, row_number() OVER (ORDER BY cnt::DOUBLE) AS rn
+      FROM c),
+m AS (SELECT (SELECT r.v FROM r, n
+              WHERE r.rn = CAST(floor((n.n - 1) * 0.5) AS BIGINT) + 1) AS med),
+d AS (SELECT abs(c.cnt::DOUBLE - m.med) AS dv FROM c, m),
+rd AS (SELECT dv, row_number() OVER (ORDER BY dv) AS rn FROM d),
+md AS (SELECT (SELECT rd.dv FROM rd, n
+               WHERE rd.rn = CAST(floor((n.n - 1) * 0.5) AS BIGINT) + 1) AS mad),
+f AS (SELECT m.med, md.mad, m.med - 1 * md.mad AS lo,
+             m.med + 1 * md.mad AS hi FROM m, md)
+SELECT 'volume.day.ts' AS constraint_id,
+       CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS INTEGER) AS turn_idx,
+       'volume(day, ts) bucket ' || strftime(c.bucket, '%Y-%m-%d %H:%M:%S')
+         || ' = ' || c.cnt || ' outside [' || printf('%.6f', f.lo) || ', '
+         || printf('%.6f', f.hi) || '] (median ' || printf('%.6f', f.med)
+         || ', mad ' || printf('%.6f', f.mad) || ')' AS reason,
+       'WARNING' AS severity
+FROM c CROSS JOIN f
+WHERE c.cnt::DOUBLE < f.lo OR c.cnt::DOUBLE > f.hi
+ORDER BY reason
 """
 
     # replay of the QuantileBound findings: exact order statistic via

@@ -244,6 +244,7 @@ def main() -> None:
         "quantile_bounds",
         "worst_conversations",
         "split_leakage",
+        "volume_gate",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -58,6 +58,7 @@ from ocsf_validator_spark.spec import (
     TurnOrdering,
     TypeCast,
     Unique,
+    VolumeGate,
 )
 
 
@@ -108,6 +109,7 @@ _KINDS: dict[str, type[Constraint]] = {
     "fd": FunctionalDependency,
     "metric": MetricBound,
     "quantile": QuantileBound,
+    "volume": VolumeGate,
     "schema": AllowedColumns,
     "coverage": EnumCoverage,
     "map_keys": MapKeysIn,

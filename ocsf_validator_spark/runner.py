@@ -592,6 +592,17 @@ def main(argv: list[str] | None = None) -> int:
         "Exact order statistic; bounds on one column share one pass",
     )
     p.add_argument(
+        "--volume-gate",
+        action="append",
+        default=[],
+        metavar="COL:GRANULARITY[,k=N]",
+        help="add a VolumeGate constraint (repeatable): buckets of "
+        "date_trunc(GRANULARITY, COL) whose row count falls outside "
+        "median ± k*MAD of the bucket-count series become WARNING "
+        "findings, e.g. --volume-gate ts:day,k=3 (missed ingest, "
+        "duplicated load, outage)",
+    )
+    p.add_argument(
         "--dump-suite",
         metavar="PATH",
         help="write the EFFECTIVE suite (after --suite-json resolution, "
@@ -845,8 +856,12 @@ def main(argv: list[str] | None = None) -> int:
             print(f"[FATAL] bad --check/--metric-bound: {e}")
             return 2
 
-    if args.fd or args.quantile_bound:
-        from ocsf_validator_spark.spec import FunctionalDependency, QuantileBound
+    if args.fd or args.quantile_bound or args.volume_gate:
+        from ocsf_validator_spark.spec import (
+            FunctionalDependency,
+            QuantileBound,
+            VolumeGate,
+        )
 
         suite = suite or transcript_suite()
 
@@ -877,8 +892,21 @@ def main(argv: list[str] | None = None) -> int:
                 suite.add(
                     QuantileBound(column=col, q=float(qtxt), lo=lo, hi=hi)
                 )
+            for s_ in args.volume_gate:
+                head, _, opts = s_.partition(",")
+                col, _, gran = head.partition(":")
+                k = 3
+                for kv in filter(None, opts.split(",")):
+                    kk, _, v = kv.partition("=")
+                    if kk == "k":
+                        k = int(v)
+                    else:
+                        raise ValueError(s_)
+                if not (col and gran):
+                    raise ValueError(s_)
+                suite.add(VolumeGate(column=col, granularity=gran, k=k))
         except ValueError as e:
-            print(f"[FATAL] bad --fd/--quantile-bound: {e}")
+            print(f"[FATAL] bad --fd/--quantile-bound/--volume-gate: {e}")
             return 2
 
     if args.precedence or args.opening or args.alternation:

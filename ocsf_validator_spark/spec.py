@@ -486,6 +486,33 @@ class QuantileBound(Constraint):
 
 
 @dataclass(frozen=True)
+class VolumeGate(Constraint):
+    """Dataset-level volume anomaly gate (the Deequ anomaly-detection
+    shape): bucket the table by ``date_trunc(granularity, column)`` and
+    flag every bucket whose row count falls outside ``median ± k·MAD``
+    of the bucket-count series — the missed-ingest / duplicated-load /
+    outage monitor distribution checks can't see (drift.volume_anomaly
+    is the standalone operator; this kind folds it into the suite so
+    anomalies land in the verdict grid, --diff-verdicts, and severity
+    remaps). Fences are exact order statistics of integer counts
+    (engine-replayable, robust to the outage day itself). The threshold
+    is derived from the data — a relative gate, so the default severity
+    is WARNING (it flags for a human, it doesn't fail the run unless
+    remapped or --strict). One partial-agg exchange + two fence passes
+    over the checkpointed tiny count series; one finding per anomalous
+    bucket."""
+
+    granularity: str = "day"
+    k: int = 3
+    severity: Severity = Severity.WARNING
+    KIND = "volume"
+
+    @property
+    def constraint_id(self) -> str:
+        return self.id_override or f"{self.KIND}.{self.granularity}.{self.column}"
+
+
+@dataclass(frozen=True)
 class EnumCoverage(Constraint):
     """Unused dictionary attribute (reference validate_unused_attrs,
     validators.py:169-198): enum values never observed in the data are
@@ -504,7 +531,9 @@ ROW_LEVEL = (
 GROUP_LEVEL = (
     Unique, TurnOrdering, Monotonic, Precedence, OpeningRole, Alternation
 )
-DATASET_LEVEL = (AllowedColumns, EnumCoverage, MetricBound, QuantileBound)
+DATASET_LEVEL = (
+    AllowedColumns, EnumCoverage, MetricBound, QuantileBound, VolumeGate,
+)
 KEY_LEVEL = (FunctionalDependency,)
 RESIDUAL_LEVEL = (PandasCheck,)
 

@@ -50,6 +50,7 @@ from ocsf_validator_spark.spec import (
     Severity,
     TurnOrdering,
     Unique,
+    VolumeGate,
 )
 
 DEFAULT_KEYS = ("conv_id", "turn_idx")
@@ -1274,6 +1275,36 @@ def dataset_findings(
                         f"quantile({c.q}, {c.column}) = {v:.6f} "
                         f"above max {c.hi}", c.severity.name,
                     ))
+    vg = [c for c in suite.dataset_level() if isinstance(c, VolumeGate)]
+    for c in [x for x in vg if x.column not in df.columns]:
+        rows.append(
+            (
+                c.constraint_id,
+                *nulls,
+                f"column(s) {c.column} do not resolve in schema; "
+                "constraint not evaluated",
+                c.severity.name,
+            )
+        )
+    vg = [c for c in vg if c.column in df.columns]
+    if vg and include_coverage:
+        from ocsf_validator_spark.drift import volume_anomaly
+
+        for c in vg:
+            series = volume_anomaly(
+                df, ts_col=c.column, granularity=c.granularity, k=int(c.k)
+            ).collect()  # bounded: one row per time bucket
+            for r in series:
+                if not r.anomaly:
+                    continue
+                b = r.bucket.strftime("%Y-%m-%d %H:%M:%S")
+                rows.append((
+                    c.constraint_id, *nulls,
+                    f"volume({c.granularity}, {c.column}) bucket {b} = "
+                    f"{r.cnt} outside [{r.lo:.6f}, {r.hi:.6f}] "
+                    f"(median {r.median:.6f}, mad {r.mad:.6f})",
+                    c.severity.name,
+                ))
     return spark.createDataFrame(rows, schema)
 
 

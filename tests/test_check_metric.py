@@ -342,3 +342,36 @@ def test_quantile_bound_registry_round_trip(spark):
     assert rebuilt == suite.constraints[0].__class__(
         column="v", q=0.99, hi=10, id_override="quantile.0.99.v"
     )
+
+
+def test_volume_gate_flags_outage_day(spark):
+    import datetime as dt
+
+    from ocsf_validator_spark.spec import ConstraintSet, VolumeGate
+
+    day0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for d in range(8):
+        n = 3 if d == 5 else 50  # day 5 is the outage
+        rows += [
+            ("c", i, day0 + dt.timedelta(days=d, seconds=i))
+            for i in range(n)
+        ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    suite = ConstraintSet("v").add(
+        VolumeGate(column="ts", granularity="day", k=3)
+    )
+    out = dataset_findings(df, suite).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.constraint_id == "volume.day.ts" and r.severity == "WARNING"
+    assert "2026-01-06 00:00:00 = 3 outside" in r.reason
+    # WARNING by default: the run does not fail unless --strict/remap
+    from ocsf_validator_spark.verdict import exit_code, verdicts
+
+    vd = verdicts(df, dataset_findings(df, suite), suite)
+    assert exit_code(vd) == 0
+    # unresolvable column reported, never silent
+    bad = ConstraintSet("v2").add(VolumeGate(column="nope"))
+    miss = dataset_findings(df, bad).collect()
+    assert len(miss) == 1 and "do not resolve" in miss[0].reason
