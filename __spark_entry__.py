@@ -332,6 +332,40 @@ def q_volume_gate(spark: SparkSession, sf: str) -> DataFrame:
     return all_violations(_transcripts(spark, sf), suite).orderBy("reason")
 
 
+def q_drift_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """DriftGate constraint kind: drift vs a RECORDED baseline
+    histogram as a suite constraint. The EMD gate fires (the literal
+    baseline puts all mass at bin 100, far from the data); the PSI gate
+    passes (threshold 50 exceeds PSI's eps-floored maximum) — both
+    decisions engine-robust. Findings are dataset rows with NULL
+    keys."""
+    from ocsf_validator_spark.spec import DriftGate
+    from ocsf_validator_spark.violations import dataset_findings
+
+    ev = _t(spark, sf, "events")
+    suite = ConstraintSet(
+        name="drift",
+        constraints=[
+            DriftGate(
+                column="value",
+                bin_expr="floor(_v / 10)",
+                baseline={"100": 1},
+                metric="emd",
+                threshold=5.0,
+            ),
+            DriftGate(
+                column="value",
+                bin_expr="floor(_v / 10)",
+                baseline={"0": 1},
+                metric="psi",
+                threshold=50.0,
+                id_override="drift.psi.value.pass",
+            ),
+        ],
+    )
+    return dataset_findings(ev, suite, keys=("event_id",))
+
+
 def q_ann_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
     """Int8-quantized ANN top-k (similarity.ann_topk_int8): per-vector
     symmetric max-abs quantization with explicit half-up rounding, an
@@ -1956,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_value_drift": q_emd_value_drift,
         "quantile_bounds": q_quantile_bounds,
         "volume_gate": q_volume_gate,
+        "drift_gate": q_drift_gate,
         "quarantine_rows": q_quarantine_rows,
         "group_violations_scalable": q_group_violations_scalable,
         "suite_verdicts": q_suite_verdicts,
@@ -3869,6 +3904,37 @@ l AS (
   FROM f)
 SELECT doc_id, ROUND(logit, 6) AS quality_logit, logit > 0 AS keep
 FROM l ORDER BY doc_id
+"""
+
+    # replay of the DriftGate EMD finding: current histogram vs the
+    # literal one-point baseline at bin 100, HUGEINT CDF fold, %.6f
+    # render; the psi gate passes by construction and emits nothing
+    sqls["drift_gate"] = """
+WITH cur AS (
+  SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bin, COUNT(*)::HUGEINT AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+ref(bin, r) AS (VALUES (100::BIGINT, 1::HUGEINT)),
+j AS (
+  SELECT COALESCE(cur.bin, ref.bin) AS bin,
+         COALESCE(cur.c, 0) AS c, COALESCE(ref.r, 0) AS r
+  FROM cur FULL OUTER JOIN ref ON cur.bin = ref.bin),
+t AS (SELECT SUM(c) AS nc, SUM(r) AS nr FROM j),
+w AS (
+  SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum_c,
+         SUM(r) OVER (ORDER BY bin) AS cum_r,
+         LEAD(bin) OVER (ORDER BY bin) AS nb
+  FROM j),
+e AS (
+  SELECT COALESCE(SUM(abs(w.cum_c * t.nr - w.cum_r * t.nc)
+                      * (w.nb - w.bin)::HUGEINT), 0) AS total
+  FROM w, t WHERE w.nb IS NOT NULL)
+SELECT 'drift.emd.value' AS constraint_id,
+       CAST(NULL AS BIGINT) AS event_id,
+       'emd(value) = '
+         || printf('%.6f', e.total::DOUBLE / (t.nc * t.nr)::DOUBLE)
+         || ' above threshold 5.0 vs recorded baseline' AS reason,
+       'WARNING' AS severity
+FROM e, t WHERE e.total::DOUBLE / (t.nc * t.nr)::DOUBLE >= 5.0
 """
 
     # replay of the VolumeGate findings: same day-count series, exact

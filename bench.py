@@ -245,6 +245,7 @@ def main() -> None:
         "worst_conversations",
         "split_leakage",
         "volume_gate",
+        "drift_gate",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

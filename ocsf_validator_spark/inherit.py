@@ -40,6 +40,7 @@ from ocsf_validator_spark.spec import (
     Constraint,
     ConstraintSet,
     Deprecated,
+    DriftGate,
     EnumCoverage,
     FunctionalDependency,
     Glob,
@@ -110,6 +111,7 @@ _KINDS: dict[str, type[Constraint]] = {
     "metric": MetricBound,
     "quantile": QuantileBound,
     "volume": VolumeGate,
+    "drift": DriftGate,
     "schema": AllowedColumns,
     "coverage": EnumCoverage,
     "map_keys": MapKeysIn,

@@ -513,6 +513,37 @@ class VolumeGate(Constraint):
 
 
 @dataclass(frozen=True)
+class DriftGate(Constraint):
+    """Dataset-level distribution-drift threshold vs a RECORDED
+    baseline histogram — the drift monitors as first-class suite
+    constraints (the streaming analogue is --psi-ref): bin ``column``
+    with ``bin_expr`` (over the alias ``_v``), compare the binned
+    counts to ``baseline`` ({bin: count} — plain data, so the whole
+    gate survives the --suite-json round trip; record baselines with
+    tools/make_psi_baseline.py), flag when the metric crosses
+    ``threshold``.
+
+    ``metric``: 'psi' (support-sensitive, the population-stability
+    standard; value rendered %.4f — its ln-sum is float arithmetic) or
+    'emd' (Wasserstein-1 in bin units, magnitude-sensitive; exact
+    big-int arithmetic until one division, rendered %.6f). Default
+    severity WARNING, like every data-derived gate. Cost: one
+    partial-agg histogram scan per gate; the compare runs driver-side
+    over the tiny collected histogram."""
+
+    bin_expr: str = "floor(_v / 16)"
+    baseline: Mapping[str, int] = field(default_factory=dict)
+    metric: str = "psi"
+    threshold: float = 0.2
+    severity: Severity = Severity.WARNING
+    KIND = "drift"
+
+    @property
+    def constraint_id(self) -> str:
+        return self.id_override or f"{self.KIND}.{self.metric}.{self.column}"
+
+
+@dataclass(frozen=True)
 class EnumCoverage(Constraint):
     """Unused dictionary attribute (reference validate_unused_attrs,
     validators.py:169-198): enum values never observed in the data are
@@ -532,7 +563,8 @@ GROUP_LEVEL = (
     Unique, TurnOrdering, Monotonic, Precedence, OpeningRole, Alternation
 )
 DATASET_LEVEL = (
-    AllowedColumns, EnumCoverage, MetricBound, QuantileBound, VolumeGate,
+    AllowedColumns, DriftGate, EnumCoverage, MetricBound, QuantileBound,
+    VolumeGate,
 )
 KEY_LEVEL = (FunctionalDependency,)
 RESIDUAL_LEVEL = (PandasCheck,)

@@ -40,6 +40,7 @@ from ocsf_validator_spark.spec import (
     AllowedColumns,
     Alternation,
     ConstraintSet,
+    DriftGate,
     EnumCoverage,
     FunctionalDependency,
     MetricBound,
@@ -1275,6 +1276,52 @@ def dataset_findings(
                         f"quantile({c.q}, {c.column}) = {v:.6f} "
                         f"above max {c.hi}", c.severity.name,
                     ))
+    dg = [c for c in suite.dataset_level() if isinstance(c, DriftGate)]
+    for c in [x for x in dg if x.column not in df.columns]:
+        rows.append(
+            (
+                c.constraint_id,
+                *nulls,
+                f"column(s) {c.column} do not resolve in schema; "
+                "constraint not evaluated",
+                c.severity.name,
+            )
+        )
+    dg = [c for c in dg if c.column in df.columns]
+    if dg and include_coverage:
+        from ocsf_validator_spark import drift as _drift
+
+        for c in dg:
+            if c.metric not in ("psi", "emd"):
+                raise ValueError(
+                    f"{c.constraint_id}: unknown metric {c.metric!r}"
+                )
+            ref = {int(k): int(v) for k, v in c.baseline.items()}
+            cur = {
+                int(r.bin): int(r.cnt)
+                for r in _drift.histogram(df, c.column, c.bin_expr).collect()
+            }
+            bins = sorted(set(ref) | set(cur))
+            if c.metric == "psi":
+                val = _drift._psi_of_counts(
+                    [(float(cur.get(b, 0)), float(ref.get(b, 0)))
+                     for b in bins]
+                )
+                shown = f"{val:.4f}"
+            else:
+                val = _drift._emd_of_counts(
+                    [(b, cur.get(b, 0), ref.get(b, 0)) for b in bins]
+                )
+                shown = f"{val:.6f}"
+            import math as _math
+
+            if not _math.isnan(val) and val >= float(c.threshold):
+                rows.append((
+                    c.constraint_id, *nulls,
+                    f"{c.metric}({c.column}) = {shown} above threshold "
+                    f"{c.threshold} vs recorded baseline",
+                    c.severity.name,
+                ))
     vg = [c for c in suite.dataset_level() if isinstance(c, VolumeGate)]
     for c in [x for x in vg if x.column not in df.columns]:
         rows.append(

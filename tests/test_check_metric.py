@@ -375,3 +375,61 @@ def test_volume_gate_flags_outage_day(spark):
     bad = ConstraintSet("v2").add(VolumeGate(column="nope"))
     miss = dataset_findings(df, bad).collect()
     assert len(miss) == 1 and "do not resolve" in miss[0].reason
+
+
+def test_drift_gate_psi_and_emd_semantics(spark):
+    from ocsf_validator_spark.spec import ConstraintSet, DriftGate
+
+    # data all in bin 1 (floor(1.0)); baseline at bin 3 -> EMD = 2.0
+    df = spark.createDataFrame(
+        [("c", i, 1.0) for i in range(10)],
+        "conv_id string, turn_idx int, v double",
+    )
+    suite = ConstraintSet("d").add(
+        DriftGate(column="v", bin_expr="floor(_v)", baseline={"3": 5},
+                  metric="emd", threshold=1.5),
+        DriftGate(column="v", bin_expr="floor(_v)", baseline={"1": 5},
+                  metric="emd", threshold=2.0,
+                  id_override="drift.emd.same"),   # EMD 0: passes
+        DriftGate(column="v", bin_expr="floor(_v)", baseline={"1": 5},
+                  metric="psi", threshold=0.2,
+                  id_override="drift.psi.same"),   # identical: psi 0
+    )
+    rows = {r.constraint_id: r.reason for r in dataset_findings(df, suite).collect()}
+    assert rows == {
+        "drift.emd.v": "emd(v) = 2.000000 above threshold 1.5 "
+        "vs recorded baseline"
+    }
+    # psi fires on a genuinely shifted distribution
+    suite2 = ConstraintSet("d2").add(
+        DriftGate(column="v", bin_expr="floor(_v)", baseline={"9": 100},
+                  metric="psi", threshold=0.2)
+    )
+    fired = dataset_findings(df, suite2).collect()
+    assert len(fired) == 1 and fired[0].reason.startswith("psi(v) = ")
+    # unknown metric raises; round trip keeps the baseline as data
+    import pytest as _pytest
+
+    bad = ConstraintSet("d3").add(
+        DriftGate(column="v", baseline={"0": 1}, metric="chi2")
+    )
+    with _pytest.raises(ValueError):
+        dataset_findings(df, bad).collect()
+
+
+def test_drift_gate_registry_round_trip(spark):
+    from ocsf_validator_spark.inherit import resolve
+    from ocsf_validator_spark.spec import (
+        ConstraintSet,
+        DriftGate,
+        suite_to_registry,
+    )
+
+    c = DriftGate(column="v", bin_expr="floor(_v / 16)",
+                  baseline={"0": 10, "1": 20}, metric="emd", threshold=1.5)
+    reg = suite_to_registry(ConstraintSet("ds").add(c))
+    spec = reg["ds"]["constraints"]["drift.emd.v"]
+    assert spec["baseline"] == {"0": 10, "1": 20}
+    assert spec["kind"] == "drift" and spec["metric"] == "emd"
+    rebuilt = resolve(reg, "ds").constraints[0]
+    assert rebuilt.baseline == c.baseline and rebuilt.threshold == 1.5
