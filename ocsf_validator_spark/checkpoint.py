@@ -146,6 +146,7 @@ def record_files(
     files: list[dict],
     state_dir: str | None = None,
     fd_state: "dict[str, str] | None" = None,
+    schema: "dict[str, str] | None" = None,
 ) -> str:
     """Atomically commit the file set an incremental run validated
     ({path, bytes} rows, temp + rename). Called AFTER the run's bucket
@@ -170,6 +171,11 @@ def record_files(
             # the same reason as conv_state: ledger and carried state
             # must never disagree
             f.write(json.dumps({"fd_state": fd_state}) + "\n")
+        if schema:
+            # the increment's input schema ({column: simple type}) —
+            # the next run diffs against it to surface upstream schema
+            # changes before any constraint sees the renamed column
+            f.write(json.dumps({"schema": schema}) + "\n")
     final = os.path.join(
         manifest_dir, f"files-{time.time_ns():020d}-{uuid.uuid4().hex}.files"
     )
@@ -226,3 +232,22 @@ def record_run(
     if entries:
         write_entries(manifest_dir, entries)
     return entries
+
+
+def last_schema(manifest_dir: str) -> "dict[str, str] | None":
+    """The most recently committed increment's input schema
+    ({column: simple type}), from the newest ledger part-file carrying
+    a ``schema`` line — None before the first schema-recording run."""
+    if not os.path.isdir(manifest_dir):
+        return None
+    best = None
+    for name in sorted(os.listdir(manifest_dir)):
+        if not name.endswith(".files"):
+            continue
+        with open(os.path.join(manifest_dir, name)) as f:
+            for line in f:
+                if line.strip():
+                    d = json.loads(line)
+                    if "schema" in d:
+                        best = d["schema"]
+    return best

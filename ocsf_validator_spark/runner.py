@@ -751,6 +751,28 @@ def main(argv: list[str] | None = None) -> int:
                 "incremental: seeding carried fd group state "
                 f"({len(fd_carry)} constraint(s))"
             )
+        # upstream schema drift: diff this increment's schema against
+        # the last committed increment's — a renamed/retyped column
+        # surfaces HERE, before constraints silently skip it as
+        # unresolvable (they would still report, but this names the
+        # upstream change directly)
+        prior_schema = ckpt.last_schema(args.checkpoint)
+        cur_schema = {
+            f_.name: f_.dataType.simpleString() for f_ in df.schema.fields
+        }
+        if prior_schema is not None and prior_schema != cur_schema:
+            for col in sorted(set(cur_schema) - set(prior_schema)):
+                print(f"[SCHEMA DRIFT] added column {col} "
+                      f"({cur_schema[col]})")
+            for col in sorted(set(prior_schema) - set(cur_schema)):
+                print(f"[SCHEMA DRIFT] dropped column {col} "
+                      f"(was {prior_schema[col]})")
+            for col in sorted(set(cur_schema) & set(prior_schema)):
+                if cur_schema[col] != prior_schema[col]:
+                    print(
+                        f"[SCHEMA DRIFT] retyped column {col}: "
+                        f"{prior_schema[col]} -> {cur_schema[col]}"
+                    )
     elif args.input:
         from ocsf_validator_spark.sources import load_table
 
@@ -1011,6 +1033,7 @@ def main(argv: list[str] | None = None) -> int:
             inc_files,
             state_dir=state_dir,
             fd_state=fd_dirs or None,
+            schema=cur_schema,
         )
     return res.exit_code
 

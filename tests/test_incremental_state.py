@@ -300,3 +300,27 @@ def test_fd_all_null_group_upgrade_across_increments(spark, tmp_path):
     rows = spark.read.parquet(viol).filter("conv_id is not null").collect()
     assert [(r.conv_id, r.turn_idx) for r in rows] == [("n", 2)]
     assert "expected calc; cross-increment" in rows[0].reason
+
+
+def test_schema_drift_reported_between_increments(spark, tmp_path, capsys):
+    """Increment 2 arrives with a retyped column and an extra one: the
+    runner names the upstream change before any constraint sees it."""
+    root = str(tmp_path / "landing")
+    manifest = str(tmp_path / "manifest")
+    argv = ["--input", root, "--incremental", "--checkpoint", manifest,
+            "--buckets", "4"]
+    _df(spark, [("a", 0, "user", "t", None, "2026-01-01 00:00:00")]
+        ).coalesce(1).write.mode("append").parquet(f"{root}/inc1")
+    assert main(argv + ["--input", f"{root}/inc1"]) in (0, 1)
+    df2 = _df(spark, [("b", 0, "user", "t", None, "2026-01-01 00:01:00")])
+    (df2.withColumn("turn_idx", df2.turn_idx.cast("long"))
+        .withColumn("extra", df2.conv_id)
+        .coalesce(1).write.mode("append").parquet(f"{root}/inc1"))
+    capsys.readouterr()
+    # the unknown column also trips the suite's FATAL schema audit —
+    # exit 2, with the drift report naming the upstream change first
+    assert main(argv + ["--input", f"{root}/inc1"]) == 2
+    out = capsys.readouterr().out
+    assert "[SCHEMA DRIFT] added column extra (string)" in out
+    assert "retyped column turn_idx: int -> bigint" in out
+    assert "[FATAL] schema.columns: unknown column extra" in out
