@@ -276,6 +276,17 @@ def q_column_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_unicode_sanity(spark: SparkSession, sf: str) -> DataFrame:
+    """Mojibake/encoding-damage profile (textstats.unicode_sanity_cols):
+    control chars, U+FFFD replacement chars, zero-width chars, and the
+    non-ASCII fraction per document — scan-speed column algebra over
+    fixed character classes, replayed by the same regexes in DuckDB."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", *textstats.unicode_sanity_cols("text")
+    ).orderBy("doc_id")
+
+
 def q_fd_documents(spark: SparkSession, sf: str) -> DataFrame:
     """FunctionalDependency constraint kind (violations.fd_violations):
     ``source -> lang`` over the documents table — the
@@ -1984,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dedup": q_conv_dedup,
         "quality_logit": q_quality_logit,
         "ann_topk_int8": q_ann_topk_int8,
+        "unicode_sanity": q_unicode_sanity,
         "fd_documents": q_fd_documents,
         "column_topk": q_column_topk,
         "volume_anomaly": q_volume_anomaly,
@@ -4160,6 +4172,23 @@ SELECT r.col, r.rank, substr(r.value, 1, 256) AS value, r.cnt,
 FROM r JOIN tot ON r.col = tot.col
 WHERE r.rank <= 5 ORDER BY r.col, r.rank
 """
+
+    # replay of textstats.unicode_sanity_cols: same character classes
+    # (python \\u escapes resolve to the identical literal chars)
+    sqls["unicode_sanity"] = (
+        "SELECT doc_id,\n"
+        "  len(regexp_extract_all(text,"
+        " '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'))::BIGINT AS n_control,\n"
+        "  len(regexp_extract_all(text, '\ufffd'))::BIGINT"
+        " AS n_replacement,\n"
+        "  len(regexp_extract_all(text,"
+        " '[\u200b\u200c\u200d\ufeff]'))::BIGINT AS n_zero_width,\n"
+        "  CASE WHEN LENGTH(text) > 0 THEN\n"
+        "    ROUND((LENGTH(text)"
+        " - len(regexp_extract_all(text, '[\\x00-\\x7F]')))::DOUBLE\n"
+        "          / LENGTH(text), 6) END AS nonascii_ratio\n"
+        "FROM documents ORDER BY doc_id"
+    )
 
     # replay of violations.fd_violations: null-safe determinant groups,
     # NULL-counts-as-a-value distinctness, canonical = min non-null,

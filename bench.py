@@ -246,6 +246,7 @@ def main() -> None:
         "split_leakage",
         "volume_gate",
         "drift_gate",
+        "unicode_sanity",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

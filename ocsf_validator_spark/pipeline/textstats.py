@@ -500,3 +500,46 @@ def quality_logit_cols(text_col: str = "text") -> list[Column]:
         F.round(logit, 6).alias("quality_logit"),
         (logit > 0).alias("keep"),
     ]
+
+
+def unicode_sanity_cols(text_col: str = "text") -> list[Column]:
+    """Per-row mojibake/encoding-damage signals — the crawl-quality
+    screens that run before any language or content filter:
+
+    - ``n_control``    C0 control characters other than tab/newline/CR
+                       (binary junk, broken extractors)
+    - ``n_replacement`` U+FFFD replacement characters (the decoder
+                       already lost bytes upstream)
+    - ``n_zero_width`` zero-width space/joiner/non-joiner + BOM-as-text
+                       (invisible text, SEO spam, copy-paste damage)
+    - ``nonascii_ratio`` fraction of non-ASCII characters, 6 dp — not a
+                       defect by itself (most languages are non-ASCII),
+                       but a step change per source is an upstream
+                       pipeline change
+
+    Pure column algebra over fixed character classes (identical regex
+    semantics in Spark and DuckDB — simple classes, no flags), one
+    scan, zero shuffle; compose with Check/MetricBound for
+    enforcement."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    ctl = F.regexp_count(
+        t, F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    ).cast("bigint")
+    # the character classes are built from python \u escapes so the
+    # literal regex string is identical in Spark and any SQL replay
+    rep = F.regexp_count(t, F.lit("\ufffd")).cast("bigint")
+    zw = F.regexp_count(
+        t, F.lit("[\u200b\u200c\u200d\ufeff]")
+    ).cast("bigint")
+    nonascii = n_chars - F.regexp_count(t, F.lit("[\\x00-\\x7F]")).cast(
+        "bigint"
+    )
+    return [
+        ctl.alias("n_control"),
+        rep.alias("n_replacement"),
+        zw.alias("n_zero_width"),
+        F.when(
+            n_chars > 0, F.round(nonascii.cast("double") / n_chars, 6)
+        ).alias("nonascii_ratio"),
+    ]

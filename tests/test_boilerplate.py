@@ -82,3 +82,39 @@ def test_df_exchange_is_hash_keyed_and_flagged_set_broadcasts(spark, corpus):
     assert gh_exchanges, plan
     assert all("gram#" not in ln for ln in gh_exchanges), gh_exchanges
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_unicode_sanity_planted_damage(spark):
+    from ocsf_validator_spark.pipeline import textstats
+
+    df = spark.createDataFrame(
+        [
+            (0, "clean ascii text"),
+            (1, "bad\x00byte and \x1f another"),
+            (2, "lost � bytes � here"),
+            (3, "invi​sible‍ join﻿"),
+            (4, "café naïve résumé"),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *textstats.unicode_sanity_cols("text")
+        ).collect()
+    }
+    assert (got[0].n_control, got[0].n_replacement, got[0].n_zero_width,
+            got[0].nonascii_ratio) == (0, 0, 0, 0.0)
+    assert got[1].n_control == 2
+    assert got[2].n_replacement == 2
+    assert got[3].n_zero_width == 3
+    assert got[4].nonascii_ratio == round(4 / len("café naïve résumé"), 6)
+    # tab/newline/CR are NOT control junk
+    ws = spark.createDataFrame([(7, "a\tb\nc\rd")], "doc_id long, text string")
+    r7 = ws.select("doc_id", *textstats.unicode_sanity_cols("text")).collect()[0]
+    assert r7.n_control == 0
+    # empty text: counts 0, ratio NULL; NULL text: everything NULL
+    assert (got[5].n_control, got[5].nonascii_ratio) == (0, None)
+    assert got[6].n_control is None and got[6].nonascii_ratio is None
