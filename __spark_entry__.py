@@ -287,6 +287,28 @@ def q_unicode_sanity(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_group_metric(spark: SparkSession, sf: str) -> DataFrame:
+    """GroupMetricBound constraint kind (violations._gm_leg): the
+    MetricBound vocabulary stratified — distinct languages per source
+    bounded at 4; sources above emit one defect-proportional finding
+    each (a whole-table bound would hide the broken stratum inside the
+    average). One partial-agg exchange on the group key."""
+    from ocsf_validator_spark.spec import GroupMetricBound
+    from ocsf_validator_spark.violations import fd_violations
+
+    d = _t(spark, sf, "documents")
+    suite = ConstraintSet(
+        name="gm",
+        constraints=[
+            GroupMetricBound(
+                column="lang", by=("source",),
+                metric="distinct_count", hi=4,
+            )
+        ],
+    )
+    return fd_violations(d, suite, keys=("doc_id",)).orderBy("reason")
+
+
 def q_fd_documents(spark: SparkSession, sf: str) -> DataFrame:
     """FunctionalDependency constraint kind (violations.fd_violations):
     ``source -> lang`` over the documents table — the
@@ -1997,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_int8": q_ann_topk_int8,
         "unicode_sanity": q_unicode_sanity,
         "fd_documents": q_fd_documents,
+        "group_metric": q_group_metric,
         "column_topk": q_column_topk,
         "volume_anomaly": q_volume_anomaly,
         "emd_value_drift": q_emd_value_drift,
@@ -4189,6 +4212,21 @@ WHERE r.rank <= 5 ORDER BY r.col, r.rank
         "          / LENGTH(text), 6) END AS nonascii_ratio\n"
         "FROM documents ORDER BY doc_id"
     )
+
+    # replay of violations._gm_leg: same per-group exact distinct
+    # count, same reason string, offending groups only
+    sqls["group_metric"] = """
+WITH g AS (
+  SELECT source, COUNT(DISTINCT lang)::BIGINT AS d
+  FROM documents GROUP BY source)
+SELECT 'group_metric.distinct_count.lang.by.source' AS constraint_id,
+       CAST(NULL AS BIGINT) AS doc_id,
+       'distinct_count(lang) by (source=('
+         || COALESCE(substr(source, 1, 256), '<null>')
+         || ')) = ' || d || ' above max 4' AS reason,
+       'ERROR' AS severity
+FROM g WHERE d > 4 ORDER BY reason
+"""
 
     # replay of violations.fd_violations: null-safe determinant groups,
     # NULL-counts-as-a-value distinctness, canonical = min non-null,

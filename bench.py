@@ -247,6 +247,7 @@ def main() -> None:
         "volume_gate",
         "drift_gate",
         "unicode_sanity",
+        "group_metric",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -44,6 +44,7 @@ from ocsf_validator_spark.spec import (
     EnumCoverage,
     FunctionalDependency,
     Glob,
+    GroupMetricBound,
     InEnum,
     MapKeysIn,
     MaxLen,
@@ -108,6 +109,7 @@ _KINDS: dict[str, type[Constraint]] = {
     "alternation": Alternation,
     "check": Check,
     "fd": FunctionalDependency,
+    "group_metric": GroupMetricBound,
     "metric": MetricBound,
     "quantile": QuantileBound,
     "volume": VolumeGate,

@@ -1012,6 +1012,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         # FD group state: same sticky-canonical contract, same atomic
         # ledger commit (one fd_state line mapping constraint_id -> dir)
+        from ocsf_validator_spark.spec import FunctionalDependency
         from ocsf_validator_spark.violations import (
             _resolves,
             fd_group_state,
@@ -1020,6 +1021,8 @@ def main(argv: list[str] | None = None) -> int:
 
         fd_dirs = {}
         for c in eff_suite.key_level():
+            if not isinstance(c, FunctionalDependency):
+                continue  # other key-level kinds carry no state
             if not (c.determinants and _resolves(df, [*c.determinants, c.column])):
                 continue
             merged_fd = merge_fd_state(

@@ -544,6 +544,39 @@ class DriftGate(Constraint):
 
 
 @dataclass(frozen=True)
+class GroupMetricBound(Constraint):
+    """Per-group metric threshold — the MetricBound vocabulary
+    STRATIFIED by arbitrary grouping columns ("null_rate of lang per
+    source ≤ 0.01", "distinct tool count per conversation ≤ 3"): within
+    each group of ``by``, the metric of ``column`` must land inside
+    [lo, hi]. Metrics: null_rate (compared as exact-integer ×-products,
+    the MetricBound discipline — no float division in the verdict),
+    row_count, distinct_count (exact), min, max.
+
+    A whole-table MetricBound hides a broken stratum inside the
+    average; this kind emits one finding per OFFENDING group (NULL row
+    keys, group named in the reason), so output is defect-proportional.
+    Evaluated as its own KEY_LEVEL leg (like FunctionalDependency — the
+    grouping key is arbitrary, so it never touches the conv-window
+    fusion): one partial-agg exchange on ``by`` collapsing to |groups|.
+    Float-typed min/max render %.6f so SQL replays print identical
+    reasons; ``where`` scopes rows before grouping."""
+
+    by: tuple[str, ...] = ()
+    metric: str = "null_rate"
+    lo: Any = None
+    hi: Any = None
+    KIND = "group_metric"
+
+    @property
+    def constraint_id(self) -> str:
+        return self.id_override or (
+            f"{self.KIND}.{self.metric}.{self.column}"
+            f".by.{','.join(self.by)}"
+        )
+
+
+@dataclass(frozen=True)
 class EnumCoverage(Constraint):
     """Unused dictionary attribute (reference validate_unused_attrs,
     validators.py:169-198): enum values never observed in the data are
@@ -566,7 +599,7 @@ DATASET_LEVEL = (
     AllowedColumns, DriftGate, EnumCoverage, MetricBound, QuantileBound,
     VolumeGate,
 )
-KEY_LEVEL = (FunctionalDependency,)
+KEY_LEVEL = (FunctionalDependency, GroupMetricBound)
 RESIDUAL_LEVEL = (PandasCheck,)
 
 

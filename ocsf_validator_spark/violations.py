@@ -43,6 +43,7 @@ from ocsf_validator_spark.spec import (
     DriftGate,
     EnumCoverage,
     FunctionalDependency,
+    GroupMetricBound,
     MetricBound,
     Monotonic,
     OpeningRole,
@@ -122,6 +123,8 @@ def _referenced_columns(c) -> list[str]:
         return [*c.keys, *c.first_seen_order]
     if isinstance(c, FunctionalDependency):
         return [*c.determinants, c.column]
+    if isinstance(c, GroupMetricBound):
+        return [*c.by, c.column]
     if isinstance(c, Monotonic):
         return [c.partition_by, c.order_by, c.column]
     if isinstance(c, TurnOrdering):
@@ -827,10 +830,103 @@ def fd_violations(
     if not _present(df, keys):
         return out
     for c in suite.key_level():
-        if c.determinants and _resolves(df, [*c.determinants, c.column]):
+        if isinstance(c, GroupMetricBound):
+            if c.by and _resolves(df, [*c.by, c.column]):
+                out = out.unionByName(_gm_leg(df, c, keys))
+        elif c.determinants and _resolves(df, [*c.determinants, c.column]):
             prior = carry.get(c.constraint_id) if carry else None
             out = out.unionByName(_fd_leg(df, c, keys, prior=prior))
     return out
+
+
+def _gm_leg(
+    df: DataFrame, c: GroupMetricBound, keys: Sequence[str]
+) -> DataFrame:
+    """One stratified metric bound: per group of ``by``, the metric of
+    ``column`` must land in [lo, hi]. One partial-agg exchange on the
+    group key (map-side combined to |groups|); findings only for
+    offending groups — defect-proportional output with NULL row keys
+    (dataset-style) and the group named in the reason."""
+    src = df.filter(F.expr(c.where)) if c.where else df
+    by = list(c.by)
+    dep_dt = _resolve_path(df.schema, c.column)
+    by_dts = [_resolve_path(df.schema, b) for b in by]
+    proj = src.select(
+        *[F.col(b).alias(f"_g{i}") for i, b in enumerate(by)],
+        F.col(c.column).alias("_dep"),
+    )
+    dep = F.col("_dep")
+    if c.metric == "null_rate":
+        aggs = [
+            F.sum(dep.isNull().cast("long")).alias("_m"),
+            F.count(F.lit(1)).alias("_n"),
+        ]
+    elif c.metric == "row_count":
+        aggs = [F.count(F.lit(1)).alias("_m")]
+    elif c.metric == "distinct_count":
+        aggs = [F.count_distinct(dep).alias("_m")]
+    elif c.metric == "min":
+        aggs = [F.min(dep).alias("_m")]
+    elif c.metric == "max":
+        aggs = [F.max(dep).alias("_m")]
+    else:
+        raise ValueError(f"{c.constraint_id}: unknown metric {c.metric!r}")
+    grp = proj.groupBy(*[f"_g{i}" for i in range(len(by))]).agg(*aggs)
+    m = F.col("_m")
+    if c.metric == "null_rate":
+        # exact-integer x-product compare, the MetricBound discipline
+        below = (
+            m < F.lit(float(c.lo)) * F.col("_n")
+            if c.lo is not None
+            else F.lit(False)
+        )
+        above = (
+            m > F.lit(float(c.hi)) * F.col("_n")
+            if c.hi is not None
+            else F.lit(False)
+        )
+        shown = F.concat(
+            m.cast("string"), F.lit("/"), F.col("_n").cast("string")
+        )
+    else:
+        below = m < F.lit(c.lo) if c.lo is not None else F.lit(False)
+        above = m > F.lit(c.hi) if c.hi is not None else F.lit(False)
+        if c.metric in ("min", "max") and isinstance(
+            dep_dt, (T.DoubleType, T.FloatType)
+        ):
+            shown = F.format_string("%.6f", m.cast("double"))
+        else:
+            shown = m.cast("string")
+    # extrema of an all-NULL group: nothing to bound (MetricBound rule)
+    breach = F.when(m.isNull(), F.lit(False)).otherwise(below | above)
+    disp = lambda col, dt: F.coalesce(  # noqa: E731
+        _tie_display(col, dt).cast("string"), F.lit("<null>")
+    )
+    by_repr = F.concat_ws(
+        ",", *[disp(F.col(f"_g{i}"), by_dts[i]) for i in range(len(by))]
+    )
+    bound_txt = F.when(below, F.lit(f" below min {c.lo}")).otherwise(
+        F.lit(f" above max {c.hi}")
+    )
+    reason = F.concat(
+        F.lit(f"{c.metric}({c.column}) by ({','.join(by)}=("),
+        by_repr,
+        F.lit(")) = "),
+        shown,
+        bound_txt,
+    )
+    nulls = [
+        F.lit(None).cast(
+            df.schema[k].dataType if k in df.columns else "string"
+        ).alias(k)
+        for k in keys
+    ]
+    return grp.filter(breach).select(
+        F.lit(c.constraint_id).alias("constraint_id"),
+        *nulls,
+        reason.alias("reason"),
+        F.lit(c.severity.name).alias("severity"),
+    )
 
 
 def fd_group_state(df: DataFrame, c: FunctionalDependency) -> DataFrame:

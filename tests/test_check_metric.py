@@ -433,3 +433,80 @@ def test_drift_gate_registry_round_trip(spark):
     assert spec["kind"] == "drift" and spec["metric"] == "emd"
     rebuilt = resolve(reg, "ds").constraints[0]
     assert rebuilt.baseline == c.baseline and rebuilt.threshold == 1.5
+
+
+def test_group_metric_bound_semantics(spark):
+    from ocsf_validator_spark.spec import ConstraintSet, GroupMetricBound
+    from ocsf_validator_spark.violations import fd_violations
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "web", "en"),
+            ("c1", 1, "web", None),   # web null_rate 1/3
+            ("c2", 0, "web", "fr"),
+            ("c2", 1, "wiki", "de"),  # wiki null_rate 0/1
+            ("c3", 0, None, None),    # NULL group: null_rate 1/1
+        ],
+        "conv_id string, turn_idx int, source string, lang string",
+    )
+    suite = ConstraintSet("g").add(
+        GroupMetricBound(column="lang", by=("source",),
+                         metric="null_rate", hi=0.25),
+        GroupMetricBound(column="lang", by=("source",),
+                         metric="distinct_count", hi=1,
+                         id_override="gm.dc"),
+        GroupMetricBound(column="turn_idx", by=("source",),
+                         metric="max", hi=0,
+                         id_override="gm.max"),
+    )
+    got = sorted(
+        (r.constraint_id, r.reason)
+        for r in fd_violations(df, suite).collect()
+    )
+    assert got == [
+        ("gm.dc", "distinct_count(lang) by (source=(web)) = 2 above max 1"),
+        ("gm.max", "max(turn_idx) by (source=(web)) = 1 above max 0"),
+        ("gm.max", "max(turn_idx) by (source=(wiki)) = 1 above max 0"),
+        ("group_metric.null_rate.lang.by.source",
+         "null_rate(lang) by (source=(<null>)) = 1/1 above max 0.25"),
+        ("group_metric.null_rate.lang.by.source",
+         "null_rate(lang) by (source=(web)) = 1/3 above max 0.25"),
+    ]
+    # all-NULL group extrema: nothing to bound
+    allnull = ConstraintSet("g2").add(
+        GroupMetricBound(column="lang", by=("source",), metric="min",
+                         lo="zz")
+    )
+    df2 = spark.createDataFrame(
+        [("c", 0, "s", None)],
+        "conv_id string, turn_idx int, source string, lang string",
+    )
+    assert fd_violations(df2, allnull).count() == 0
+    # unresolvable column reported via dataset findings
+    bad = ConstraintSet("g3").add(
+        GroupMetricBound(column="nope", by=("source",), metric="min", lo=0)
+    )
+    out = all_violations(df, bad).collect()
+    assert len(out) == 1 and "do not resolve" in out[0].reason
+
+
+def test_group_metric_float_render_and_round_trip(spark):
+    from ocsf_validator_spark.inherit import resolve
+    from ocsf_validator_spark.spec import (
+        ConstraintSet,
+        GroupMetricBound,
+        suite_to_registry,
+    )
+    from ocsf_validator_spark.violations import fd_violations
+
+    df = spark.createDataFrame(
+        [("c", 0, "s", 1.25), ("c", 1, "s", 9.5)],
+        "conv_id string, turn_idx int, source string, v double",
+    )
+    c = GroupMetricBound(column="v", by=("source",), metric="max", hi=5)
+    rows = fd_violations(df, ConstraintSet("g").add(c)).collect()
+    assert rows[0].reason == "max(v) by (source=(s)) = 9.500000 above max 5"
+    reg = suite_to_registry(ConstraintSet("g").add(c))
+    spec = reg["g"]["constraints"][c.constraint_id]
+    assert spec["kind"] == "group_metric" and spec["by"] == ["source"]
+    assert resolve(reg, "g").constraints[0].hi == 5
