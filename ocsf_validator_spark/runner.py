@@ -592,6 +592,17 @@ def main(argv: list[str] | None = None) -> int:
         "Exact order statistic; bounds on one column share one pass",
     )
     p.add_argument(
+        "--group-metric",
+        action="append",
+        default=[],
+        metavar="COL:METRIC:BY1+BY2[,min=X][,max=Y]",
+        help="add a per-group metric threshold (repeatable): METRIC of "
+        "COL within each group of the BY columns must land inside "
+        "[min, max] — one finding per offending group, e.g. "
+        "--group-metric lang:null_rate:source,max=0.01. Metrics: "
+        "null_rate, row_count, distinct_count, min, max",
+    )
+    p.add_argument(
         "--volume-gate",
         action="append",
         default=[],
@@ -878,9 +889,10 @@ def main(argv: list[str] | None = None) -> int:
             print(f"[FATAL] bad --check/--metric-bound: {e}")
             return 2
 
-    if args.fd or args.quantile_bound or args.volume_gate:
+    if args.fd or args.quantile_bound or args.volume_gate or args.group_metric:
         from ocsf_validator_spark.spec import (
             FunctionalDependency,
+            GroupMetricBound,
             QuantileBound,
             VolumeGate,
         )
@@ -927,8 +939,37 @@ def main(argv: list[str] | None = None) -> int:
                 if not (col and gran):
                     raise ValueError(s_)
                 suite.add(VolumeGate(column=col, granularity=gran, k=k))
+            for s_ in args.group_metric:
+                head, _, opts = s_.partition(",")
+                parts = head.split(":")
+                if len(parts) != 3:
+                    raise ValueError(s_)
+                col, metric, by_txt = parts
+                by = tuple(x for x in by_txt.split("+") if x) or tuple(
+                    x for x in by_txt.split(";") if x
+                )
+                # BY columns separated by '+' (',' starts the bounds)
+                lo = hi = None
+                for kv in filter(None, opts.split(",")):
+                    k_, _, v = kv.partition("=")
+                    if k_ == "min":
+                        lo = _num(v)
+                    elif k_ == "max":
+                        hi = _num(v)
+                    else:
+                        raise ValueError(s_)
+                if not (col and metric and by) or (lo is None and hi is None):
+                    raise ValueError(s_)
+                suite.add(
+                    GroupMetricBound(
+                        column=col, metric=metric, by=by, lo=lo, hi=hi
+                    )
+                )
         except ValueError as e:
-            print(f"[FATAL] bad --fd/--quantile-bound/--volume-gate: {e}")
+            print(
+                "[FATAL] bad --fd/--quantile-bound/--volume-gate/"
+                f"--group-metric: {e}"
+            )
             return 2
 
     if args.precedence or args.opening or args.alternation:

@@ -508,3 +508,27 @@ def test_fd_and_quantile_cli_flags(spark, tmp_path, capsys):
         "kind": "quantile", "column": "turn_idx", "severity": "ERROR",
         "q": 0.99, "hi": 0.5,
     }
+
+
+def test_group_metric_cli_flag(spark, tmp_path, capsys):
+    from ocsf_validator_spark.runner import main
+
+    rows = [
+        ("a", 0, "user", "t0", "search", "2026-01-01 00:00:00"),
+        ("a", 1, "assistant", "t1", "browser", "2026-01-01 00:00:01"),
+        ("b", 0, "user", "t0", "calc", "2026-01-01 00:01:00"),
+    ]
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    )
+    p = str(tmp_path / "in")
+    df = spark.createDataFrame(rows, ddl)
+    df.withColumn("ts", df.ts.cast("timestamp")).write.parquet(p)
+    assert main([
+        "--input", p, "--buckets", "4",
+        "--group-metric", "tool:distinct_count:conv_id,max=1",
+    ]) == 1
+    out = capsys.readouterr().out
+    assert "group_metric.distinct_count.tool.by.conv_id" in out
+    assert "FAILED" in out
