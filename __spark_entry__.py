@@ -3930,14 +3930,18 @@ WITH f AS (
                     tk -> {stop(textstats.STOPWORDS['en'])})) AS s_en
   FROM documents),
 l AS (
-  SELECT doc_id,
-    1.25 * (LEAST(n_tokens, 400)::DOUBLE / 400.0)
-    + 0.8 * ((nonspace::DOUBLE / n_tokens) / 10.0)
-    + 2.0 * (s_en::DOUBLE / n_tokens)
-    + (-3.0) * (n_sym::DOUBLE / n_chars)
-    + (-1.1) AS logit
+  SELECT doc_id, n_chars,
+    CASE WHEN n_chars > 0 THEN
+      1.25 * (LEAST(n_tokens, 400)::DOUBLE / 400.0)
+      + 0.8 * ((nonspace::DOUBLE / n_tokens) / 10.0)
+      + 2.0 * (s_en::DOUBLE / n_tokens)
+      + (-3.0) * (n_sym::DOUBLE / n_chars)
+      + (-1.1) END AS logit
   FROM f)
-SELECT doc_id, ROUND(logit, 6) AS quality_logit, logit > 0 AS keep
+SELECT doc_id,
+       CASE WHEN n_chars > 0 THEN ROUND(logit, 6) END AS quality_logit,
+       CASE WHEN n_chars > 0 THEN logit > 0
+            WHEN n_chars IS NOT NULL THEN FALSE END AS keep
 FROM l ORDER BY doc_id
 """
 

@@ -348,8 +348,14 @@ def write_fd_state(
 
 
 def latest_fd_state_dirs(checkpoint_dir: str) -> dict[str, str]:
-    """constraint_id -> committed state snapshot dir, from the newest
-    ledger part-file carrying an ``fd_state`` line."""
+    """constraint_id -> committed state snapshot dir. MERGED per key
+    across ledger part-files in commit order (newest pointer wins per
+    constraint): a run executed with a SUBSET of the FD constraints
+    (edited flags, a column temporarily unresolvable under schema
+    drift) commits only that subset's pointers, and a whole-map
+    replacement would silently drop the other constraints' carried
+    state — re-opening exactly the cross-increment blind spot the
+    carry exists to close."""
     if not os.path.isdir(checkpoint_dir):
         return {}
     best: dict[str, str] = {}
@@ -361,7 +367,7 @@ def latest_fd_state_dirs(checkpoint_dir: str) -> dict[str, str]:
                 if line.strip():
                     d = json.loads(line)
                     if "fd_state" in d:
-                        best = d["fd_state"]
+                        best.update(d["fd_state"])
     return best
 
 

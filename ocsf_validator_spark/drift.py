@@ -374,6 +374,19 @@ def volume_anomaly(
     excluded. Empty input returns an empty frame."""
     from ocsf_validator_spark.pipeline.quantiles import exact_quantiles
 
+    # date_trunc with an unknown unit returns NULL for EVERY row — the
+    # series collapses to one NULL bucket that can never be anomalous,
+    # so a granularity typo would pass clean forever. A config typo is
+    # an error, never a silent keep (the repo-wide rule).
+    allowed = (
+        "year", "quarter", "month", "week", "day",
+        "hour", "minute", "second",
+    )
+    if granularity.lower() not in allowed:
+        raise ValueError(
+            f"volume_anomaly: unknown granularity {granularity!r} "
+            f"(one of {allowed})"
+        )
     spark = df.sparkSession
     schema = (
         "bucket timestamp, cnt bigint, median double, mad double, "

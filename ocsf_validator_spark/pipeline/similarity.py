@@ -724,14 +724,25 @@ def ann_topk_int8(
     ]
     v = _dbl(vec_col)
     s = int8_scale_expr(v)
-    q = int8_quant_expr(v, s)
     pq_lit = "array(" + ",".join(f"{x}L" for x in pq) + ")"
+    # hoist the vector and its scale into REAL columns first: Catalyst
+    # does not lift subexpressions out of higher-order-function lambdas,
+    # so the textual scale expression embedded in the per-element
+    # quantizer would re-run the whole-vector max-abs scan per
+    # COMPONENT — O(d^2) per row (the bind-once discipline, BENCH.md
+    # lambda-binding addendum). Same ops, same values.
+    base = df.select(
+        F.col(id_col),
+        F.expr(v).alias("_v"),
+        F.expr(s).alias("_s"),
+    )
+    q_col = int8_quant_expr("_v", "_s")
     dot_q = (
-        f"aggregate(zip_with({q}, {pq_lit}, (x, y) -> x * y), 0L, "
+        f"aggregate(zip_with({q_col}, {pq_lit}, (x, y) -> x * y), 0L, "
         f"(acc, v2) -> acc + v2)"
     )
-    score = F.expr(f"((cast({dot_q} as double) * {s}) * {float(ps)}D)")
-    scored = df.select(F.col(id_col), score.alias("score_q"))
+    score = F.expr(f"((cast({dot_q} as double) * _s) * {float(ps)}D)")
+    scored = base.select(F.col(id_col), score.alias("score_q"))
     return scored.orderBy(
         F.col("score_q").desc(), F.col(id_col)
     ).limit(k)

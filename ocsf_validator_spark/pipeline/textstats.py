@@ -496,9 +496,16 @@ def quality_logit_cols(text_col: str = "text") -> list[Column]:
         + F.lit(w3) * f3
         + F.lit(QUALITY_B)
     )
+    # empty text guard: f3 divides by length(text), and ANSI mode makes
+    # that a job-killing DIVIDE_BY_ZERO — an empty doc is exactly the
+    # junk this filter must tolerate. NULL logit, keep = false (a doc
+    # with no content never keeps).
+    nonempty = F.length(F.col(text_col)) > 0
     return [
-        F.round(logit, 6).alias("quality_logit"),
-        (logit > 0).alias("keep"),
+        F.when(nonempty, F.round(logit, 6)).alias("quality_logit"),
+        F.when(nonempty, logit > 0).otherwise(
+            F.when(F.col(text_col).isNotNull(), F.lit(False))
+        ).alias("keep"),
     ]
 
 

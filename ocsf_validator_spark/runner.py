@@ -344,20 +344,34 @@ def run_validation(
         "bucket int, constraint_id string, severity string, "
         "violation_count long, pass boolean"
     )
-    if verdicts_out:
-        spark.createDataFrame(vd_rows, vd_schema).write.mode(
-            "append"
-        ).parquet(verdicts_out)
     if diff_verdicts_against:
         # run-over-run regression report vs a prior run's --verdicts-out
-        # parquet: change-proportional, both sides tiny
+        # parquet. Read and PIN the prior BEFORE this run's own
+        # verdicts_out append lands: with --verdicts-out pointed at the
+        # same path (the natural rolling-scorecard setup) a post-append
+        # read would include the current rows and misreport every
+        # failing row as still_failing against itself.
         from ocsf_validator_spark.verdict import verdict_diff
 
+        prior = None
         try:
-            prior = spark.read.parquet(diff_verdicts_against)
+            prior_rows = spark.read.parquet(diff_verdicts_against).collect()
         except Exception as e:
             say(f"[WARN] --diff-verdicts: cannot read prior verdicts: {e}")
-            prior = None
+            prior_rows = None
+        if prior_rows is not None:
+            keyset = [(r.bucket, r.constraint_id) for r in prior_rows]
+            if len(keyset) != len(set(keyset)):
+                # 2+ appended runs: duplicate (bucket, constraint) keys
+                # make the full-outer diff emit contradictory rows —
+                # refuse rather than report garbage
+                say(
+                    "[WARN] --diff-verdicts: prior verdicts hold "
+                    "multiple runs (duplicate bucket/constraint keys); "
+                    "point it at a single-run snapshot — diff skipped"
+                )
+            else:
+                prior = spark.createDataFrame(prior_rows, vd_schema)
         if prior is not None:
             cur = spark.createDataFrame(vd_rows, vd_schema)
             drows = (
@@ -375,6 +389,10 @@ def run_validation(
                 )
             if len(drows) > 200:
                 say(f"  ... {len(drows) - 200} more diff rows")
+    if verdicts_out:
+        spark.createDataFrame(vd_rows, vd_schema).write.mode(
+            "append"
+        ).parquet(verdicts_out)
 
     summary = summarize_rows(vd_rows)
     n_violations = int(sum(s["violation_count"] for s in summary))

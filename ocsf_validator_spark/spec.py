@@ -381,8 +381,16 @@ class FunctionalDependency(Constraint):
     violations.fd_group_state, committed in the same atomic ledger
     rename as the file set): later increments validate against the
     carried STICKY canonical, so cross-increment disagreements fire
-    instead of silently passing within-increment. Cross-batch
-    STREAMING state is not carried for this kind.
+    instead of silently passing within-increment. Two conservative
+    blind spots, both inherent to never re-emitting prior increments'
+    rows: (a) a later increment's lexicographically-smaller value never
+    retroactively flags prior rows that matched the sticky canonical,
+    and (b) an all-NULL group whose first non-null value arrives in a
+    LATER increment upgrades the canonical without flagging the prior
+    NULL rows (they are the violating side in a fresh full run, and
+    they are not in the current scan). A periodic full run closes both,
+    same as the conversation boundary contract. Cross-batch STREAMING
+    state is not carried for this kind.
     """
 
     determinants: tuple[str, ...] = ()

@@ -223,6 +223,11 @@ def column_topk_values(
     strings in the report."""
     from pyspark.sql import Window
 
+    if not columns:
+        return df.sparkSession.createDataFrame(
+            [],
+            "col string, rank int, value string, cnt bigint, share double",
+        )
     melted = (
         df.select(
             F.explode(

@@ -634,6 +634,8 @@ def streaming_emd(
     streaming_psi. Returns (win_start, win_end, n, emd, drifted);
     append mode — final once the watermark closes the window."""
     bins = sorted(int(b) for b in ref_hist)
+    if not bins:
+        raise ValueError("streaming_emd: empty reference histogram")
     nr = sum(int(ref_hist[b]) for b in bins)
     cum_r = []
     acc = 0
@@ -668,12 +670,19 @@ def streaming_emd(
         nc > 0,
         total.cast("double") / (nc.cast("double") * F.lit(float(nr))),
     )
+    # a window whose rows ALL bin outside the reference support is the
+    # maximally-drifted window, not an unknown one: emd stays NULL
+    # (undefined on an empty in-support sample) but drifted must be
+    # TRUE, not NULL — a sink filtering on drifted = true would
+    # otherwise silently drop the worst case
+    drifted = F.when(
+        nc > 0,
+        (emd >= F.lit(threshold)) & (F.col("n") >= F.lit(int(min_n))),
+    ).otherwise(F.col("n") >= F.lit(int(min_n)))
     return win.select(
         F.col("window.start").alias("win_start"),
         F.col("window.end").alias("win_end"),
         F.col("n"),
         emd.alias("emd"),
-        (
-            (emd >= F.lit(threshold)) & (F.col("n") >= F.lit(int(min_n)))
-        ).alias("drifted"),
+        drifted.alias("drifted"),
     )

@@ -510,3 +510,19 @@ def test_group_metric_float_render_and_round_trip(spark):
     spec = reg["g"]["constraints"][c.constraint_id]
     assert spec["kind"] == "group_metric" and spec["by"] == ["source"]
     assert resolve(reg, "g").constraints[0].hi == 5
+
+
+def test_volume_gate_granularity_typo_is_an_error(spark):
+    """date_trunc with an unknown unit NULLs every bucket — the series
+    collapses and the gate passes forever; a config typo must raise."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from ocsf_validator_spark import drift
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2026, 1, 1),)], "ts timestamp"
+    )
+    with _pytest.raises(ValueError, match="granularity"):
+        drift.volume_anomaly(df, granularity="dya")

@@ -324,3 +324,56 @@ def test_schema_drift_reported_between_increments(spark, tmp_path, capsys):
     assert "[SCHEMA DRIFT] added column extra (string)" in out
     assert "retyped column turn_idx: int -> bigint" in out
     assert "[FATAL] schema.columns: unknown column extra" in out
+
+
+def test_fd_state_survives_partial_suite_runs(spark, tmp_path):
+    """A run with only a SUBSET of the fd constraints commits only that
+    subset's state pointers; the ledger reader merges per key, so the
+    other constraint's carried state survives and still fires later."""
+    import json as _json
+
+    root = str(tmp_path / "landing")
+    manifest = str(tmp_path / "manifest")
+    viol = str(tmp_path / "viol")
+
+    def reg(ids):
+        cons = {}
+        if "tool" in ids:
+            cons["fd.conv_id->tool"] = {
+                "kind": "fd", "column": "tool",
+                "determinants": ["conv_id"],
+            }
+        if "role" in ids:
+            cons["fd.conv_id->role"] = {
+                "kind": "fd", "column": "role",
+                "determinants": ["conv_id"],
+            }
+        p = str(tmp_path / f"suite_{'_'.join(ids)}.json")
+        with open(p, "w") as f:
+            _json.dump({"transcripts": {"constraints": cons}}, f)
+        return p
+
+    def run(suite_path):
+        return main(["--input", root, "--incremental", "--checkpoint",
+                     manifest, "--buckets", "4", "--violations-out",
+                     viol, "--suite-json", suite_path])
+
+    # increment 1: both constraints establish state
+    _df(spark, [("g", 0, "assistant", "t", "search",
+                 "2026-01-01 00:00:00")]
+        ).coalesce(1).write.mode("append").parquet(root)
+    assert run(reg(["tool", "role"])) == 0
+    # increment 2: only the ROLE fd runs (tool temporarily dropped)
+    _df(spark, [("g", 1, "assistant", "t", "search",
+                 "2026-01-01 00:00:01")]
+        ).coalesce(1).write.mode("append").parquet(root)
+    assert run(reg(["role"])) == 0
+    # increment 3: tool fd re-added; its increment-1 canonical must
+    # still be carried -> the disagreement fires
+    _df(spark, [("g", 2, "assistant", "t", "browser",
+                 "2026-01-01 00:00:02")]
+        ).coalesce(1).write.mode("append").parquet(root)
+    assert run(reg(["tool", "role"])) == 1
+    rows = spark.read.parquet(viol).filter("conv_id is not null").collect()
+    assert [(r.conv_id, r.turn_idx) for r in rows] == [("g", 2)]
+    assert "expected search; cross-increment" in rows[0].reason

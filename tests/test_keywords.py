@@ -455,3 +455,23 @@ def test_bigram_logprob_catches_transition_scramble(spark):
     assert uni[10] == uni[0]
     # ...but the scramble's transitions are corpus-rare
     assert bi[10] > bi[0] + 1.0
+
+
+def test_quality_logit_empty_and_null_text_do_not_crash(spark):
+    """ANSI regression: f3 divides by length(text) — an empty doc must
+    yield NULL logit / keep=false, not a DIVIDE_BY_ZERO job failure."""
+    from ocsf_validator_spark.pipeline import textstats
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "the cat and the dog")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.quality_logit, r.keep)
+        for r in df.select(
+            "doc_id", *textstats.quality_logit_cols("text")
+        ).collect()
+    }
+    assert got[0] == (None, False)
+    assert got[1] == (None, None)
+    assert got[2][0] is not None

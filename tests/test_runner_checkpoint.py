@@ -532,3 +532,45 @@ def test_group_metric_cli_flag(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "group_metric.distinct_count.tool.by.conv_id" in out
     assert "FAILED" in out
+
+
+def test_diff_verdicts_same_path_rolling_scorecard(spark, tmp_path, capsys):
+    """--verdicts-out and --diff-verdicts pointed at the SAME path (the
+    rolling-scorecard setup): the prior must be read before the append,
+    so the regression still reports; a third run sees the multi-run
+    file and refuses the diff instead of reporting garbage."""
+    from ocsf_validator_spark.runner import main
+
+    clean = [
+        ("a", 0, "user", "t0", None, "2026-01-01 00:00:00"),
+        ("a", 1, "assistant", "t1", None, "2026-01-01 00:00:01"),
+    ]
+    dirty = clean + [
+        ("a", 2, "not_a_role", "t2", None, "2026-01-01 00:00:02"),
+    ]
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    )
+
+    def write(rows, name):
+        p = str(tmp_path / name)
+        df = spark.createDataFrame(rows, ddl)
+        df.withColumn("ts", df.ts.cast("timestamp")).write.parquet(p)
+        return p
+
+    in1, in2 = write(clean, "in1"), write(dirty, "in2")
+    vd = str(tmp_path / "vd")
+    assert main(["--input", in1, "--buckets", "4",
+                 "--verdicts-out", vd]) == 0
+    capsys.readouterr()
+    assert main(["--input", in2, "--buckets", "4",
+                 "--verdicts-out", vd, "--diff-verdicts", vd]) == 1
+    out = capsys.readouterr().out
+    assert "regressed" in out and "ref.role" in out
+    assert "still_failing" not in out  # prior pinned pre-append
+    # third run: vd now holds two runs -> duplicate keys -> refuse
+    assert main(["--input", in1, "--buckets", "4",
+                 "--diff-verdicts", vd]) == 0
+    out = capsys.readouterr().out
+    assert "multiple runs" in out and "[DIFF" not in out

@@ -330,3 +330,11 @@ def test_verdict_diff_all_statuses_and_silence(spark):
     # pass-and-unchanged rows (0,e), (1,e), (2,e) are not emitted
     assert set(got) == {(0, "a"), (0, "b"), (0, "c"), (0, "d"),
                         (1, "a"), (2, "a")}
+
+
+def test_column_topk_empty_columns_returns_empty(spark):
+    from ocsf_validator_spark.stats import column_topk_values
+
+    out = column_topk_values(spark.range(5), [], k=3)
+    assert out.count() == 0
+    assert out.columns == ["col", "rank", "value", "cnt", "share"]

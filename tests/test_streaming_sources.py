@@ -960,3 +960,53 @@ def test_streaming_emd_windows(spark, tmp_path):
     assert (a.n, a.emd, a.drifted) == (10, 0.0, False)
     b = got["01:00"]
     assert (b.n, b.emd, b.drifted) == (10, 2.5, True)
+
+
+def test_streaming_emd_out_of_support_window_is_drifted(spark, tmp_path):
+    """A window whose rows ALL bin outside the reference support is the
+    maximally-drifted window: emd stays NULL (undefined on an empty
+    in-support sample) but drifted must be TRUE, never NULL — a sink
+    filter on drifted = true must not drop it."""
+    import time as t
+
+    import pytest as _pytest
+
+    root = str(tmp_path / "emdo_in")
+    os.makedirs(root)
+    rows_a = [
+        ("c", 50, "user", "x", None, "2026-01-01 00:01:00")
+        for _ in range(6)
+    ]
+    rows_b = [("c", 0, "user", "x", None, "2026-01-01 09:00:00")]
+    for i, rows in enumerate([rows_a, rows_b]):
+        df = spark.createDataFrame(
+            rows, st.TRANSCRIPT_DDL.replace("timestamp", "string")
+        )
+        df.withColumn("ts", df.ts.cast("timestamp")).coalesce(1).write.parquet(
+            f"{root}/b{i}", mode="overwrite"
+        )
+        t.sleep(1.1)
+    sdf = (
+        spark.readStream.schema(st.TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root + "/b*")
+    )
+    out = str(tmp_path / "emdo_out")
+    q = (
+        st.streaming_emd(
+            sdf, ref_hist={0: 50, 5: 50}, bin_expr="turn_idx",
+            watermark="30 minutes", window="10 minutes", threshold=1.0,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "emdo_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.win_start.hour: r for r in spark.read.parquet(out).collect()}
+    a = got[0]
+    assert (a.n, a.emd, a.drifted) == (6, None, True)
+    # empty reference histogram is a config error, not a silent gate
+    with _pytest.raises(ValueError, match="empty reference"):
+        st.streaming_emd(sdf, ref_hist={}, bin_expr="turn_idx")
