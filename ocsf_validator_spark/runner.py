@@ -621,6 +621,17 @@ def main(argv: list[str] | None = None) -> int:
         "null_rate, row_count, distinct_count, min, max",
     )
     p.add_argument(
+        "--drift-gate",
+        action="append",
+        default=[],
+        metavar="BASELINE.json[:metric][,threshold=X]",
+        help="add a DriftGate from a tools/make_psi_baseline.py file "
+        "(repeatable): the live table's distribution, binned exactly "
+        "as the recorded reference, must stay under the threshold. "
+        "metric: psi (default) or emd, e.g. "
+        "--drift-gate textlen_baseline.json:emd,threshold=2.0",
+    )
+    p.add_argument(
         "--volume-gate",
         action="append",
         default=[],
@@ -905,6 +916,30 @@ def main(argv: list[str] | None = None) -> int:
                 )
         except ValueError as e:
             print(f"[FATAL] bad --check/--metric-bound: {e}")
+            return 2
+
+    if args.drift_gate:
+        from ocsf_validator_spark.spec import drift_gate_from_baseline
+
+        suite = suite or transcript_suite()
+        try:
+            for s_ in args.drift_gate:
+                head, _, opts = s_.partition(",")
+                path, _, metric = head.partition(":")
+                thr = None
+                for kv in filter(None, opts.split(",")):
+                    k_, _, v = kv.partition("=")
+                    if k_ == "threshold":
+                        thr = float(v)
+                    else:
+                        raise ValueError(s_)
+                suite.add(
+                    drift_gate_from_baseline(
+                        path, metric=metric or "psi", threshold=thr
+                    )
+                )
+        except (OSError, ValueError, KeyError) as e:
+            print(f"[FATAL] bad --drift-gate: {e}")
             return 2
 
     if args.fd or args.quantile_bound or args.volume_gate or args.group_metric:

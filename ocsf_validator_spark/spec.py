@@ -584,6 +584,34 @@ class GroupMetricBound(Constraint):
         )
 
 
+def drift_gate_from_baseline(
+    path: str,
+    metric: str = "psi",
+    threshold: "float | None" = None,
+    severity: "Severity | str" = Severity.WARNING,
+    id_override: "str | None" = None,
+) -> DriftGate:
+    """Build a DriftGate from a ``tools/make_psi_baseline.py`` file:
+    the recorded bin expression becomes the gate's VALUE expression
+    (with identity binning), so the gate bins live data exactly as the
+    recorder binned the reference — same bins, same counts, thresholds
+    transfer. The recorder's ``threshold`` is used unless overridden."""
+    import json
+
+    with open(path) as f:
+        cfg = json.load(f)
+    thr = threshold if threshold is not None else cfg.get("threshold", 0.2)
+    return DriftGate(
+        column=cfg["bin_expr"],
+        bin_expr="_v",
+        baseline=dict(cfg["hist"]),
+        metric=metric,
+        threshold=float(thr),
+        severity=Severity.parse(severity),
+        id_override=id_override,
+    )
+
+
 @dataclass(frozen=True)
 class EnumCoverage(Constraint):
     """Unused dictionary attribute (reference validate_unused_attrs,

@@ -1373,7 +1373,14 @@ def dataset_findings(
                         f"above max {c.hi}", c.severity.name,
                     ))
     dg = [c for c in suite.dataset_level() if isinstance(c, DriftGate)]
-    for c in [x for x in dg if x.column not in df.columns]:
+    # DriftGate's column may be a full SQL VALUE EXPRESSION (the
+    # baseline-file loader records e.g. "cast(length(text)/50 as
+    # long)"); only bare identifiers get the membership check — an
+    # invalid expression raises loudly at evaluation instead
+    for c in [
+        x for x in dg
+        if x.column.isidentifier() and x.column not in df.columns
+    ]:
         rows.append(
             (
                 c.constraint_id,
@@ -1383,7 +1390,10 @@ def dataset_findings(
                 c.severity.name,
             )
         )
-    dg = [c for c in dg if c.column in df.columns]
+    dg = [
+        c for c in dg
+        if not c.column.isidentifier() or c.column in df.columns
+    ]
     if dg and include_coverage:
         from ocsf_validator_spark import drift as _drift
 

@@ -526,3 +526,40 @@ def test_volume_gate_granularity_typo_is_an_error(spark):
     )
     with _pytest.raises(ValueError, match="granularity"):
         drift.volume_anomaly(df, granularity="dya")
+
+
+def test_drift_gate_from_baseline_file_end_to_end(spark, tmp_path):
+    """Record a baseline with the make_psi_baseline format, load it as a
+    DriftGate: identical data passes, a shifted distribution fires —
+    the recorder's binning and the gate's binning are the same by
+    construction (value expr = recorded bin expr, identity binning)."""
+    import json
+
+    from ocsf_validator_spark.spec import (
+        ConstraintSet,
+        drift_gate_from_baseline,
+    )
+    from pyspark.sql import functions as F
+
+    ref = spark.createDataFrame(
+        [("c", 0, "x" * (10 * (i % 4)),) for i in range(40)],
+        "conv_id string, turn_idx int, text string",
+    )
+    bin_expr = "cast(length(text) / 10 as long)"
+    hist = {
+        str(r["_b"]): r["count"]
+        for r in ref.select(F.expr(bin_expr).alias("_b"))
+        .groupBy("_b").count().collect()
+    }
+    path = str(tmp_path / "baseline.json")
+    with open(path, "w") as f:
+        json.dump({"hist": hist, "bin_expr": bin_expr, "threshold": 0.2}, f)
+    gate = drift_gate_from_baseline(path, metric="emd", threshold=1.5)
+    assert gate.column == bin_expr and gate.bin_expr == "_v"
+    suite = ConstraintSet("d").add(gate)
+    # same distribution: passes
+    assert dataset_findings(ref, suite).count() == 0
+    # all docs 5 bins longer: EMD = 5 >= 1.5, fires
+    shifted = ref.withColumn("text", F.concat(F.col("text"), F.lit("y" * 50)))
+    rows = dataset_findings(shifted, suite).collect()
+    assert len(rows) == 1 and "= 5.000000 above threshold 1.5" in rows[0].reason
