@@ -1481,6 +1481,18 @@ def q_turn_echo(spark: SparkSession, sf: str) -> DataFrame:
     return turn_echo(_transcripts(spark, sf))
 
 
+def q_loop_detector(spark: SparkSession, sf: str) -> DataFrame:
+    """Stuck-agent loop detection (stats.loop_detector): (role, text)
+    turn contents recurring >= 2 times within one conversation of the
+    derived transcripts — one (conv, content-key) partial-agg exchange,
+    loop-proportional output."""
+    from ocsf_validator_spark.stats import loop_detector
+
+    return loop_detector(_transcripts(spark, sf), min_repeats=2).orderBy(
+        "conv_id", "turn_key"
+    )
+
+
 def q_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding centroid drift between the vec_id%10==0 increment and
     the prior corpus (pipeline/similarity.centroid_drift): two per-dim
@@ -2005,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "suite_violations": q_suite_violations,
         "worst_conversations": q_worst_conversations,
+        "loop_detector": q_loop_detector,
         "precedence_purchase": q_precedence_purchase,
         "opening_role_events": q_opening_role_events,
         "alternation_roles": q_alternation_roles,
@@ -3943,6 +3956,22 @@ SELECT doc_id,
        CASE WHEN n_chars > 0 THEN logit > 0
             WHEN n_chars IS NOT NULL THEN FALSE END AS keep
 FROM l ORDER BY doc_id
+"""
+
+    # replay of stats.loop_detector: same md5 content key, same
+    # per-(conv, key) counts and index extrema
+    sqls["loop_detector"] = f"""
+WITH {_T_CTE},
+k AS (
+  SELECT conv_id, turn_idx,
+         md5(COALESCE(CAST(role AS VARCHAR), '<null>')
+             || '|' || text) AS turn_key
+  FROM t WHERE text IS NOT NULL)
+SELECT conv_id, turn_key, COUNT(*)::BIGINT AS n_repeats,
+       MIN(turn_idx) AS first_idx, MAX(turn_idx) AS last_idx,
+       MAX(turn_idx) - MIN(turn_idx) AS span
+FROM k GROUP BY conv_id, turn_key
+HAVING COUNT(*) >= 2 ORDER BY conv_id, turn_key
 """
 
     # replay of the DriftGate EMD finding: current histogram vs the

@@ -248,6 +248,7 @@ def main() -> None:
         "drift_gate",
         "unicode_sanity",
         "group_metric",
+        "loop_detector",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

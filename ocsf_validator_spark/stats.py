@@ -463,3 +463,60 @@ def turn_echo(
             "full_echo_turns"
         ),
     )
+
+
+def loop_detector(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_repeats: int = 3,
+) -> DataFrame:
+    """Stuck-agent loop detection: a (role, text) turn content that
+    recurs ``min_repeats``+ times WITHIN one conversation — the failure
+    mode the neighbors miss (turn_echo scores only CONSECUTIVE
+    parroting; conv_dedup compares whole conversations; an agent
+    retrying the same tool call every third turn slips both). Returns
+    one row per (conversation, looped content): ``(conv_id,
+    turn_key, n_repeats, first_idx, last_idx, span)`` — ``span``
+    (last−first) distinguishes a tight retry loop from a long-range
+    template recurrence; ``turn_key`` is the md5 of role|text (the
+    content itself stays out of the report and off the wire).
+
+    Shape at scale: project to (conv, order, 128-bit content key)
+    map-side — the single partial-agg exchange is keyed on
+    (conv, key) and collapses to the conversation's DISTINCT turn
+    contents; output is loop-proportional. NULL text never loops
+    (a NULL key row is skipped, not grouped)."""
+    # explicit NULL sentinel: concat_ws SKIPS nulls while SQL ||
+    # propagates them — coalesce on both engines keeps the key identical
+    key = F.md5(
+        F.concat(
+            F.coalesce(F.col(role_col).cast("string"), F.lit("<null>")),
+            F.lit("|"),
+            F.col(text_col),
+        )
+    )
+    proj = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(conv_col),
+        F.col(order_col).alias("_o"),
+        key.alias("turn_key"),
+    )
+    return (
+        proj.groupBy(conv_col, "turn_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_repeats"),
+            F.min("_o").alias("first_idx"),
+            F.max("_o").alias("last_idx"),
+        )
+        .filter(F.col("n_repeats") >= int(min_repeats))
+        .select(
+            conv_col,
+            "turn_key",
+            "n_repeats",
+            "first_idx",
+            "last_idx",
+            (F.col("last_idx") - F.col("first_idx")).alias("span"),
+        )
+    )

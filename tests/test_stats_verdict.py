@@ -338,3 +338,38 @@ def test_column_topk_empty_columns_returns_empty(spark):
     out = column_topk_values(spark.range(5), [], k=3)
     assert out.count() == 0
     assert out.columns == ["col", "rank", "value", "cnt", "share"]
+
+
+def test_loop_detector_semantics(spark):
+    from ocsf_validator_spark.stats import loop_detector
+
+    rows = [
+        # c1: "retry search" loops 3x non-consecutively (turn_echo-blind)
+        ("c1", 0, "assistant", "retry search"),
+        ("c1", 1, "tool", "err"),
+        ("c1", 2, "assistant", "retry search"),
+        ("c1", 3, "tool", "err"),
+        ("c1", 4, "assistant", "retry search"),
+        # c2: same text twice but DIFFERENT roles: two keys, no loop at k=3
+        ("c2", 0, "user", "hi"),
+        ("c2", 1, "assistant", "hi"),
+        # c3: NULL text never loops
+        ("c3", 0, "user", None),
+        ("c3", 1, "user", None),
+        ("c3", 2, "user", None),
+        # c4: NULL role with repeated text still keys consistently
+        ("c4", 0, None, "ping"),
+        ("c4", 1, None, "ping"),
+        ("c4", 2, None, "ping"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {r.conv_id: r for r in loop_detector(df, min_repeats=3).collect()}
+    assert set(got) == {"c1", "c4"}
+    c1 = got["c1"]
+    assert (c1.n_repeats, c1.first_idx, c1.last_idx, c1.span) == (3, 0, 4, 4)
+    assert got["c4"].n_repeats == 3
+    # min_repeats=2 picks up the cross-role c2 pair? no — roles differ
+    ids2 = {r.conv_id for r in loop_detector(df, min_repeats=2).collect()}
+    assert ids2 == {"c1", "c4"}
