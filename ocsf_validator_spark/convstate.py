@@ -379,3 +379,34 @@ def read_fd_states(
         if os.path.isdir(path):
             out[cid] = spark.read.parquet(path)
     return out
+
+
+def gc_state(checkpoint_dir: str) -> list[str]:
+    """Prune superseded state snapshots: every convstate/fdstate data
+    directory NOT referenced by the CURRENT committed pointers (older
+    increments' snapshots, or orphans from a crash whose retry
+    committed a different tag). The keep-set derives from the same
+    ledger lines the readers use, so anything removable is by
+    definition unreachable. Returns the removed paths. Run AFTER the
+    increment's ledger commit (the runner's ``--gc-state`` does)."""
+    import shutil
+
+    keep: set[str] = set()
+    cur = latest_state_dir(checkpoint_dir)
+    if cur:
+        keep.add(os.path.abspath(cur))
+    keep |= {
+        os.path.abspath(p)
+        for p in latest_fd_state_dirs(checkpoint_dir).values()
+    }
+    removed: list[str] = []
+    for sub in ("convstate", "fdstate"):
+        root = os.path.join(checkpoint_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for name in sorted(os.listdir(root)):
+            path = os.path.abspath(os.path.join(root, name))
+            if path not in keep:
+                shutil.rmtree(path)
+                removed.append(path)
+    return removed

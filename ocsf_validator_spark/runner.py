@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from dataclasses import dataclass, field
@@ -115,6 +116,7 @@ def run_validation(
     carry_state: DataFrame | None = None,
     fd_carry: "dict[str, DataFrame] | None" = None,
     diff_verdicts_against: str | None = None,
+    report_json: str | None = None,
 ) -> RunResult:
     suite = suite or transcript_suite()
     threshold = Severity.WARNING if strict else Severity.ERROR
@@ -422,6 +424,26 @@ def run_validation(
         f"validated {n_rows} turns in {wall:.1f}s "
         f"({n_rows / wall if wall else 0:,.0f} turns/sec); exit={code}"
     )
+    if report_json:
+        # machine-readable run report for CI/monitoring pipelines: the
+        # same rows the console prints, plus lineage and phase timings
+        rep = {
+            "exit_code": code,
+            "n_rows": n_rows,
+            "n_violations": n_violations,
+            "wall_sec": round(wall, 3),
+            "turns_per_sec": round(n_rows / wall, 1) if wall else None,
+            "snapshot_id": snapshot_id,
+            "suite_version": suite.version(),
+            "skipped_buckets": skipped,
+            "phase_sec": timings,
+            "constraints": summary,
+        }
+        tmpp = report_json + ".tmp"
+        with open(tmpp, "w") as fjson:
+            json.dump(rep, fjson, indent=2, sort_keys=True)
+            fjson.write("\n")
+        os.replace(tmpp, report_json)
     return RunResult(
         code, n_rows, n_violations, wall, summary, entries, skipped, timings
     )
@@ -666,6 +688,20 @@ def main(argv: list[str] | None = None) -> int:
         "constraint fails a large fraction of a huge table",
     )
     p.add_argument("--verdicts-out")
+    p.add_argument(
+        "--gc-state",
+        action="store_true",
+        help="after an incremental run commits, prune state snapshot "
+        "directories superseded by the new pointers (older increments' "
+        "convstate/fdstate data)",
+    )
+    p.add_argument(
+        "--report-json",
+        metavar="PATH",
+        help="write a machine-readable run report (exit code, row and "
+        "violation counts, per-phase wall, per-constraint summary, "
+        "lineage) — atomic rename, one JSON object",
+    )
     p.add_argument(
         "--diff-verdicts",
         help="prior run's --verdicts-out parquet: print a run-over-run "
@@ -1081,6 +1117,7 @@ def main(argv: list[str] | None = None) -> int:
         carry_state=carry_state,
         fd_carry=fd_carry,
         diff_verdicts_against=args.diff_verdicts,
+        report_json=args.report_json,
     )
     if inc_files is not None and res.exit_code != 2:
         # commit the file ledger only after the bucket manifest landed:
@@ -1132,6 +1169,11 @@ def main(argv: list[str] | None = None) -> int:
             fd_state=fd_dirs or None,
             schema=cur_schema,
         )
+        if args.gc_state:
+            removed = convstate.gc_state(args.checkpoint)
+            if removed:
+                print(f"gc-state: pruned {len(removed)} superseded "
+                      "state snapshot(s)")
     return res.exit_code
 
 

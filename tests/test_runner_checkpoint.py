@@ -574,3 +574,50 @@ def test_diff_verdicts_same_path_rolling_scorecard(spark, tmp_path, capsys):
                  "--diff-verdicts", vd]) == 0
     out = capsys.readouterr().out
     assert "multiple runs" in out and "[DIFF" not in out
+
+
+def test_report_json_and_gc_state(spark, tmp_path, capsys):
+    import json as _json
+
+    from ocsf_validator_spark import convstate
+    from ocsf_validator_spark.runner import main
+
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    )
+    root = str(tmp_path / "landing")
+    manifest = str(tmp_path / "manifest")
+    rep = str(tmp_path / "report.json")
+    argv = ["--input", root, "--incremental", "--checkpoint", manifest,
+            "--buckets", "4", "--gc-state", "--report-json", rep,
+            "--fd", "conv_id=tool"]
+
+    def inc(rows):
+        df = spark.createDataFrame(rows, ddl)
+        df.withColumn("ts", df.ts.cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(root)
+
+    inc([("a", 0, "user", "t0", "search", "2026-01-01 00:00:00")])
+    assert main(argv) == 0
+    r1 = _json.load(open(rep))
+    assert r1["exit_code"] == 0 and r1["n_rows"] == 1
+    assert "phase_sec" in r1 and isinstance(r1["constraints"], list)
+    inc([("a", 1, "assistant", "t1", "search", "2026-01-01 00:00:01")])
+    assert main(argv) == 0
+    inc([("a", 2, "user", "t2", "search", "2026-01-01 00:00:02")])
+    assert main(argv) == 0
+    # three increments committed three state generations; gc keeps only
+    # the dirs the current pointers reference
+    import os as _os
+
+    conv_dirs = _os.listdir(_os.path.join(manifest, "convstate"))
+    fd_dirs = _os.listdir(_os.path.join(manifest, "fdstate"))
+    assert len(conv_dirs) == 1 and len(fd_dirs) == 1
+    # and the kept state is the CURRENT one (carry still works)
+    st = convstate.read_state(spark, manifest)
+    assert st.collect()[0][convstate.CARRY_PREV_IDX] == 2
+    assert list(convstate.read_fd_states(spark, manifest)) == [
+        "fd.conv_id->tool"
+    ]
