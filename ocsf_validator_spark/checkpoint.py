@@ -251,3 +251,64 @@ def last_schema(manifest_dir: str) -> "dict[str, str] | None":
                     if "schema" in d:
                         best = d["schema"]
     return best
+
+
+def compact(manifest_dir: str) -> "tuple[int, int]":
+    """Compact the checkpoint directory: fold every bucket-manifest
+    part-file into one and every file-ledger part-file into one,
+    preserving exactly what the readers derive — the manifest entry
+    list, the seen-file set (union), the conv_state pointer (newest),
+    the fd_state map (per-key newest), and the schema (newest). At one
+    part-file per increment, 10^5 increments mean 10^5 opens per run;
+    compaction makes resume O(1) files again.
+
+    Crash-safe by idempotence: the compacted files are renamed into
+    place BEFORE the originals are deleted, and every reader tolerates
+    duplicate lines (set union / newest-wins / per-key update), so a
+    crash between the two steps only leaves redundancy, never loss.
+    Returns (manifest_files_folded, ledger_files_folded)."""
+    if not os.path.isdir(manifest_dir):
+        return (0, 0)
+    names = sorted(os.listdir(manifest_dir))
+    jsonls = [n for n in names if n.endswith(".jsonl")]
+    ledgers = [n for n in names if n.endswith(".files")]
+    folded_m = folded_l = 0
+    if len(jsonls) > 1:
+        entries = read_entries(manifest_dir)
+        write_entries(manifest_dir, entries)
+        for n in jsonls:
+            os.remove(os.path.join(manifest_dir, n))
+        folded_m = len(jsonls)
+    if len(ledgers) > 1:
+        files: list[dict] = []
+        seen: set[str] = set()
+        conv_state = None
+        fd_state: dict[str, str] = {}
+        schema = None
+        for n in ledgers:
+            with open(os.path.join(manifest_dir, n)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    d = json.loads(line)
+                    if "path" in d:
+                        if d["path"] not in seen:
+                            seen.add(d["path"])
+                            files.append(d)
+                    elif "conv_state" in d:
+                        conv_state = d["conv_state"]
+                    elif "fd_state" in d:
+                        fd_state.update(d["fd_state"])
+                    elif "schema" in d:
+                        schema = d["schema"]
+        record_files(
+            manifest_dir,
+            files,
+            state_dir=conv_state,
+            fd_state=fd_state or None,
+            schema=schema,
+        )
+        for n in ledgers:
+            os.remove(os.path.join(manifest_dir, n))
+        folded_l = len(ledgers)
+    return (folded_m, folded_l)

@@ -689,6 +689,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--verdicts-out")
     p.add_argument(
+        "--compact-checkpoint",
+        action="store_true",
+        help="after an incremental run commits, fold the checkpoint's "
+        "per-increment manifest and ledger part-files into one each "
+        "(readers tolerate the crash window by idempotence) — keeps "
+        "resume O(1) files at any increment count",
+    )
+    p.add_argument(
         "--gc-state",
         action="store_true",
         help="after an incremental run commits, prune state snapshot "
@@ -1174,6 +1182,13 @@ def main(argv: list[str] | None = None) -> int:
             if removed:
                 print(f"gc-state: pruned {len(removed)} superseded "
                       "state snapshot(s)")
+        if args.compact_checkpoint:
+            fm, fl = ckpt.compact(args.checkpoint)
+            if fm or fl:
+                print(
+                    f"compact-checkpoint: folded {fm} manifest and "
+                    f"{fl} ledger part-file(s)"
+                )
     return res.exit_code
 
 

@@ -621,3 +621,59 @@ def test_report_json_and_gc_state(spark, tmp_path, capsys):
     assert list(convstate.read_fd_states(spark, manifest)) == [
         "fd.conv_id->tool"
     ]
+
+
+def test_compact_checkpoint_preserves_reader_semantics(spark, tmp_path):
+    from ocsf_validator_spark import checkpoint as ckpt
+    from ocsf_validator_spark import convstate
+    from ocsf_validator_spark.runner import main
+
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    )
+    root = str(tmp_path / "landing")
+    manifest = str(tmp_path / "manifest")
+    argv = ["--input", root, "--incremental", "--checkpoint", manifest,
+            "--buckets", "4", "--fd", "conv_id=tool"]
+
+    def inc(i):
+        df = spark.createDataFrame(
+            [("a", i, "user", f"t{i}", "search",
+              f"2026-01-01 00:00:0{i}")], ddl
+        )
+        df.withColumn("ts", df.ts.cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(root)
+
+    for i in range(3):
+        inc(i)
+        assert main(argv) == 0
+    import os as _os
+
+    before = {
+        "seen": ckpt.seen_files(manifest),
+        "conv": convstate.latest_state_dir(manifest),
+        "fd": convstate.latest_fd_state_dirs(manifest),
+        "schema": ckpt.last_schema(manifest),
+        "entries": len(ckpt.read_entries(manifest)),
+    }
+    n_ledgers = len([n for n in _os.listdir(manifest) if n.endswith(".files")])
+    assert n_ledgers == 3
+    fm, fl = ckpt.compact(manifest)
+    assert fl == 3
+    assert len([n for n in _os.listdir(manifest) if n.endswith(".files")]) == 1
+    assert len([n for n in _os.listdir(manifest) if n.endswith(".jsonl")]) == 1
+    after = {
+        "seen": ckpt.seen_files(manifest),
+        "conv": convstate.latest_state_dir(manifest),
+        "fd": convstate.latest_fd_state_dirs(manifest),
+        "schema": ckpt.last_schema(manifest),
+        "entries": len(ckpt.read_entries(manifest)),
+    }
+    assert before == after
+    # a fourth increment after compaction still carries state correctly
+    inc(3)
+    assert main(argv) == 0
+    st = convstate.read_state(spark, manifest)
+    assert st.collect()[0][convstate.CARRY_PREV_IDX] == 3
