@@ -350,6 +350,22 @@ def q_quantile_bounds(spark: SparkSession, sf: str) -> DataFrame:
     return all_violations(_transcripts(spark, sf), suite)
 
 
+def q_closing_role(spark: SparkSession, sf: str) -> DataFrame:
+    """ClosingRole constraint kind (violations._closing_leg): each
+    conversation's LAST turn must be a funnel-final event — the
+    truncation / dangling-state mirror of OpeningRole, evaluated as its
+    own partial-agg max-struct leg (never perturbing the fused window
+    plan)."""
+    from ocsf_validator_spark.spec import ClosingRole
+    from ocsf_validator_spark.violations import fd_violations
+
+    suite = ConstraintSet(
+        name="closing",
+        constraints=[ClosingRole(column="role", allowed=("purchase", "view"))],
+    )
+    return fd_violations(_transcripts(spark, sf), suite).orderBy("conv_id")
+
+
 def q_volume_gate(spark: SparkSession, sf: str) -> DataFrame:
     """VolumeGate constraint kind: the volume anomaly monitor folded
     into the suite — per-day buckets of the transcripts' ts outside
@@ -2033,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_sanity": q_unicode_sanity,
         "fd_documents": q_fd_documents,
         "group_metric": q_group_metric,
+        "closing_role": q_closing_role,
         "column_topk": q_column_topk,
         "volume_anomaly": q_volume_anomaly,
         "emd_value_drift": q_emd_value_drift,
@@ -4245,6 +4262,27 @@ WHERE r.rank <= 5 ORDER BY r.col, r.rank
         "          / LENGTH(text), 6) END AS nonascii_ratio\n"
         "FROM documents ORDER BY doc_id"
     )
+
+    # replay of violations._closing_leg: last turn via ROW_NUMBER
+    # (turn_idx DESC, capped value DESC NULLS LAST) — the same total
+    # order as the Spark max-struct (NULL display smallest)
+    sqls["closing_role"] = f"""
+WITH {_T_CTE},
+r AS (
+  SELECT conv_id, turn_idx, substr(CAST(role AS VARCHAR), 1, 256) AS v,
+         ROW_NUMBER() OVER (
+           PARTITION BY conv_id
+           ORDER BY turn_idx DESC,
+                    substr(CAST(role AS VARCHAR), 1, 256) DESC NULLS LAST
+         ) AS rn
+  FROM t)
+SELECT 'closing.role' AS constraint_id, conv_id, turn_idx,
+       'conversation closes with role=' || COALESCE(v, '<null>')
+         || '; allowed closers: purchase,view' AS reason,
+       'ERROR' AS severity
+FROM r WHERE rn = 1 AND (v IS NULL OR v NOT IN ('purchase', 'view'))
+ORDER BY conv_id
+"""
 
     # replay of violations._gm_leg: same per-group exact distinct
     # count, same reason string, offending groups only

@@ -249,6 +249,7 @@ def main() -> None:
         "unicode_sanity",
         "group_metric",
         "loop_detector",
+        "closing_role",
     ]
     extra_timings: dict[str, float] = {}
     for name in extra_set:

@@ -37,6 +37,7 @@ from ocsf_validator_spark.spec import (
     AllowedColumns,
     Alternation,
     Check,
+    ClosingRole,
     Constraint,
     ConstraintSet,
     Deprecated,
@@ -106,6 +107,7 @@ _KINDS: dict[str, type[Constraint]] = {
     "monotonic": Monotonic,
     "precedence": Precedence,
     "opening": OpeningRole,
+    "closing": ClosingRole,
     "alternation": Alternation,
     "check": Check,
     "fd": FunctionalDependency,

@@ -355,6 +355,31 @@ class Alternation(Constraint):
 
 
 @dataclass(frozen=True)
+class ClosingRole(Constraint):
+    """The OpeningRole mirror: the LAST turn of each conversation
+    (under stable turn ordering) must have ``column`` in ``allowed`` —
+    the truncation / dangling-state check (a transcript ending on a
+    user message got cut before the reply; one ending on a bare tool
+    call was severed mid-exchange). NULL closers violate, like NULL
+    openers.
+
+    Evaluated as its own KEY_LEVEL leg (one partial-agg max-struct
+    exchange on the conversation key — deliberately NOT a member of the
+    fused window family, so adding it never perturbs the pinned
+    single-scan plan). Semantics are per-RUN finality: in
+    ``--incremental`` mode an increment's final turn stands in for the
+    conversation's (a conversation that continues in a later increment
+    was not final) — run this kind on full snapshots, or treat
+    incremental firings as 'open at increment boundary' telemetry.
+    ``where`` scopes rows before the last-turn pick."""
+
+    allowed: tuple[str, ...] = ()
+    partition_by: str = "conv_id"
+    order_by: str = "turn_idx"
+    KIND = "closing"
+
+
+@dataclass(frozen=True)
 class FunctionalDependency(Constraint):
     """Functional dependency ``determinants -> column``: all rows that
     agree on the determinant columns must agree on the dependent column
@@ -635,7 +660,7 @@ DATASET_LEVEL = (
     AllowedColumns, DriftGate, EnumCoverage, MetricBound, QuantileBound,
     VolumeGate,
 )
-KEY_LEVEL = (FunctionalDependency, GroupMetricBound)
+KEY_LEVEL = (ClosingRole, FunctionalDependency, GroupMetricBound)
 RESIDUAL_LEVEL = (PandasCheck,)
 
 

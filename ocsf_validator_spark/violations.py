@@ -39,6 +39,7 @@ from ocsf_validator_spark.compile import violation_entries_guarded
 from ocsf_validator_spark.spec import (
     AllowedColumns,
     Alternation,
+    ClosingRole,
     ConstraintSet,
     DriftGate,
     EnumCoverage,
@@ -125,6 +126,8 @@ def _referenced_columns(c) -> list[str]:
         return [*c.determinants, c.column]
     if isinstance(c, GroupMetricBound):
         return [*c.by, c.column]
+    if isinstance(c, ClosingRole):
+        return [c.partition_by, c.order_by, c.column]
     if isinstance(c, Monotonic):
         return [c.partition_by, c.order_by, c.column]
     if isinstance(c, TurnOrdering):
@@ -833,10 +836,70 @@ def fd_violations(
         if isinstance(c, GroupMetricBound):
             if c.by and _resolves(df, [*c.by, c.column]):
                 out = out.unionByName(_gm_leg(df, c, keys))
+        elif isinstance(c, ClosingRole):
+            if _resolves(df, [c.partition_by, c.order_by, c.column]):
+                out = out.unionByName(_closing_leg(df, c, keys))
         elif c.determinants and _resolves(df, [*c.determinants, c.column]):
             prior = carry.get(c.constraint_id) if carry else None
             out = out.unionByName(_fd_leg(df, c, keys, prior=prior))
     return out
+
+
+def _closing_leg(
+    df: DataFrame, c: ClosingRole, keys: Sequence[str]
+) -> DataFrame:
+    """One ClosingRole check: the conversation's LAST turn (max over a
+    (order, value-display) struct — deterministic under order ties, the
+    larger display value winning, matching the SQL replay's DESC NULLS
+    LAST) must have the column in the allowed set. One partial-agg
+    exchange on the conversation key; emission is one row per violating
+    conversation, keyed at its last turn."""
+    src = df.filter(F.expr(c.where)) if c.where else df
+    dt = _resolve_path(df.schema, c.column)
+    last = (
+        src.groupBy(F.col(c.partition_by))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(c.order_by).alias("_o"),
+                    _tie_display(F.col(c.column), dt)
+                    .cast("string")
+                    .alias("_v"),
+                )
+            ).alias("_last")
+        )
+        .select(
+            F.col(c.partition_by),
+            F.col("_last._o").alias("_o"),
+            F.col("_last._v").alias("_v"),
+        )
+    )
+    allowed = list(c.allowed)
+    bad = last.filter(
+        F.col("_v").isNull() | ~F.col("_v").isin(*allowed)
+    )
+    reason = F.concat(
+        F.lit(f"conversation closes with {c.column}="),
+        F.coalesce(F.col("_v"), F.lit("<null>")),
+        F.lit(f"; allowed closers: {','.join(allowed)}"),
+    )
+    out_cols = [F.lit(c.constraint_id).alias("constraint_id")]
+    for k in keys:
+        if k == c.partition_by:
+            out_cols.append(F.col(c.partition_by))
+        elif k == c.order_by:
+            out_cols.append(F.col("_o").alias(k))
+        else:
+            out_cols.append(
+                F.lit(None)
+                .cast(df.schema[k].dataType if k in df.columns else "string")
+                .alias(k)
+            )
+    return bad.select(
+        *out_cols,
+        reason.alias("reason"),
+        F.lit(c.severity.name).alias("severity"),
+    )
 
 
 def _gm_leg(

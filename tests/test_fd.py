@@ -173,3 +173,53 @@ def test_fd_plan_prunes_wide_body_and_partial_aggs(docs, tmp_path):
             assert "text" not in line
     assert "text" not in plan.split("FileScan")[1].split("\n")[0]
     assert "partial" in plan.lower()
+
+
+def test_closing_role_semantics(spark):
+    from ocsf_validator_spark.spec import ClosingRole
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user"), ("c1", 1, "assistant"),   # closes ok
+            ("c2", 0, "user"),                            # dangling user
+            ("c3", 0, "user"), ("c3", 1, None),           # NULL closer
+            ("c4", 0, "assistant"), ("c4", 1, "tool"),    # tool dangling
+        ],
+        "conv_id string, turn_idx int, role string",
+    )
+    suite = ConstraintSet("cl").add(
+        ClosingRole(column="role", allowed=("assistant",))
+    )
+    got = {r.conv_id: r for r in fd_violations(df, suite).collect()}
+    assert set(got) == {"c2", "c3", "c4"}
+    assert got[("c2")].turn_idx == 0
+    assert "role=user" in got["c2"].reason
+    assert "role=<null>" in got["c3"].reason and got["c3"].turn_idx == 1
+    assert "role=tool" in got["c4"].reason
+    # where-scoping: ignore tool turns when judging the closer
+    scoped = ConstraintSet("cl2").add(
+        ClosingRole(column="role", allowed=("assistant",),
+                    where="role IS DISTINCT FROM 'tool'")
+    )
+    got2 = {r.conv_id for r in fd_violations(df, scoped).collect()}
+    assert "c4" not in got2 and got2 == {"c2", "c3"}
+
+
+def test_closing_role_never_breaks_fusion(spark):
+    """Adding a ClosingRole must leave the base suite's violations
+    row-for-row identical (it is a KEY_LEVEL leg, not a window kind)."""
+    from ocsf_validator_spark.spec import ClosingRole
+    from ocsf_validator_spark.synth import synth_transcripts
+
+    df = synth_transcripts(spark, n_turns=3000, seed=5)
+    base = all_violations(df, transcript_suite())
+    plus = all_violations(
+        df,
+        transcript_suite().add(
+            ClosingRole(column="role", allowed=("user", "assistant", "tool"))
+        ),
+    )
+    rest = plus.filter(F.col("constraint_id") != "closing.role")
+    assert sorted(map(tuple, rest.collect())) == sorted(
+        map(tuple, base.collect())
+    )
