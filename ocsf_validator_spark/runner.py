@@ -577,6 +577,16 @@ def main(argv: list[str] | None = None) -> int:
         "e.g. --opening role=system,user",
     )
     p.add_argument(
+        "--closing",
+        action="append",
+        default=[],
+        metavar="COL=V1,V2",
+        help="add a ClosingRole constraint (repeatable): the LAST turn "
+        "of each conversation must have COL in the listed values — the "
+        "truncation/dangling-closer mirror of --opening, e.g. "
+        "--closing role=assistant",
+    )
+    p.add_argument(
         "--alternation",
         action="append",
         default=[],
@@ -1069,9 +1079,10 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
 
-    if args.precedence or args.opening or args.alternation:
+    if args.precedence or args.opening or args.alternation or args.closing:
         from ocsf_validator_spark.spec import (
             Alternation,
+            ClosingRole,
             OpeningRole,
             Precedence,
         )
@@ -1097,8 +1108,14 @@ def main(argv: list[str] | None = None) -> int:
                 if not col:
                     raise ValueError(s_)
                 suite.add(Alternation(column=col, scope=scope))
+            for s_ in args.closing:
+                col, _, vals = s_.partition("=")
+                allowed = tuple(x for x in vals.split(",") if x)
+                if not (col and allowed):
+                    raise ValueError(s_)
+                suite.add(ClosingRole(column=col, allowed=allowed))
         except ValueError as e:
-            print(f"[FATAL] bad --precedence/--opening/--alternation: {e}")
+            print(f"[FATAL] bad --precedence/--opening/--closing/--alternation: {e}")
             return 2
 
     if args.dump_suite:
