@@ -372,7 +372,7 @@ def volume_anomaly(
     hides the normal days can't be eyeballed): ``(bucket, cnt, median,
     mad, lo, hi, anomaly)`` ordered by bucket. NULL timestamps are
     excluded. Empty input returns an empty frame."""
-    from ocsf_validator_spark.pipeline.quantiles import exact_quantiles
+    from ocsf_validator_spark.pipeline.quantiles import _med_mad
 
     # date_trunc with an unknown unit returns NULL for EVERY row — the
     # series collapses to one NULL bucket that can never be anomalous,
@@ -398,14 +398,12 @@ def volume_anomaly(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    med_rows = exact_quantiles(counts, "cnt", qs=(0.5,)).collect()
-    if not med_rows:
+    # one shared-projection median/MAD composition: the tiny bucket
+    # series takes the small-n collect path (two jobs, no window/join)
+    mm = _med_mad(counts, "cnt", 4096)
+    if mm is None:
         return spark.createDataFrame([], schema)
-    med = med_rows[0]["value"]
-    dev = counts.select(
-        F.abs(F.col("cnt").cast("double") - F.lit(med)).alias("_d")
-    )
-    mad = exact_quantiles(dev, "_d", qs=(0.5,)).collect()[0]["value"]
+    med, mad = mm
     lo, hi = med - k * mad, med + k * mad
     c = F.col("cnt").cast("double")
     return counts.select(

@@ -100,20 +100,11 @@ def strip_boilerplate(
     occurrence pass through unchanged (n_removed = 0).
     """
     totals = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
-    distinct_h = (
-        f"array_distinct(transform({_gram_structs(text_col, n)}, t -> t.gh))"
-    )
-    flagged = (
-        df.select(F.explode(F.expr(distinct_h)).alias("gh"))
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df_docs"))
-        .crossJoin(F.broadcast(totals))
-        .filter(F.col("df_docs") >= F.lit(min_doc_frac) * F.col("_n_docs"))
-        .select("gh")
-    )
-    # occurrence probe: every (doc, pos) whose gram is flagged expands
-    # to its covered token positions [pos, pos + n - 1]
-    occ = (
+    # ONE tokenize + gram-hash pass feeds both the document-frequency
+    # leg and the occurrence probe (they used to be two full gram
+    # passes); count(DISTINCT id) preserves the distinct-per-doc
+    # counting, and the exchange still carries fixed-width keys only
+    occs = (
         df.select(
             F.col(id_col),
             F.explode(
@@ -124,7 +115,19 @@ def strip_boilerplate(
             ).alias("o"),
         )
         .select(id_col, "o.pos", "o.gh")
-        .join(F.broadcast(flagged), "gh")
+        .localCheckpoint(eager=False)
+    )
+    flagged = (
+        occs.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("df_docs"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("df_docs") >= F.lit(min_doc_frac) * F.col("_n_docs"))
+        .select("gh")
+    )
+    # occurrence probe: every (doc, pos) whose gram is flagged expands
+    # to its covered token positions [pos, pos + n - 1]
+    occ = (
+        occs.join(F.broadcast(flagged), "gh")
         .select(
             id_col, F.expr(f"sequence(pos, pos + {n - 1})").alias("_span")
         )
@@ -138,14 +141,21 @@ def strip_boilerplate(
         f"filter({toks}, (t, j) -> _cov is null or "
         "not array_contains(_cov, j + 1))"
     )
+    # size(_cov) IS the removed-token count (covered positions are in
+    # range by construction) — the size-difference formulation
+    # re-evaluated the positional filter twice. NULL-text rows keep
+    # their NULL count.
+    n_removed = (
+        F.when(F.col(text_col).isNull(), F.lit(None))
+        .when(F.col("_cov").isNull(), F.lit(0))
+        .otherwise(F.size("_cov"))
+    )
     return (
         df.join(occ, id_col, "left")
         .select(
             F.col(id_col),
             F.expr(f"concat_ws(' ', {kept})").alias("text_clean"),
-            (
-                F.expr(f"size({toks})") - F.expr(f"size({kept})")
-            ).cast("bigint").alias("n_removed"),
+            n_removed.cast("bigint").alias("n_removed"),
         )
         .orderBy(id_col)
     )

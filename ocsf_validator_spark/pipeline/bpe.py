@@ -126,13 +126,16 @@ def bpe_learn(
 
 
 def bpe_token_count_col(
-    text_col: str, merges: list[tuple[str, str]]
+    text_col: str, merges: list[tuple[str, str]], words_expr: str | None = None
 ) -> Column:
     """Tokens per row under the learned merges — pure column algebra:
     per word the spaced form runs the merge chain (one replace per
     merge, expression depth = |merges|), token count falls out of the
     remaining separator count; the per-row total is an integer fold.
-    No UDF, no shuffle."""
+    No UDF, no shuffle. ``words_expr`` substitutes an already-computed
+    word-array column/expression for the default regex tokenization
+    (so a caller needing the word array for other columns tokenizes
+    once)."""
     inner = "concat(concat_ws(' ', split(w, '')), ' ', '{eow}')".format(
         eow=EOW
     )
@@ -140,10 +143,8 @@ def bpe_token_count_col(
     for a, b in merges:
         expr = _merge_sql(expr, a, b)
     per_word = f"size(split({expr}, ' '))"
-    return F.expr(
-        f"aggregate(regexp_extract_all(lower({text_col}), '[a-z]+', 0), "
-        f"0L, (acc, w) -> acc + {per_word})"
-    )
+    arr = words_expr or f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+    return F.expr(f"aggregate({arr}, 0L, (acc, w) -> acc + {per_word})")
 
 
 def bpe_token_stats(
@@ -156,12 +157,20 @@ def bpe_token_stats(
     bpe_tokens, ws_tokens, compression = bpe/ws rounded 6) — the
     before/after table a tokenizer change is judged on. One
     partial-agg scan; ratios divide exact longs."""
-    bpe = bpe_token_count_col(text_col, merges)
-    ws = F.expr(
-        f"size(regexp_extract_all(lower({text_col}), '[a-z]+', 0))"
-    ).cast("bigint")
+    # tokenize ONCE into a real child column: the merge-chain fold and
+    # the whitespace count both read the `_ws` attribute instead of
+    # each re-running regexp_extract_all(lower(text)) — identical
+    # values, one regex pass per row instead of two
+    base = df.select(
+        F.col(group_col),
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+        ).alias("_ws"),
+    )
+    bpe = bpe_token_count_col(text_col, merges, words_expr="_ws")
+    ws = F.expr("size(_ws)").cast("bigint")
     out = (
-        df.groupBy(group_col)
+        base.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.coalesce(bpe, F.lit(0))).alias("bpe_tokens"),

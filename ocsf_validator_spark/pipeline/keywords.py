@@ -381,15 +381,25 @@ def pmi_collocations(
     )
     tot = uni.agg(F.sum("c").cast("double").alias("_T"))
     gram = f"concat_ws(' ', slice({toks}, i, 2))"
-    left = f"element_at({toks}, i)"
-    right = f"element_at({toks}, i + 1)"
-    tri = (
+    # the component hashes ride a per-row token-hash array bound once
+    # via bind1 (n md5 calls per row) instead of re-hashing left AND
+    # right per position (2(n-1) md5 calls) — element_at(hs, i) ==
+    # md5_60(element_at(tk, i)) value-for-value, so every (hb, h1, h2)
+    # key is unchanged
+    from ocsf_validator_spark.pipeline.decontam import bind1
+
+    tri_body = (
         f"case when size({toks}) >= 2 then "
         f"transform(sequence(1, size({toks}) - 1), i -> named_struct("
         f"'hb', {_MD5_60.format(x=gram)}, "
-        f"'h1', {_MD5_60.format(x=left)}, "
-        f"'h2', {_MD5_60.format(x=right)})) "
+        f"'h1', element_at(hs, i), "
+        f"'h2', element_at(hs, i + 1))) "
         f"else array() end"
+    )
+    tri = bind1(
+        tri_body,
+        f"transform({toks}, t -> {_MD5_60.format(x='t')})",
+        "hs",
     )
     bi = (
         base.select(F.explode(F.expr(tri)).alias("b"))

@@ -2,10 +2,15 @@
 
 ``percentile_approx`` is merge-order-dependent and approximate; a naive
 exact quantile is ``orderBy(value)`` — a full shuffle + global sort of
-the column at 100 TB. This operator computes EXACT order statistics in
-two data passes plus a boundary pass:
+the column at 100 TB. This operator computes EXACT order statistics
+with histogram narrowing:
 
-1. one partial-agg scan for (count, min, max) of the non-null values;
+1. one partial-agg scan for (count, min, max) of the non-null values —
+   this scan also MATERIALIZES the narrow ``(value)`` projection into
+   the block-manager cache, so every later pass reads the cached
+   8-byte column instead of re-evaluating the upstream plan (a windowed
+   latency frame or a broadcast-join deviation frame would otherwise
+   recompute per pass — the round-5 4–7-scan composition finding);
 2. one partial-agg histogram scan over ``n_bins`` equi-width bins —
    the exchange carries at most ``n_partitions x n_bins`` fixed-width
    rows; the driver walks the (<= n_bins)-row cumulative histogram to
@@ -15,6 +20,14 @@ two data passes plus a boundary pass:
    each, a handful of bins total): a per-bin ``row_number`` window
    picks the within-bin order statistic.
 
+Small inputs short-circuit: when the non-null count is at most
+``_SMALL_N`` the values are collected ONCE and the order statistics
+picked driver-side — the identical rank over the identical sorted
+values (Python's float sort and SQL ``ASC`` agree on every finite
+double and ±inf; NaN is excluded before either sees it), with two jobs
+instead of three and no window/join. This is the path the ~30-row
+volume-anomaly bucket series and the small-SF correctness runs take.
+
 The result is the exact global order statistic — the float fuzz of the
 bin boundaries cannot perturb it, because bins only ROUTE ranks; the
 returned value is picked by ordering the VALUES themselves. Rank
@@ -22,9 +35,22 @@ convention: ``rank(q) = floor((n - 1) * q) + 1`` (1-based, lower
 interpolation — the value at that position of the sorted column),
 which the DuckDB oracle replays with an explicit ``row_number``.
 
-Driver-side state is the histogram (<= n_bins rows) and the scalar
-(count, min, max) — bounded collects, same budget class as the
-token_budget_select cutoff grid.
+Driver-side state is the histogram (<= n_bins rows, or <= _SMALL_N
+collected doubles on the small path) and the scalar (count, min, max)
+— bounded collects, same budget class as the token_budget_select
+cutoff grid. The public functions return LITERAL frames (<= |qs| or
+|groups| x |qs| rows — bounded by contract), so a composition that
+collects the result pays no extra pass.
+
+MAD compositions (:func:`mad_outliers`, :func:`group_mad_outliers`,
+:func:`robust_scale`) share one persisted projection across both
+phases and DERIVE the deviation phase's (count, range) from the value
+phase's stats — ``|v - med|`` has exactly ``n`` rows in
+``[0, max(hi - med, med - lo)]`` whenever the values are inf-free —
+because equi-width bins only need to CONTAIN the data, not fit it
+snugly (the clamp routes edge values), deriving the range cannot
+change which value a rank picks. That removes one full aggregation
+pass per composition on top of the shared-projection savings.
 """
 
 from __future__ import annotations
@@ -33,53 +59,52 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# <= this many non-null values: collect once (Arrow), rank driver-side.
+# One million doubles is ~8 MB on the wire and a few tens of MB as a
+# Python list — the same driver-state budget class as a wide
+# (groups x n_bins) histogram collect — and it replaces two to three
+# scheduled jobs (each ~0.5 s of fixed AQE/broadcast/window latency at
+# any scale) with one columnar transfer. Above it, the histogram-
+# narrowing path keeps driver state at O(n_bins) regardless of n.
+_SMALL_N = 1_000_000
+
+_INF = float("inf")
 
 
-def exact_quantiles(
-    df: DataFrame,
-    value_col: str,
-    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
-    n_bins: int = 4096,
-) -> DataFrame:
-    """Exact quantiles of ``value_col``.
+def _rank(n: int, q: float) -> int:
+    return int(math.floor((n - 1) * q)) + 1
 
-    NULL and NaN are excluded (NaN has no place in a total order);
-    ±infinity participate — they route to sentinel bins below/above the
-    finite range (-1 / n_bins), which keeps the rank arithmetic exact
-    because bins only need to respect the sort order, and the finite
-    bin widths come from the FINITE min/max so an infinity can never
-    poison the binning arithmetic (an inf lo/hi would make every finite
-    bin NaN and blow the ANSI int cast).
 
-    Returns a DataFrame (q double, value double), one row per
-    requested quantile, ordered by q.
-    """
-    spark = df.sparkSession
-    vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
+def _values_frame(df: DataFrame, value_col: str) -> DataFrame:
+    """The narrow (v double) projection: NULL and NaN excluded (NaN has
+    no place in a total order); ±infinity participate."""
+    return df.select(F.col(value_col).cast("double").alias("v")).filter(
         F.col("v").isNotNull() & ~F.isnan("v")
     )
-    inf, ninf = float("inf"), float("-inf")
-    finite = (F.col("v") > ninf) & (F.col("v") < inf)
-    stats = vals.agg(
+
+
+def _stats_of(vals: DataFrame) -> tuple[int, float | None, float | None, int]:
+    """(n, finite lo, finite hi, n_inf) of the ``v`` column — one
+    partial-agg job (and the job that materializes a persisted vals)."""
+    finite = (F.col("v") > -_INF) & (F.col("v") < _INF)
+    r = vals.agg(
         F.count(F.lit(1)).alias("n"),
         F.min(F.when(finite, F.col("v"))).alias("lo"),
         F.max(F.when(finite, F.col("v"))).alias("hi"),
         F.count(F.when(~finite, F.lit(1))).alias("n_inf"),
     ).collect()[0]
-    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
-    empty = spark.createDataFrame([], "q double, value double")
-    if n == 0:
-        return empty
-    ranks = {q: int(math.floor((n - 1) * q)) + 1 for q in qs}
-    if stats["n_inf"] == 0 and lo == hi:
-        return spark.createDataFrame(
-            [(float(q), float(lo)) for q in sorted(qs)], "q double, value double"
-        )
+    return r["n"], r["lo"], r["hi"], r["n_inf"]
 
-    # degenerate finite range (all-inf, or one distinct finite value
-    # alongside infs): park every finite row in bin 0
+
+def _bin_expr(lo: float | None, hi: float | None, n_bins: int):
+    """Equi-width routing bin of ``v``: sentinel bins -1 / n_bins for
+    ±inf; a degenerate finite range (all-inf, or one distinct finite
+    value alongside infs) parks every finite row in bin 0 so a zero
+    width never reaches the arithmetic. The greatest/least clamp makes
+    any CONTAINING range valid — bins only route ranks."""
     if lo is None or lo == hi:
-        lo, width = 0.0, 1.0
         finite_bin = F.lit(0)
     else:
         width = (hi - lo) / n_bins
@@ -90,50 +115,255 @@ def exact_quantiles(
                 F.lit(n_bins - 1),
             ),
         )
-    bin_expr = (
-        F.when(F.col("v") == ninf, F.lit(-1))
-        .when(F.col("v") == inf, F.lit(n_bins))
+    return (
+        F.when(F.col("v") == -_INF, F.lit(-1))
+        .when(F.col("v") == _INF, F.lit(n_bins))
         .otherwise(finite_bin)
     )
-    hist = {
-        r["b"]: r["c"]
-        for r in vals.select(bin_expr.alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    # walk the cumulative histogram: rank -> (bin, rank within bin)
+
+
+def _walk_hist(
+    hist: dict[int, int], ranks: dict[float, int]
+) -> dict[float, tuple[int, int]]:
+    """Cumulative-histogram walk: global rank -> (bin, rank within bin)."""
     targets: dict[float, tuple[int, int]] = {}
     cum = 0
-    remaining = sorted(ranks.items(), key=lambda kv: kv[1])
     it = iter(sorted(hist.items()))
     b, c = next(it)
-    for q, r in remaining:
+    for q, r in sorted(ranks.items(), key=lambda kv: kv[1]):
         while cum + c < r:
             cum += c
             b, c = next(it)
         targets[q] = (b, r - cum)
-    need_bins = sorted({b for b, _ in targets.values()})
+    return targets
 
+
+def _boundary_frame(
+    vals: DataFrame, bin_expr, targets: dict[float, tuple[int, int]]
+) -> DataFrame:
+    """The boundary-bin pass as a LAZY frame (q, value): filter to the
+    target bins, per-bin row_number over the VALUES, broadcast-join the
+    (q -> bin, within-bin rank) routing table — one pass no matter how
+    many quantiles, several quantiles sharing one (bin, rank) each get
+    their own row. Kept as a separate builder so the no-global-sort
+    plan contract stays pytest-pinnable."""
+    spark = vals.sparkSession
+    need_bins = sorted({b for b, _ in targets.values()})
     w = Window.partitionBy("b").orderBy(F.col("v").asc())
     boundary = (
         vals.select("v", bin_expr.alias("b"))
         .filter(F.col("b").isin(need_bins))
         .select("v", "b", F.row_number().over(w).alias("rn"))
     )
-    # broadcast the (q -> bin, within-bin rank) routing table and join:
-    # one boundary pass no matter how many quantiles are asked, and
-    # several quantiles sharing one (bin, rank) — possible at small n —
-    # each get their own output row
     targets_df = spark.createDataFrame(
         [(float(q), b, local) for q, (b, local) in targets.items()],
         "q double, b int, rn int",
     )
-    return (
-        boundary.join(F.broadcast(targets_df), ["b", "rn"])
-        .select("q", F.col("v").alias("value"))
-        .orderBy("q")
+    return boundary.join(F.broadcast(targets_df), ["b", "rn"]).select(
+        "q", F.col("v").alias("value")
     )
+
+
+def _quantile_map(
+    vals: DataFrame,
+    qs: tuple[float, ...],
+    n_bins: int,
+    stats: tuple[int, float | None, float | None, int] | None = None,
+) -> tuple[dict[float, float], tuple[int, float | None, float | None, int]]:
+    """q -> exact order-statistic value over ``vals`` (a ``v`` column,
+    ideally persisted by the caller). ``stats`` skips the stats job
+    when the caller already knows (n, lo, hi, n_inf) — a DERIVED
+    containing range is fine (the clamp routes edge values)."""
+    if stats is None:
+        stats = _stats_of(vals)
+    n, lo, hi, n_inf = stats
+    if n == 0:
+        return {}, stats
+    ranks = {q: _rank(n, q) for q in qs}
+    if n_inf == 0 and lo == hi:
+        return {q: lo for q in qs}, stats
+    if n <= _SMALL_N:
+        # Arrow transfer: a py4j row collect of tens of thousands of
+        # rows costs seconds; toArrow moves the same values in one
+        # columnar batch (values are non-null non-NaN doubles, so the
+        # round trip is lossless)
+        vs = sorted(vals.toArrow().column("v").to_pylist())
+        return {q: vs[r - 1] for q, r in ranks.items()}, stats
+    be = _bin_expr(lo, hi, n_bins)
+    ht = (
+        vals.select(be.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .toArrow()
+    )
+    hist = dict(zip(ht.column("b").to_pylist(), ht.column("c").to_pylist()))
+    targets = _walk_hist(hist, ranks)
+    out = {
+        r["q"]: r["value"]
+        for r in _boundary_frame(vals, be, targets).collect()
+    }
+    return out, stats
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 4096,
+    persist: bool = False,
+) -> DataFrame:
+    """Exact quantiles of ``value_col`` (module-head contract).
+
+    Returns a DataFrame (q double, value double), one row per
+    requested quantile, ordered by q — a literal frame: the passes run
+    eagerly, so forcing or collecting the result costs no further
+    scan. ``persist=True`` caches the narrow projection across the
+    passes — worth it when the upstream plan is expensive (a window, a
+    join); for a plain column-pruned scan the re-scan is cheaper than
+    the cache build (measured), hence the default.
+    """
+    spark = df.sparkSession
+    vals = _values_frame(df, value_col)
+    if persist:
+        vals.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        qmap, _ = _quantile_map(vals, qs, n_bins)
+    finally:
+        if persist:
+            vals.unpersist()
+    if not qmap:
+        return spark.createDataFrame([], "q double, value double")
+    return spark.createDataFrame(
+        [(float(q), float(qmap[q])) for q in sorted(qs)],
+        "q double, value double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped variant
+# ---------------------------------------------------------------------------
+
+
+def _group_values(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(_g string, v double): string-normalized group (so broadcast
+    grid/routing frames join without an implicit cast on the big side),
+    NULL groups and NULL/NaN values excluded."""
+    return df.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull() & ~F.isnan("v") & F.col("_g").isNotNull())
+
+
+def _group_stats(
+    gvals: DataFrame,
+) -> dict[str, tuple[int, float | None, float | None, int]]:
+    finite = (F.col("v") > -_INF) & (F.col("v") < _INF)
+    return {
+        r["_g"]: (r["n"], r["lo"], r["hi"], r["n_inf"])
+        for r in gvals.groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.when(finite, F.col("v"))).alias("lo"),
+            F.max(F.when(finite, F.col("v"))).alias("hi"),
+            F.count(F.when(~finite, F.lit(1))).alias("n_inf"),
+        )
+        .collect()
+    }
+
+
+def _group_quantile_map(
+    gvals: DataFrame,
+    stats: dict[str, tuple[int, float | None, float | None, int]],
+    qs: tuple[float, ...],
+    n_bins: int,
+) -> dict[tuple[str, float], float]:
+    """(group, q) -> exact order-statistic value. Degenerate groups
+    (all values equal, incl. single-row groups) resolve to driver
+    literals; a small TOTAL row count collects the projection once and
+    ranks driver-side; otherwise the grid-join histogram + boundary
+    passes run over ``gvals`` (persisted by the caller)."""
+    spark = gvals.sparkSession
+    out: dict[tuple[str, float], float] = {}
+    live = {}  # group -> (lo, width, {q: global rank})
+    for g, (n, lo, hi, n_inf) in stats.items():
+        ranks = {q: _rank(n, q) for q in qs}
+        if n_inf == 0 and lo == hi:
+            for q in qs:
+                out[(g, q)] = lo
+        elif lo is None or lo == hi:
+            # all-inf group, or one distinct finite value among infs:
+            # finite rows park in bin 0, the inf sentinels do the rest
+            live[g] = (0.0, 1.0, ranks)
+        else:
+            live[g] = (lo, (hi - lo) / n_bins, ranks)
+    if not live:
+        return out
+    total_live = sum(stats[g][0] for g in live)
+    if total_live <= _SMALL_N:
+        per_group: dict[str, list[float]] = {g: [] for g in live}
+        live_set = set(live)
+        gt = gvals.toArrow()
+        for g, v in zip(
+            gt.column("_g").to_pylist(), gt.column("v").to_pylist()
+        ):
+            if g in live_set:
+                per_group[g].append(v)
+        for g, vs in per_group.items():
+            vs.sort()
+            for q, rk in live[g][2].items():
+                out[(g, q)] = vs[rk - 1]
+        return out
+
+    grid = spark.createDataFrame(
+        [(g, lo, w) for g, (lo, w, _) in live.items()],
+        "_g string, _lo double, _w double",
+    )
+    binned = gvals.join(F.broadcast(grid), "_g").select(
+        "_g",
+        "v",
+        F.when(F.col("v") == -_INF, F.lit(-1))
+        .when(F.col("v") == _INF, F.lit(n_bins))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.floor(
+                        (F.col("v") - F.col("_lo")) / F.col("_w")
+                    ).cast("int"),
+                    F.lit(n_bins - 1),
+                ),
+            )
+        )
+        .alias("b"),
+    )
+    hist: dict[str, dict[int, int]] = {}
+    ht = binned.groupBy("_g", "b").agg(F.count(F.lit(1)).alias("c")).toArrow()
+    for g, b, c in zip(
+        ht.column("_g").to_pylist(),
+        ht.column("b").to_pylist(),
+        ht.column("c").to_pylist(),
+    ):
+        hist.setdefault(g, {})[b] = c
+
+    routing = []  # (group, bin, within-bin rank, q)
+    for g, (_lo, _w, ranks) in live.items():
+        for q, (b, local) in _walk_hist(hist[g], ranks).items():
+            routing.append((g, b, local, float(q)))
+    routes = spark.createDataFrame(
+        routing, "_g string, b int, rn int, q double"
+    )
+    w = Window.partitionBy("_g", "b").orderBy(F.col("v").asc())
+    picked = (
+        binned.join(
+            F.broadcast(routes.select("_g", "b").distinct()), ["_g", "b"]
+        )
+        .select("_g", "b", "v", F.row_number().over(w).alias("rn"))
+        .join(F.broadcast(routes), ["_g", "b", "rn"])
+        .select("_g", "q", "v")
+    )
+    for r in picked.collect():
+        out[(r["_g"], r["q"])] = r["v"]
+    return out
 
 
 def exact_group_quantiles(
@@ -149,111 +379,83 @@ def exact_group_quantiles(
 
     Same histogram-narrowing contract as :func:`exact_quantiles`, with
     every driver-side structure bounded by GROUP CARDINALITY x n_bins
-    (the token_budget_select budget class): per-group (count, min, max)
-    from one partial-agg scan; a (group x bin) histogram scan whose
-    exchange carries fixed-width rows; one boundary pass windowed per
-    (group, bin) and joined to a broadcast routing table. Designed for
-    bounded group cardinality (types/languages/sources) — NOT for
-    per-user groups; there the per-group rank table itself is the
-    output size and a different operator applies.
-
-    Degenerate groups (all values equal, incl. single-row groups) short
-    -circuit to driver literals — a zero bin width never reaches the
-    binning expression.
+    (the token_budget_select budget class). Designed for bounded group
+    cardinality (types/languages/sources) — NOT for per-user groups;
+    there the per-group rank table itself is the output size and a
+    different operator applies. The upstream plan (a window, a join)
+    is evaluated ONCE: the narrow (_g, v) projection persists across
+    the stats/histogram/boundary passes and the result returns as a
+    literal |groups| x |qs|-row frame.
 
     Returns (group_col, q, value) ordered by (group_col, q).
     """
     spark = df.sparkSession
-    inf, ninf = float("inf"), float("-inf")
-    vals = df.select(
-        # string-normalized so the broadcast grid/routing frames (typed
-        # "_g string") join without an implicit cast on the big side
-        F.col(group_col).cast("string").alias("_g"),
-        F.col(value_col).cast("double").alias("v"),
-    ).filter(F.col("v").isNotNull() & ~F.isnan("v") & F.col("_g").isNotNull())
-    finite = (F.col("v") > ninf) & (F.col("v") < inf)
-    stats = {
-        r["_g"]: (r["n"], r["lo"], r["hi"], r["n_inf"])
-        for r in vals.groupBy("_g")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.when(finite, F.col("v"))).alias("lo"),
-            F.max(F.when(finite, F.col("v"))).alias("hi"),
-            F.count(F.when(~finite, F.lit(1))).alias("n_inf"),
-        )
-        .collect()
-    }
     schema = f"{group_col} string, q double, value double"
-    if not stats:
-        return spark.createDataFrame([], schema)
+    gvals = _group_values(df, group_col, value_col)
+    gvals.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        stats = _group_stats(gvals)
+        if not stats:
+            return spark.createDataFrame([], schema)
+        qmap = _group_quantile_map(gvals, stats, qs, n_bins)
+    finally:
+        gvals.unpersist()
+    rows = sorted(
+        ((g, float(q), float(v)) for (g, q), v in qmap.items()),
+        key=lambda t: (t[0], t[1]),
+    )
+    return spark.createDataFrame(rows, schema)
 
-    literal_rows = []  # degenerate groups resolved driver-side
-    live = {}  # group -> (lo, width, {q: global rank})
-    for g, (n, lo, hi, n_inf) in stats.items():
-        ranks = {q: int(math.floor((n - 1) * q)) + 1 for q in qs}
+
+# ---------------------------------------------------------------------------
+# median/MAD compositions
+# ---------------------------------------------------------------------------
+
+
+def _med_mad(
+    df: DataFrame, value_col: str, n_bins: int
+) -> tuple[float, float] | None:
+    """(median, MAD) of ``value_col`` — exact order statistics over ONE
+    persisted narrow projection; the deviation phase derives its stats
+    from the value phase's whenever the column is inf-free (see module
+    head), so the big-n path is stats + 2x(histogram + boundary) = five
+    jobs over one cached column, and the small-n path is two jobs.
+    None when the column has no non-null non-NaN values."""
+    vals = _values_frame(df, value_col)
+    vals.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        stats = _stats_of(vals)
+        n, lo, hi, n_inf = stats
+        if n == 0:
+            return None
         if n_inf == 0 and lo == hi:
-            literal_rows += [(g, float(q), float(lo)) for q in sorted(qs)]
-        elif lo is None or lo == hi:
-            # all-inf group, or one distinct finite value among infs:
-            # finite rows park in bin 0, the inf sentinels do the rest
-            live[g] = (0.0, 1.0, ranks)
-        else:
-            live[g] = (lo, (hi - lo) / n_bins, ranks)
-    lit_df = spark.createDataFrame(literal_rows, schema)
-    if not live:
-        return lit_df.orderBy(group_col, "q")
-
-    grid = spark.createDataFrame(
-        [(g, lo, w) for g, (lo, w, _) in live.items()],
-        "_g string, _lo double, _w double",
-    )
-    binned = vals.join(F.broadcast(grid), "_g").select(
-        "_g",
-        "v",
-        F.when(F.col("v") == ninf, F.lit(-1))
-        .when(F.col("v") == inf, F.lit(n_bins))
-        .otherwise(
-            F.greatest(
-                F.lit(0),
-                F.least(
-                    F.floor(
-                        (F.col("v") - F.col("_lo")) / F.col("_w")
-                    ).cast("int"),
-                    F.lit(n_bins - 1),
-                ),
+            return lo, 0.0
+        if n <= _SMALL_N:
+            vs = sorted(vals.toArrow().column("v").to_pylist())
+            med = vs[_rank(n, 0.5) - 1]
+            devs = sorted(
+                d for d in (abs(v - med) for v in vs) if not math.isnan(d)
             )
-        )
-        .alias("b"),
-    )
-    hist: dict[str, dict[int, int]] = {}
-    for r in binned.groupBy("_g", "b").agg(F.count(F.lit(1)).alias("c")).collect():
-        hist.setdefault(r["_g"], {})[r["b"]] = r["c"]
-
-    routing = []  # (group, bin, within-bin rank, q)
-    for g, (_lo, _w, ranks) in live.items():
-        cum = 0
-        it = iter(sorted(hist[g].items()))
-        b, c = next(it)
-        for q, r in sorted(ranks.items(), key=lambda kv: kv[1]):
-            while cum + c < r:
-                cum += c
-                b, c = next(it)
-            routing.append((g, b, r - cum, float(q)))
-    routes = spark.createDataFrame(
-        routing, "_g string, b int, rn int, q double"
-    )
-    w = Window.partitionBy("_g", "b").orderBy(F.col("v").asc())
-    picked = (
-        binned.join(
-            F.broadcast(routes.select("_g", "b").distinct()), ["_g", "b"]
-        )
-        .select("_g", "b", "v", F.row_number().over(w).alias("rn"))
-        .join(F.broadcast(routes), ["_g", "b", "rn"])
-        .select(
-            F.col("_g").alias(group_col), "q", F.col("v").alias("value")
-        )
-    )
-    return picked.unionByName(lit_df).orderBy(group_col, "q")
+            if not devs:
+                raise ValueError(
+                    "MAD undefined: every |v - median| is NaN "
+                    "(inf-dominated column)"
+                )
+            mad = devs[_rank(len(devs), 0.5) - 1]
+            return med, mad
+        med_map, _ = _quantile_map(vals, (0.5,), n_bins, stats=stats)
+        med = med_map[0.5]
+        dev = vals.select(F.abs(F.col("v") - F.lit(med)).alias("v"))
+        if n_inf == 0 and math.isfinite(med):
+            # derived: |v - med| has exactly n rows in [0, hi_dev]
+            hi_dev = max(hi - med, med - lo)
+            dev_stats = (n, 0.0, hi_dev, 0)
+        else:
+            dev_stats = None  # infs make |v - med| lossy: recount
+        mad_map, _ = _quantile_map(dev, (0.5,), n_bins, stats=dev_stats)
+        return med, mad_map[0.5]
+    finally:
+        vals.unpersist()
 
 
 def mad_outliers(
@@ -268,15 +470,14 @@ def mad_outliers(
     breakdown-point-0.5 robust spread — unlike mean/stddev bounds, a
     contaminated tail cannot drag the fence toward itself).
 
-    Composes :func:`exact_quantiles` twice (median of the values, then
-    median of ``|v - median|``) — each an exact histogram-narrowed order
-    statistic, so the fences are EXACT data values with no global sort:
-    ~7 column-pruned scans of one double column total, bounded driver
-    state, and the final flag pass is a scan-speed filter. ``k`` is kept
-    integral and the fences are computed as ``med - k * mad`` /
-    ``med + k * mad`` (one multiply + one add over exact data values, in
-    that order) so any engine replays them to the ULP; callers wanting
-    the Gaussian-consistency constant (1.4826) fold it into k upstream.
+    Median and MAD are exact histogram-narrowed order statistics from
+    ONE shared persisted projection (:func:`_med_mad`) — two source
+    scans total (one to build the projection, one for the flag pass),
+    bounded driver state, no global sort. ``k`` is kept integral and
+    the fences are computed as ``med - k * mad`` / ``med + k * mad``
+    (one multiply + one add over exact data values, in that order) so
+    any engine replays them to the ULP; callers wanting the Gaussian-
+    consistency constant (1.4826) fold it into k upstream.
 
     NULL/NaN values are excluded (as in exact_quantiles). Returns
     ``(*id_cols, value, median, mad, lo, hi)`` — empty when the column
@@ -288,16 +489,10 @@ def mad_outliers(
         [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols]
         + ["value double, median double, mad double, lo double, hi double"]
     )
-    med_rows = exact_quantiles(df, value_col, qs=(0.5,), n_bins=n_bins).collect()
-    if not med_rows:
+    mm = _med_mad(df, value_col, n_bins)
+    if mm is None:
         return spark.createDataFrame([], schema)
-    med = med_rows[0]["value"]
-    dev = df.select(
-        F.abs(F.col(value_col).cast("double") - F.lit(med)).alias("_d")
-    )
-    mad = exact_quantiles(dev, "_d", qs=(0.5,), n_bins=n_bins).collect()[0][
-        "value"
-    ]
+    med, mad = mm
     lo, hi = med - k * mad, med + k * mad
     v = F.col(value_col).cast("double")
     return (
@@ -327,12 +522,16 @@ def group_mad_outliers(
     scale (a value ordinary for one type is a gross outlier for
     another; one global fence sees neither).
 
-    Composes :func:`exact_group_quantiles` twice (per-group median of
-    the values, then per-group median of ``|v - median_g|``). Driver
-    state is two group-cardinality-sized median tables; the fences land
-    as a BROADCAST (group, lo, hi) frame, so the flag pass is one
-    broadcast-join + filter over the base scan — the big side never
-    shuffles. Same bounded-group-cardinality contract as
+    Both phases (per-group median of the values, then per-group median
+    of ``|v - median_g|``) run over ONE persisted (_g, v) projection —
+    two source scans total (projection build + flag pass) instead of
+    the former 4–7. The deviation phase derives each inf-free group's
+    (count, range) from the value phase's stats (module-head
+    derivation), so its stats job only ever runs for inf-bearing
+    groups. Driver state is two group-cardinality-sized median tables;
+    the fences land as a BROADCAST (group, lo, hi) frame, so the flag
+    pass is one broadcast-join + filter over the base scan — the big
+    side never shuffles. Same bounded-group-cardinality contract as
     exact_group_quantiles (types/languages, not per-user). Fences are
     ``med - k*mad`` / ``med + k*mad`` on exact data values in a fixed
     order (ULP-replayable cross-engine, as in :func:`mad_outliers`).
@@ -348,29 +547,43 @@ def group_mad_outliers(
         + [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols]
         + ["value double, median double, mad double, lo double, hi double"]
     )
-    meds = {
-        r[group_col]: r["value"]
-        for r in exact_group_quantiles(
-            df, group_col, value_col, qs=(0.5,), n_bins=n_bins
-        ).collect()
-    }
-    if not meds:
-        return spark.createDataFrame([], schema)
-    med_df = spark.createDataFrame(
-        list(meds.items()), "_g string, _med double"
-    )
-    g = F.col(group_col).cast("string")
-    dev = (
-        df.select(g.alias("_g"), F.col(value_col).cast("double").alias("_v"))
-        .join(F.broadcast(med_df), "_g")
-        .select("_g", F.abs(F.col("_v") - F.col("_med")).alias("_d"))
-    )
-    mads = {
-        r["_g"]: r["value"]
-        for r in exact_group_quantiles(
-            dev, "_g", "_d", qs=(0.5,), n_bins=n_bins
-        ).collect()
-    }
+    gvals = _group_values(df, group_col, value_col)
+    gvals.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        stats = _group_stats(gvals)
+        if not stats:
+            return spark.createDataFrame([], schema)
+        meds = {
+            g: v
+            for (g, _q), v in _group_quantile_map(
+                gvals, stats, (0.5,), n_bins
+            ).items()
+        }
+        med_df = spark.createDataFrame(
+            list(meds.items()), "_g string, _med double"
+        )
+        dev = gvals.join(F.broadcast(med_df), "_g").select(
+            "_g", F.abs(F.col("v") - F.col("_med")).alias("v")
+        )
+        dev_stats: dict[str, tuple[int, float | None, float | None, int]] = {}
+        lossy = []  # inf-bearing groups: |v - med| is lossy, recount
+        for g, (n, lo, hi, n_inf) in stats.items():
+            med = meds[g]
+            if n_inf == 0 and math.isfinite(med):
+                dev_stats[g] = (n, 0.0, max(hi - med, med - lo), 0)
+            else:
+                lossy.append(g)
+        if lossy:
+            recount = _group_stats(dev.filter(F.col("_g").isin(lossy)))
+            dev_stats.update(recount)
+        mads = {
+            g: v
+            for (g, _q), v in _group_quantile_map(
+                dev, dev_stats, (0.5,), n_bins
+            ).items()
+        }
+    finally:
+        gvals.unpersist()
     fences = spark.createDataFrame(
         [
             (grp, med, mads[grp], med - k * mads[grp], med + k * mads[grp])
@@ -378,6 +591,7 @@ def group_mad_outliers(
         ],
         "_g string, _med double, _mad double, _lo double, _hi double",
     )
+    g = F.col(group_col).cast("string")
     v = F.col(value_col).cast("double")
     return (
         df.filter(v.isNotNull() & ~F.isnan(v) & g.isNotNull())
@@ -507,10 +721,10 @@ def robust_scale(
     constant divide by 1.4826 downstream — the raw MAD unit keeps the
     output an exact function of two data values.
 
-    median and MAD are :func:`exact_quantiles` order statistics
-    (histogram-narrowed, no global sort) applied as LITERALS, so the
-    scale pass is one scan-speed projection and every scaled value is
-    one subtract + one divide over exact data values, rounded 6 dp —
+    median and MAD are exact order statistics over one shared persisted
+    projection (:func:`_med_mad`) applied as LITERALS, so the scale
+    pass is one scan-speed projection and every scaled value is one
+    subtract + one divide over exact data values, rounded 6 dp —
     engine-replayable. NULL/NaN inputs and a degenerate mad == 0 yield
     NULL scaled (try_divide); the median/mad columns ride along so a
     consumer can invert the transform.
@@ -518,8 +732,8 @@ def robust_scale(
     Returns (*id_cols, value_col, scaled, median, mad).
     """
     spark = df.sparkSession
-    med_rows = exact_quantiles(df, value_col, qs=(0.5,), n_bins=n_bins).collect()
-    if not med_rows:
+    mm = _med_mad(df, value_col, n_bins)
+    if mm is None:
         schema = ", ".join(
             [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols]
             + [
@@ -528,13 +742,7 @@ def robust_scale(
             ]
         )
         return spark.createDataFrame([], schema)
-    med = med_rows[0]["value"]
-    dev = df.select(
-        F.abs(F.col(value_col).cast("double") - F.lit(med)).alias("_d")
-    )
-    mad = exact_quantiles(dev, "_d", qs=(0.5,), n_bins=n_bins).collect()[0][
-        "value"
-    ]
+    med, mad = mm
     v = F.col(value_col).cast("double")
     ok = v.isNotNull() & ~F.isnan(v)
     return df.select(

@@ -21,6 +21,8 @@ results are engine-portable for oracle checks.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -46,6 +48,23 @@ def cosine_col(a_col: str, b_col: str) -> Column:
     return F.expr(cosine_expr(_dbl(a_col), _dbl(b_col)))
 
 
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side replay of ``norm_expr``: the identical sequential
+    left-to-right s + v*v fold and sqrt over binary64, so a literal
+    array's norm folds to the BIT-IDENTICAL double the in-plan
+    ``sqrt(aggregate(...))`` would produce — hoisting a constant
+    centroid/probe norm out of a per-row (or per-pair) expression can
+    then never change a cosine."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _lit_arr(vec: list[float]) -> str:
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+
+
 def cosine_topk(
     df: DataFrame,
     probe: list[float],
@@ -54,12 +73,27 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact top-k by cosine against a literal probe vector.
-    (id, cos_sim) ordered desc, ties broken by id for determinism."""
-    lit_vec = F.array(*[F.lit(float(v)) for v in probe])
-    scored = df.withColumn("_probe", lit_vec).select(
-        F.col(id_col),
-        F.expr(cosine_expr(_dbl(vec_col), "_probe")).alias("cos_sim"),
+    (id, cos_sim) ordered desc, ties broken by id for determinism.
+
+    The probe's norm is a constant — folded driver-side (bit-identical
+    replay of the SQL fold, see :func:`_py_norm`) — and the row vector
+    is cast + normed ONCE via bind1 instead of once per sub-expression,
+    so the per-row cost is one cast + one dot + one norm fold. Same
+    IEEE ops in the same order as the inline cosine_expr, so every
+    cos_sim is unchanged to the bit."""
+    from ocsf_validator_spark.pipeline.decontam import bind1
+
+    pv = [float(v) for v in probe]
+    cos = bind1(
+        bind1(
+            f"({dot_expr('vv', _lit_arr(pv))} / (nn * {_py_norm(pv)!r}D))",
+            norm_expr("vv"),
+            "nn",
+        ),
+        _dbl(vec_col),
+        "vv",
     )
+    scored = df.select(F.col(id_col), F.expr(cos).alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
@@ -101,17 +135,20 @@ def hyperplane_bucket_col(
     degenerate case, useful as a brute-force baseline)."""
     if n_planes == 0:
         return F.lit(0).cast("int")
-    vec = F.expr(_dbl(vec_col))
-    total = F.lit(0)
-    for p, comps in enumerate(hyperplane_components(dim, n_planes, seed)):
-        plane = F.array(*[F.lit(c) for c in comps])
-        dot = F.aggregate(
-            F.zip_with(vec, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
-        total = total + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return total.cast("int")
+    # bind-once: the Column-API formulation referenced the cast vector
+    # expression once PER PLANE (n_planes casts + allocations per row);
+    # binding it as a lambda variable evaluates it once. Identical fold
+    # and left-to-right sum of the same per-plane terms — bit-identical
+    # buckets.
+    from ocsf_validator_spark.pipeline.decontam import bind1
+
+    terms = [
+        f"(case when {dot_expr('vv', _lit_arr(comps))} > 0D "
+        f"then {1 << p} else 0 end)"
+        for p, comps in enumerate(hyperplane_components(dim, n_planes, seed))
+    ]
+    body = "cast((" + " + ".join(terms) + ") as int)"
+    return F.expr(bind1(body, _dbl(vec_col), "vv"))
 
 
 def hyperplane_bucket_py(
@@ -166,19 +203,40 @@ def ivf_assign_col(
     """IVF coarse-quantizer assignment: index (0-based) of the nearest
     centroid by cosine — pure column algebra over centroid literals
     (k is small, so the k dot products inline into one projection).
-    At scale this column is the table's partition key."""
-    sims = F.array(
-        *[
-            F.expr(
-                cosine_expr(
-                    _dbl(vec_col),
-                    "array(" + ",".join(f"{float(x)}D" for x in c) + ")",
-                )
-            )
+    At scale this column is the table's partition key.
+
+    Bind-once discipline: the row vector is cast ONCE and its norm
+    folded ONCE (the inline cosine_expr re-cast and re-normed the row
+    per CENTROID — 4·k·d work per row where k·d + 2·d suffices), the
+    centroid norms fold driver-side (:func:`_py_norm`, bit-identical
+    to the SQL fold), and the sims array binds once so the
+    argmax/array_position pair can't re-evaluate it. Identical IEEE
+    ops in the original order — every cosine, hence every assignment,
+    is unchanged."""
+    from ocsf_validator_spark.pipeline.decontam import bind1
+
+    sims = (
+        "array("
+        + ",".join(
+            f"({dot_expr('vv', _lit_arr(c))} / (nn * {_py_norm(c)!r}D))"
             for c in centroids
-        ]
+        )
+        + ")"
     )
-    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    body = bind1(
+        bind1(
+            bind1(
+                "cast(array_position(ss, array_max(ss)) - 1 as int)",
+                sims,
+                "ss",
+            ),
+            norm_expr("vv"),
+            "nn",
+        ),
+        _dbl(vec_col),
+        "vv",
+    )
+    return F.expr(body)
 
 
 def ivf_centroids(
@@ -322,8 +380,14 @@ def embedding_near_dup_pairs(
     # 2 x n_tables scans of the (wide) vector table without lineage
     # truncation; bucket assignment stays lazy so each leg's plane set
     # computes from the cached vectors
+    # vectors pre-cast to double and normed ONCE per row (the per-pair
+    # cosine then pays only the dot fold; same product order, so every
+    # cos_sim is bit-identical — the semdedup bind-once discipline)
     base = df.select(
-        *block_cols, F.col(id_col), F.col(vec_col).alias("_v")
+        *block_cols,
+        F.col(id_col),
+        F.expr(_dbl(vec_col)).alias("_v"),
+        F.expr(norm_expr(_dbl(vec_col))).alias("_n"),
     ).localCheckpoint(eager=False)
     legs = []
     for t in range(n_tables):
@@ -333,18 +397,21 @@ def embedding_near_dup_pairs(
             *block_cols,
             F.col(id_col),
             F.col("_v"),
+            F.col("_n"),
         )
         a = keyed.select(
             "_bucket",
             *block_cols,
             F.col(id_col).alias("a_id"),
             F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
         )
         b = keyed.select(
             "_bucket",
             *block_cols,
             F.col(id_col).alias("b_id"),
             F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
         )
         legs.append(
             a.join(b, ["_bucket", *block_cols])
@@ -352,7 +419,9 @@ def embedding_near_dup_pairs(
             .select(
                 "a_id",
                 "b_id",
-                F.expr(cosine_expr(_dbl("_va"), _dbl("_vb"))).alias("cos_sim"),
+                F.expr(f"({dot_expr('_va', '_vb')} / (_na * _nb))").alias(
+                    "cos_sim"
+                ),
             )
             .filter(F.col("cos_sim") >= threshold)
         )
@@ -396,22 +465,34 @@ def semdedup_survivors(
     exchange once per side; the dropped-id set is
     duplication-proportional and broadcasts back for the anti join.
     """
+    # bind-once discipline: cast to double and fold each vector's norm
+    # ONCE per ROW before the self-join — the inline per-PAIR cosine
+    # paid cast + dot + two norm folds per pair (4·d where d suffices).
+    # The pair expression divides the dot by the SAME (norm_a * norm_b)
+    # product in the same order, so every cosine — and the survivor
+    # set — is bit-identical.
     asg = df.select(
         F.col(id_col),
-        F.col(vec_col).alias("_v"),
+        F.expr(_dbl(vec_col)).alias("_v"),
         ivf_assign_col(centroids, vec_col).alias("cluster_id"),
-    )
+    ).withColumn("_n", F.expr(norm_expr("_v")))
     a = asg.select(
-        "cluster_id", F.col(id_col).alias("a_id"), F.col("_v").alias("_va")
+        "cluster_id",
+        F.col(id_col).alias("a_id"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = asg.select(
-        "cluster_id", F.col(id_col).alias("b_id"), F.col("_v").alias("_vb")
+        "cluster_id",
+        F.col(id_col).alias("b_id"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     dropped = (
         a.join(b, "cluster_id")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
-            F.expr(cosine_expr(_dbl("_va"), _dbl("_vb")))
+            F.expr(f"({dot_expr('_va', '_vb')} / (_na * _nb))")
             >= F.lit(float(threshold))
         )
         .select(F.col("b_id").alias(id_col))
@@ -468,14 +549,29 @@ def label_centroid_outliers(
     w = Window.partitionBy(label_col).orderBy(
         F.col("cos_sim").asc(), F.col(id_col).asc()
     )
+    # the centroid's norm folds ONCE per label on the broadcast side,
+    # and the row vector is cast + normed once via bind1 (the inline
+    # cosine paid cast + dot + two norm folds per row); same divide-by-
+    # (row_norm * centroid_norm) order, so every rounded cos_sim is
+    # unchanged
+    from ocsf_validator_spark.pipeline.decontam import bind1
+
+    cents = centroids.withColumn("_cn", F.expr(norm_expr("_cvec")))
+    cos = bind1(
+        bind1(
+            f"({dot_expr('vv', '_cvec')} / (nn * _cn))",
+            norm_expr("vv"),
+            "nn",
+        ),
+        _dbl(emb_col),
+        "vv",
+    )
     return (
-        df.join(F.broadcast(centroids), label_col)
+        df.join(F.broadcast(cents), label_col)
         .select(
             F.col(label_col),
             F.col(id_col),
-            F.round(
-                F.expr(cosine_expr(_dbl(emb_col), "_cvec")), 5
-            ).alias("cos_sim"),
+            F.round(F.expr(cos), 5).alias("cos_sim"),
         )
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)

@@ -65,19 +65,17 @@ def _occurrences(df: DataFrame, k: int, text_col: str, id_col: str) -> DataFrame
     )
 
 
-def _flagged(df: DataFrame, k: int, min_docs: int, text_col: str,
-             id_col: str) -> DataFrame:
-    """Window hashes present in >= min_docs distinct documents. The
-    count exchange carries only the 60-bit hash (distinct per doc
-    map-side, so a doc repeating its own window contributes one row).
-    """
-    distinct_h = (
-        f"array_distinct(transform({_gram_structs(text_col, k)}, t -> t.gh))"
-    )
+def _flagged_from(occ: DataFrame, min_docs: int, id_col: str) -> DataFrame:
+    """Window hashes present in >= min_docs distinct documents, derived
+    from the (id, pos, gh) occurrence frame so the tokenize + window-
+    hash pass runs ONCE per query (it used to run twice: once for the
+    occurrences, once for a distinct-per-doc flag pass — two full gram
+    passes where one suffices). count(DISTINCT id) deduplicates
+    (gh, id) map-side, so the exchange still carries per-doc-distinct
+    fixed-width keys, never the window strings."""
     return (
-        df.select(F.explode(F.expr(distinct_h)).alias("gh"))
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df_docs"))
+        occ.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("df_docs"))
         .filter(F.col("df_docs") >= int(min_docs))
         .select("gh")
     )
@@ -99,9 +97,8 @@ def dup_spans(
     (id, span_start, span_end, span_len, n_windows) ordered by
     (id, span_start); span bounds are token positions, inclusive.
     """
-    hits = _occurrences(df, k, text_col, id_col).join(
-        _flagged(df, k, min_docs, text_col, id_col), "gh"
-    )
+    occ = _occurrences(df, k, text_col, id_col).localCheckpoint(eager=False)
+    hits = occ.join(_flagged_from(occ, min_docs, id_col), "gh")
     w = Window.partitionBy(id_col).orderBy("pos")
     gap = F.when(F.col("pos") - F.lag("pos", 1).over(w) > k, 1).otherwise(0)
     island = F.sum(gap).over(
@@ -141,9 +138,9 @@ def strip_dup_spans(
     preserved — span stripping edits text, never drops documents
     (whole-document dedup is pipeline/dedup.py's job).
     """
+    occ = _occurrences(df, k, text_col, id_col).localCheckpoint(eager=False)
     cov = (
-        _occurrences(df, k, text_col, id_col)
-        .join(_flagged(df, k, min_docs, text_col, id_col), "gh")
+        occ.join(_flagged_from(occ, min_docs, id_col), "gh")
         .select(id_col, F.expr(f"sequence(pos, pos + {k - 1})").alias("_span"))
         .groupBy(id_col)
         .agg(F.array_distinct(F.flatten(F.collect_list("_span"))).alias("_cov"))
@@ -153,14 +150,22 @@ def strip_dup_spans(
         f"filter({toks}, (t, j) -> _cov is null or "
         "not array_contains(_cov, j + 1))"
     )
+    # every _cov position is an in-range token position by construction
+    # (covered windows end within the document), so the removed-token
+    # count IS size(_cov) — the size(toks) - size(kept) formulation
+    # re-evaluated the whole positional filter a second time. NULL-text
+    # rows keep their NULL count (size(NULL) - size(NULL) was NULL).
+    n_removed = (
+        F.when(F.col(text_col).isNull(), F.lit(None))
+        .when(F.col("_cov").isNull(), F.lit(0))
+        .otherwise(F.size("_cov"))
+    )
     return (
         df.join(cov, id_col, "left")
         .select(
             F.col(id_col),
             F.expr(f"concat_ws(' ', {kept})").alias("text_clean"),
-            (
-                F.expr(f"size({toks})") - F.expr(f"size({kept})")
-            ).cast("bigint").alias("n_removed"),
+            n_removed.cast("bigint").alias("n_removed"),
         )
         .orderBy(id_col)
     )

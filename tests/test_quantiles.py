@@ -67,22 +67,26 @@ def test_nulls_excluded_and_degenerate(spark):
 
 
 def test_no_global_sort_in_plan(spark):
+    # the big-n path's boundary pass is the only place a sort could
+    # sneak in: pin that the VALUE column only ever sees the per-bin
+    # LOCAL sort behind the hashpartitioning-on-bin exchange, never a
+    # global (range-partitioned) sort. (The public functions now run
+    # eagerly and return literal frames, so the pin targets the
+    # internal boundary-pass builder the big path executes.)
+    from ocsf_validator_spark.pipeline.quantiles import (
+        _bin_expr,
+        _boundary_frame,
+        _values_frame,
+    )
+
     rng = random.Random(7)
     df = spark.createDataFrame(
         [(rng.uniform(0, 1),) for _ in range(500)], "value double"
     )
-    plan = (
-        exact_quantiles(df, "value", qs=QS, n_bins=32)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    # the only global (range-partitioned) sort allowed is the final
-    # orderBy over the <= len(QS) OUTPUT rows, keyed on q; the VALUE
-    # column must only ever see the per-bin LOCAL sort behind the
-    # hashpartitioning-on-bin exchange
-    ranged = [
-        ln for ln in plan.splitlines() if "rangepartitioning" in ln.lower()
-    ]
-    assert all("q#" in ln and "v#" not in ln for ln in ranged), ranged
+    vals = _values_frame(df, "value")
+    frame = _boundary_frame(vals, _bin_expr(0.0, 1.0, 32), {0.5: (16, 3)})
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
     assert "hashpartitioning" in plan.lower(), plan
 
 
