@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # md5-prefix → bigint; engine-portable (DuckDB: ('0x'||substr(md5(x),1,8))::BIGINT)
 _MD5_HASH = "cast(conv(substring(md5({x}), 1, 8), 16, 10) as bigint)"
@@ -207,8 +208,51 @@ def connected_components(
     chains would want the O(log n)-round large-star/small-star
     alternating algorithm instead — same output contract.
     ``max_iters`` is the backstop; hitting it raises rather than
-    silently emitting half-merged clusters."""
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    silently emitting half-merged clusters.
+
+    Small-graph fast path: near-dup pair sets are COLLISION-proportional
+    (pairs exist only where duplicates exist), so the common case is a
+    graph that fits the driver easily. Up to 500k pairs (a few tens of
+    MB transient) the edges are collected ONCE (Arrow) and resolved
+    with union-find — the identical min-id-per-component labels, zero
+    iteration jobs, no per-round convergence counts. Beyond that the
+    distributed propagation below takes over unchanged."""
+    base = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    if base.count() <= 500_000:
+        tb = base.toArrow()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for u, v in zip(
+            tb.column("u").to_pylist(), tb.column("v").to_pylist()
+        ):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[rv] = ru
+        nodes = set(tb.column("u").to_pylist())
+        nodes.update(tb.column("v").to_pylist())
+        comp_min: dict = {}
+        for n in nodes:
+            r = find(n)
+            if r not in comp_min or n < comp_min[r]:
+                comp_min[r] = n
+        dt = base.schema["u"].dataType
+        schema = T.StructType(
+            [T.StructField("doc_id", dt), T.StructField("canonical_id", dt)]
+        )
+        return pairs.sparkSession.createDataFrame(
+            [(n, comp_min[find(n)]) for n in sorted(nodes)], schema
+        )
+    edges = base
     edges = (
         edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))

@@ -193,6 +193,47 @@ def vocab_coverage(
         F.count(F.lit(1)).alias("n_terms"),
         (F.col("cnt") * F.count(F.lit(1))).alias("mass"),
     )
+    # small-histogram fast path: the count histogram is bounded by the
+    # number of DISTINCT frequencies (~O(sqrt(total_tokens)) under a
+    # Zipf tail — the module-head argument), so the common case fits
+    # the driver with room to spare. Collect it ONCE (Arrow, limit-
+    # probed so a pathological non-Zipf histogram falls through to the
+    # distributed two-phase prefix below) and walk the cumulative curve
+    # in Python — the identical integer arithmetic, zero extra jobs.
+    _CAP = 2_000_000
+    probe = hist.limit(_CAP + 1).toArrow()
+    if probe.num_rows <= _CAP:
+        rows = sorted(
+            zip(
+                probe.column("cnt").to_pylist(),
+                probe.column("n_terms").to_pylist(),
+                probe.column("mass").to_pylist(),
+            ),
+            key=lambda t: -t[0],
+        )
+        if not rows:
+            return spark.createDataFrame([], empty_schema)
+        total = sum(m for _, _, m in rows)
+        out = []
+        for q in coverages_pct:
+            needed = (total * int(q) + 99) // 100
+            cm = ct = 0
+            for cnt, n_terms, mass in rows:
+                if cm < needed <= cm + mass:
+                    picked = (needed - cm + cnt - 1) // cnt
+                    out.append(
+                        (
+                            int(q),
+                            needed,
+                            ct + picked,
+                            cnt,
+                            cm + picked * cnt,
+                        )
+                    )
+                    break
+                cm += mass
+                ct += n_terms
+        return spark.createDataFrame(out, empty_schema)
     parts = num_partitions or spark.sparkContext.defaultParallelism
     ranged = hist.repartitionByRange(
         parts, F.col("cnt").desc()

@@ -30,6 +30,16 @@ def _stop_hits(text_col: str, words: tuple[str, ...]) -> str:
     return f"size(filter({_tokens(text_col)}, t -> {cond}))"
 
 
+def _stop_hits_arr(arr: str, words: tuple[str, ...]) -> str:
+    """_stop_hits over an already-projected token-array column — the
+    staged form (see text_profile): higher-order filter() trees defeat
+    codegen common-subexpression elimination, so a profile that spells
+    the hit count inline once per OUTPUT column re-tokenizes and
+    re-filters per column."""
+    cond = " or ".join(f"t = '{w}'" for w in words)
+    return f"size(filter({arr}, t -> {cond}))"
+
+
 def token_count_col(text_col: str = "text", pattern: str = "[a-z]+") -> Column:
     """Regex token count (the BPE-ish pre-tokenizer count)."""
     return F.regexp_count(F.col(text_col), F.lit(pattern)).cast("bigint")
@@ -86,13 +96,61 @@ def fingerprint_cols(
 def text_profile(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """One projection with every text-analysis feature."""
-    return df.select(
+    """One logical projection with every text-analysis feature — STAGED
+    so each shared subexpression (the token array, the per-language
+    stopword hit counts, the fingerprint gram array) is computed once
+    per row instead of once per referencing output column: codegen's
+    common-subexpression elimination does not reach inside higher-order
+    filter/transform trees, so the inline spelling re-split and
+    re-filtered the text ~3x per language (measured 2x wall on the
+    two-column quality-logit shape). Every leaf expression is
+    unchanged, so every output value is bit-identical."""
+    k, stride = 16, 8
+    fpg = (
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1), {stride}),"
+        f" i -> cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 8), 16, 10) as bigint))"
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.expr(_tokens(text_col)).alias("_tk"),
+        F.expr(fpg).alias("_fpg"),
+    )
+    hits = {
+        lang: F.expr(_stop_hits_arr("_tk", STOPWORDS[lang])).alias(
+            f"_h_{lang}"
+        )
+        for lang in _LANG_ORDER
+    }
+    staged = staged.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.expr("size(_tk)").cast("bigint").alias("_nt"),
+        *hits.values(),
+        F.col("_fpg"),
+    )
+    n_tokens = F.col("_nt")
+    nonspace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    stop_ratio = F.col("_h_en") / n_tokens
+    quality = F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (
+        F.lit(1.0) - stop_ratio
+    )
+    best = F.greatest(*[F.col(f"_h_{lang}") for lang in _LANG_ORDER])
+    lang_pred = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        lang_pred = F.when(
+            (F.col(f"_h_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(lang_pred)
+    return staged.select(
         F.col(id_col),
         token_count_col(text_col).alias("n_regex_tokens"),
-        *quality_cols(text_col),
-        lang_id_col(text_col).alias("lang_pred"),
-        *fingerprint_cols(text_col),
+        n_tokens.alias("n_tokens"),
+        F.round(nonspace / n_tokens, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+        lang_pred.alias("lang_pred"),
+        F.expr("array_min(_fpg)").alias("fp_min"),
+        F.expr("array_max(_fpg)").alias("fp_max"),
     )
 
 
@@ -507,6 +565,54 @@ def quality_logit_cols(text_col: str = "text") -> list[Column]:
             F.when(F.col(text_col).isNotNull(), F.lit(False))
         ).alias("keep"),
     ]
+
+
+def quality_logit_select(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """The :func:`quality_logit_cols` outputs with the logit STAGED as a
+    child-projection column: the two output columns each embedded their
+    own copy of the whole feature tree (tokenize + two regexp_replace +
+    the stopword filter), and codegen CSE does not reach inside the
+    higher-order filter — measured 2x the per-row work. Here the
+    (empty-guarded, unrounded) logit is computed once and both outputs
+    derive from the attribute; every leaf expression and guard is
+    unchanged, so the values are bit-identical."""
+    staged = df.select(
+        *id_cols, F.col(text_col), F.expr(_tokens(text_col)).alias("_tk")
+    )
+    n_tokens = F.expr("size(_tk)").cast("bigint")
+    nonspace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    n_alpha = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "[^a-zA-Z ]", "")
+    )
+    f0 = F.least(n_tokens, F.lit(400)).cast("double") / F.lit(400.0)
+    f1 = (nonspace.cast("double") / n_tokens) / F.lit(10.0)
+    f2 = F.expr(_stop_hits_arr("_tk", STOPWORDS["en"])).cast(
+        "double"
+    ) / n_tokens
+    f3 = n_alpha.cast("double") / F.length(F.col(text_col))
+    w0, w1, w2, w3 = QUALITY_W
+    logit = (
+        F.lit(w0) * f0
+        + F.lit(w1) * f1
+        + F.lit(w2) * f2
+        + F.lit(w3) * f3
+        + F.lit(QUALITY_B)
+    )
+    nonempty = F.length(F.col(text_col)) > 0
+    staged = staged.select(
+        *id_cols,
+        F.col(text_col),
+        F.when(nonempty, logit).alias("_lg"),
+    )
+    return staged.select(
+        *id_cols,
+        F.round(F.col("_lg"), 6).alias("quality_logit"),
+        F.when(nonempty, F.col("_lg") > 0)
+        .otherwise(F.when(F.col(text_col).isNotNull(), F.lit(False)))
+        .alias("keep"),
+    )
 
 
 def unicode_sanity_cols(text_col: str = "text") -> list[Column]:

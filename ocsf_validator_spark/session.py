@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(cores, 4)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # per-call call-site capture costs two extra py4j round trips
+        # per DataFrame/Column call — ~40% of suite plan-construction
+        # time (driver-side tooling only; results unchanged)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -1416,7 +1416,13 @@ def dataset_findings(
             got = {
                 float(r["q"]): float(r["value"])
                 for r in exact_quantiles(
-                    df, col_name, qs=tuple(sorted({float(c.q) for c in cs_}))
+                    df,
+                    col_name,
+                    qs=tuple(sorted({float(c.q) for c in cs_})),
+                    # suite inputs are typically derived views (the
+                    # transcripts row_number window): evaluate that
+                    # upstream once across the passes
+                    persist=True,
                 ).collect()
             }
             for c in cs_:
