@@ -474,17 +474,42 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), F.col("hb").asc())
         .limit(k)
     )
+    # collect the k winners (tiny — the selection above is already a
+    # TakeOrderedAndProject) and push their hash set into the recovery
+    # pass as a LITERAL in-list filter applied before the distinct /
+    # explode: the former join-based probe exploded every distinct
+    # bigram of the corpus to discard all but k; now non-winning
+    # positions drop inside the per-row transform and only winner
+    # structs are distinct'd and exploded. Same probe rows reach the
+    # same min(bigram) recovery, so the output is unchanged.
+    spark = df.sparkSession
+    top_rows = top.collect()
+    out_schema = (
+        "bigram string, n_pair bigint, n_left bigint, n_right bigint, "
+        "pmi double"
+    )
+    if not top_rows:
+        return spark.createDataFrame([], out_schema)
+    win_list = ",".join(str(int(r["hb"])) for r in top_rows)
+    top_df = spark.createDataFrame(
+        [
+            (r["hb"], r["n_pair"], r["n_left"], r["n_right"], r["pmi"])
+            for r in top_rows
+        ],
+        "hb bigint, n_pair bigint, n_left bigint, n_right bigint, pmi double",
+    )
     pairs = (
         f"case when size({toks}) >= 2 then "
-        f"array_distinct(transform(sequence(1, size({toks}) - 1), "
-        f"i -> struct({_MD5_60.format(x=gram)} as hb, {gram} as bigram))) "
+        f"array_distinct(filter(transform(sequence(1, size({toks}) - 1), "
+        f"i -> struct({_MD5_60.format(x=gram)} as hb, {gram} as bigram)), "
+        f"p -> p.hb in ({win_list}))) "
         f"else array() end"
     )
     probes = base.select(F.explode(F.expr(pairs)).alias("p")).select(
         "p.hb", "p.bigram"
     )
     return (
-        probes.join(F.broadcast(top), "hb")
+        probes.join(F.broadcast(top_df), "hb")
         .groupBy("hb", "n_pair", "n_left", "n_right", "pmi")
         .agg(F.min("bigram").alias("bigram"))
         .select("bigram", "n_pair", "n_left", "n_right", "pmi")
@@ -565,7 +590,7 @@ def source_vocab_overlap(
     ``collect_set(source)`` (state bounded by the GROUP COUNT, not the
     corpus), sorted and expanded map-side into ordered pairs with an
     index-windowed transform — pair volume is co-occurrence-
-    proportional and bounded by \|groups\|² per term. Per-source vocab
+    proportional and bounded by |groups|² per term. Per-source vocab
     sizes ride the SAME distinct-pair frame (localCheckpoint'd); the
     report join broadcasts the tiny size frame.
 

@@ -77,6 +77,18 @@ def _rank(n: int, q: float) -> int:
     return int(math.floor((n - 1) * q)) + 1
 
 
+def _probe_small(vals: DataFrame):
+    """One-job small-input probe: collect up to _SMALL_N + 1 values via
+    Arrow. Returns the full value list when the input fits (the limit
+    returned everything there is), else None — the big path then pays
+    its stats job knowing the probe read at most one early-terminated
+    partial scan."""
+    t = vals.limit(_SMALL_N + 1).toArrow()
+    if t.num_rows > _SMALL_N:
+        return None
+    return t
+
+
 def _values_frame(df: DataFrame, value_col: str) -> DataFrame:
     """The narrow (v double) projection: NULL and NaN excluded (NaN has
     no place in a total order); ±infinity participate."""
@@ -224,15 +236,22 @@ def exact_quantiles(
     """
     spark = df.sparkSession
     vals = _values_frame(df, value_col)
-    if persist:
-        vals.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        qmap, _ = _quantile_map(vals, qs, n_bins)
-    finally:
+    probe = _probe_small(vals)
+    if probe is not None:
+        vs = sorted(probe.column("v").to_pylist())
+        if not vs:
+            return spark.createDataFrame([], "q double, value double")
+        qmap = {q: vs[_rank(len(vs), q) - 1] for q in qs}
+    else:
         if persist:
-            vals.unpersist()
-    if not qmap:
-        return spark.createDataFrame([], "q double, value double")
+            vals.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            qmap, _ = _quantile_map(vals, qs, n_bins)
+        finally:
+            if persist:
+                vals.unpersist()
+        if not qmap:
+            return spark.createDataFrame([], "q double, value double")
     return spark.createDataFrame(
         [(float(q), float(qmap[q])) for q in sorted(qs)],
         "q double, value double",
@@ -392,14 +411,27 @@ def exact_group_quantiles(
     spark = df.sparkSession
     schema = f"{group_col} string, q double, value double"
     gvals = _group_values(df, group_col, value_col)
-    gvals.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        stats = _group_stats(gvals)
-        if not stats:
-            return spark.createDataFrame([], schema)
-        qmap = _group_quantile_map(gvals, stats, qs, n_bins)
-    finally:
-        gvals.unpersist()
+    probe = _probe_small(gvals)
+    if probe is not None:
+        per_group: dict[str, list[float]] = {}
+        for g, v in zip(
+            probe.column("_g").to_pylist(), probe.column("v").to_pylist()
+        ):
+            per_group.setdefault(g, []).append(v)
+        qmap = {}
+        for g, vs in per_group.items():
+            vs.sort()
+            for q in qs:
+                qmap[(g, q)] = vs[_rank(len(vs), q) - 1]
+    else:
+        gvals.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            stats = _group_stats(gvals)
+            if not stats:
+                return spark.createDataFrame([], schema)
+            qmap = _group_quantile_map(gvals, stats, qs, n_bins)
+        finally:
+            gvals.unpersist()
     rows = sorted(
         ((g, float(q), float(v)) for (g, q), v in qmap.items()),
         key=lambda t: (t[0], t[1]),
@@ -422,6 +454,21 @@ def _med_mad(
     jobs over one cached column, and the small-n path is two jobs.
     None when the column has no non-null non-NaN values."""
     vals = _values_frame(df, value_col)
+    probe = _probe_small(vals)
+    if probe is not None:
+        vs = sorted(probe.column("v").to_pylist())
+        if not vs:
+            return None
+        med = vs[_rank(len(vs), 0.5) - 1]
+        devs = sorted(
+            d for d in (abs(v - med) for v in vs) if not math.isnan(d)
+        )
+        if not devs:
+            raise ValueError(
+                "MAD undefined: every |v - median| is NaN "
+                "(inf-dominated column)"
+            )
+        return med, devs[_rank(len(devs), 0.5) - 1]
     vals.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         stats = _stats_of(vals)
@@ -430,19 +477,6 @@ def _med_mad(
             return None
         if n_inf == 0 and lo == hi:
             return lo, 0.0
-        if n <= _SMALL_N:
-            vs = sorted(vals.toArrow().column("v").to_pylist())
-            med = vs[_rank(n, 0.5) - 1]
-            devs = sorted(
-                d for d in (abs(v - med) for v in vs) if not math.isnan(d)
-            )
-            if not devs:
-                raise ValueError(
-                    "MAD undefined: every |v - median| is NaN "
-                    "(inf-dominated column)"
-                )
-            mad = devs[_rank(len(devs), 0.5) - 1]
-            return med, mad
         med_map, _ = _quantile_map(vals, (0.5,), n_bins, stats=stats)
         med = med_map[0.5]
         dev = vals.select(F.abs(F.col("v") - F.lit(med)).alias("v"))
@@ -508,6 +542,44 @@ def mad_outliers(
     )
 
 
+def _group_mad_flag_pass(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: tuple[str, ...],
+    k: int,
+    meds: dict[str, float],
+    mads: dict[str, float],
+) -> DataFrame:
+    """The shared flag pass: fences land as a BROADCAST (group, lo, hi)
+    frame, so this is one broadcast-join + filter over the base scan —
+    the big side never shuffles."""
+    spark = df.sparkSession
+    fences = spark.createDataFrame(
+        [
+            (grp, med, mads[grp], med - k * mads[grp], med + k * mads[grp])
+            for grp, med in meds.items()
+        ],
+        "_g string, _med double, _mad double, _lo double, _hi double",
+    )
+    g = F.col(group_col).cast("string")
+    v = F.col(value_col).cast("double")
+    return (
+        df.filter(v.isNotNull() & ~F.isnan(v) & g.isNotNull())
+        .join(F.broadcast(fences), g == F.col("_g"))
+        .filter((v < F.col("_lo")) | (v > F.col("_hi")))
+        .select(
+            F.col("_g").alias(group_col),
+            *[F.col(c) for c in id_cols],
+            v.alias("value"),
+            F.col("_med").alias("median"),
+            F.col("_mad").alias("mad"),
+            F.col("_lo").alias("lo"),
+            F.col("_hi").alias("hi"),
+        )
+    )
+
+
 def group_mad_outliers(
     df: DataFrame,
     group_col: str,
@@ -548,6 +620,29 @@ def group_mad_outliers(
         + ["value double, median double, mad double, lo double, hi double"]
     )
     gvals = _group_values(df, group_col, value_col)
+    # one-job small path: both phases (per-group median, then median of
+    # |v - med_g|) fold driver-side over one Arrow probe. Restricted to
+    # all-finite values so the rare inf-bearing input keeps the exact
+    # behavior of the distributed route below.
+    probe = _probe_small(gvals)
+    if probe is not None:
+        pvs = probe.column("v").to_pylist()
+        if all(math.isfinite(v) for v in pvs):
+            per_group: dict[str, list[float]] = {}
+            for g, v in zip(probe.column("_g").to_pylist(), pvs):
+                per_group.setdefault(g, []).append(v)
+            if not per_group:
+                return spark.createDataFrame([], schema)
+            meds, mads = {}, {}
+            for g, vs in per_group.items():
+                vs.sort()
+                med = vs[_rank(len(vs), 0.5) - 1]
+                devs = sorted(abs(v - med) for v in vs)
+                meds[g] = med
+                mads[g] = devs[_rank(len(devs), 0.5) - 1]
+            return _group_mad_flag_pass(
+                df, group_col, value_col, id_cols, k, meds, mads
+            )
     gvals.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         stats = _group_stats(gvals)
@@ -584,28 +679,8 @@ def group_mad_outliers(
         }
     finally:
         gvals.unpersist()
-    fences = spark.createDataFrame(
-        [
-            (grp, med, mads[grp], med - k * mads[grp], med + k * mads[grp])
-            for grp, med in meds.items()
-        ],
-        "_g string, _med double, _mad double, _lo double, _hi double",
-    )
-    g = F.col(group_col).cast("string")
-    v = F.col(value_col).cast("double")
-    return (
-        df.filter(v.isNotNull() & ~F.isnan(v) & g.isNotNull())
-        .join(F.broadcast(fences), g == F.col("_g"))
-        .filter((v < F.col("_lo")) | (v > F.col("_hi")))
-        .select(
-            F.col("_g").alias(group_col),
-            *[F.col(c) for c in id_cols],
-            v.alias("value"),
-            F.col("_med").alias("median"),
-            F.col("_mad").alias("mad"),
-            F.col("_lo").alias("lo"),
-            F.col("_hi").alias("hi"),
-        )
+    return _group_mad_flag_pass(
+        df, group_col, value_col, id_cols, k, meds, mads
     )
 
 

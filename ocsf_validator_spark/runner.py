@@ -50,6 +50,13 @@ from ocsf_validator_spark.verdict import (
 )
 from ocsf_validator_spark.violations import all_violations, dataset_findings
 
+# metric vocabulary shared by MetricBound / GroupMetricBound CLI flags —
+# validated at argument-parse time so a typo exits 2 with [FATAL] like
+# every other malformed flag instead of a mid-run stack trace
+_METRIC_NAMES = frozenset(
+    ("null_rate", "row_count", "distinct_count", "min", "max")
+)
+
 
 @dataclass
 class RunResult:
@@ -155,6 +162,31 @@ def run_validation(
             df = ckpt.filter_pending(df, done, conv_col, num_buckets)
             skipped = len(done)
             say(f"resume: skipping {skipped} completed buckets")
+            # whole-table gates (metric/quantile/volume/drift bounds,
+            # FD/group-metric legs) aggregate whatever frame they get:
+            # on a partial resume that is the PENDING buckets only, so
+            # absolute-count bounds can spuriously fire or pass. Warn
+            # rather than silently re-scope.
+            from ocsf_validator_spark.spec import (
+                DriftGate,
+                MetricBound,
+                QuantileBound,
+                VolumeGate,
+            )
+
+            gated = [
+                c.constraint_id
+                for c in suite.dataset_level()
+                if isinstance(
+                    c, (MetricBound, QuantileBound, VolumeGate, DriftGate)
+                )
+            ] + [c.constraint_id for c in suite.key_level()]
+            if gated:
+                say(
+                    "[WARN] resume re-scopes dataset-level gates to the "
+                    f"pending buckets only: {', '.join(sorted(gated))} "
+                    "(run without --checkpoint for whole-table bounds)"
+                )
 
     # Phase 2 — single-pass stats, collected once: yields n_rows, the
     # observed-bucket list (so the verdict pass never rescans the input),
@@ -965,6 +997,14 @@ def main(argv: list[str] | None = None) -> int:
                         raise ValueError(s_)
                 if not (col and metric) or (lo is None and hi is None):
                     raise ValueError(s_)
+                if metric not in _METRIC_NAMES:
+                    # validate at parse time: an unknown metric used to
+                    # surface as an unhandled mid-run ValueError stack
+                    # trace instead of the clean [FATAL] exit-2 path
+                    raise ValueError(
+                        f"unknown metric {metric!r} (one of "
+                        f"{sorted(_METRIC_NAMES)})"
+                    )
                 suite.add(
                     MetricBound(column=col, metric=metric, lo=lo, hi=hi)
                 )
@@ -1067,6 +1107,11 @@ def main(argv: list[str] | None = None) -> int:
                         raise ValueError(s_)
                 if not (col and metric and by) or (lo is None and hi is None):
                     raise ValueError(s_)
+                if metric not in _METRIC_NAMES:
+                    raise ValueError(
+                        f"unknown metric {metric!r} (one of "
+                        f"{sorted(_METRIC_NAMES)})"
+                    )
                 suite.add(
                     GroupMetricBound(
                         column=col, metric=metric, by=by, lo=lo, hi=hi

@@ -421,6 +421,15 @@ class FunctionalDependency(Constraint):
     determinants: tuple[str, ...] = ()
     KIND = "fd"
 
+    def __post_init__(self) -> None:
+        # empty determinants would silently skip the whole leg
+        # (config error is never a silent keep)
+        if not self.determinants:
+            raise ValueError(
+                f"FunctionalDependency {self.column!r} needs at least "
+                "one determinant column"
+            )
+
     @property
     def constraint_id(self) -> str:
         return self.id_override or (
@@ -481,6 +490,17 @@ class MetricBound(Constraint):
     hi: Any = None
     KIND = "metric"
 
+    def __post_init__(self) -> None:
+        # the dataset-level gates aggregate the WHOLE frame and the
+        # runner's piggybacked aggregates do too — a `where` here would
+        # be silently ignored (config error is never a silent keep):
+        # scope the input frame instead
+        if self.where:
+            raise ValueError(
+                f"{self.KIND} constraints are dataset-level; `where` is "
+                "not applied — filter the input frame instead"
+            )
+
     @property
     def constraint_id(self) -> str:
         return self.id_override or f"{self.KIND}.{self.metric}.{self.column}"
@@ -513,6 +533,17 @@ class QuantileBound(Constraint):
     hi: Any = None
     KIND = "quantile"
 
+    def __post_init__(self) -> None:
+        # the dataset-level gates aggregate the WHOLE frame and the
+        # runner's piggybacked aggregates do too — a `where` here would
+        # be silently ignored (config error is never a silent keep):
+        # scope the input frame instead
+        if self.where:
+            raise ValueError(
+                f"{self.KIND} constraints are dataset-level; `where` is "
+                "not applied — filter the input frame instead"
+            )
+
     @property
     def constraint_id(self) -> str:
         return self.id_override or f"{self.KIND}.{self.q}.{self.column}"
@@ -539,6 +570,17 @@ class VolumeGate(Constraint):
     k: int = 3
     severity: Severity = Severity.WARNING
     KIND = "volume"
+
+    def __post_init__(self) -> None:
+        # the dataset-level gates aggregate the WHOLE frame and the
+        # runner's piggybacked aggregates do too — a `where` here would
+        # be silently ignored (config error is never a silent keep):
+        # scope the input frame instead
+        if self.where:
+            raise ValueError(
+                f"{self.KIND} constraints are dataset-level; `where` is "
+                "not applied — filter the input frame instead"
+            )
 
     @property
     def constraint_id(self) -> str:
@@ -571,6 +613,17 @@ class DriftGate(Constraint):
     severity: Severity = Severity.WARNING
     KIND = "drift"
 
+    def __post_init__(self) -> None:
+        # the dataset-level gates aggregate the WHOLE frame and the
+        # runner's piggybacked aggregates do too — a `where` here would
+        # be silently ignored (config error is never a silent keep):
+        # scope the input frame instead
+        if self.where:
+            raise ValueError(
+                f"{self.KIND} constraints are dataset-level; `where` is "
+                "not applied — filter the input frame instead"
+            )
+
     @property
     def constraint_id(self) -> str:
         return self.id_override or f"{self.KIND}.{self.metric}.{self.column}"
@@ -600,6 +653,15 @@ class GroupMetricBound(Constraint):
     lo: Any = None
     hi: Any = None
     KIND = "group_metric"
+
+    def __post_init__(self) -> None:
+        # empty `by` would silently skip the whole leg (config error is
+        # never a silent keep)
+        if not self.by:
+            raise ValueError(
+                f"GroupMetricBound {self.column!r} needs at least one "
+                "grouping column in `by`"
+            )
 
     @property
     def constraint_id(self) -> str:

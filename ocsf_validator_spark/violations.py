@@ -39,6 +39,7 @@ from ocsf_validator_spark.compile import violation_entries_guarded
 from ocsf_validator_spark.spec import (
     AllowedColumns,
     Alternation,
+    Check,
     ClosingRole,
     ConstraintSet,
     DriftGate,
@@ -120,6 +121,15 @@ def _resolves(df: DataFrame, cols: Sequence[str]) -> bool:
 
 
 def _referenced_columns(c) -> list[str]:
+    if isinstance(c, Check):
+        # Check's `column` is only a LABEL for the constraint id; the
+        # predicate may reference any columns, so the label must not be
+        # treated as a referenced column (it used to be: a Check whose
+        # label was not a real column was silently never evaluated and
+        # reported as an unresolvable-column finding instead). A
+        # predicate naming a truly missing column now fails loudly at
+        # analysis — a config error is never a silent keep.
+        return []
     if isinstance(c, Unique):
         return [*c.keys, *c.first_seen_order]
     if isinstance(c, FunctionalDependency):
@@ -144,7 +154,7 @@ def row_violations(
     Constraints whose column doesn't resolve (top-level OR struct path)
     are skipped here but REPORTED by dataset_findings as an
     unresolvable-column finding — never a silent skip."""
-    cs = [c for c in suite.row_level() if _resolves(df, [c.column])]
+    cs = [c for c in suite.row_level() if isinstance(c, Check) or _resolves(df, [c.column])]
     if not cs or not _present(df, keys):
         return _empty(df, keys)
     entries = violation_entries_guarded(cs)
@@ -1671,7 +1681,7 @@ def all_violations(
         small = df.filter(
             ~F.col(part).isin(*skewed_convs) | F.col(part).isNull()
         )
-        row_cs = [c for c in suite.row_level() if _resolves(df, [c.column])]
+        row_cs = [c for c in suite.row_level() if isinstance(c, Check) or _resolves(df, [c.column])]
         if concurrent_skew:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -1722,7 +1732,7 @@ def all_violations(
             )
         )
     elif fused:
-        row_cs = [c for c in suite.row_level() if _resolves(df, [c.column])]
+        row_cs = [c for c in suite.row_level() if isinstance(c, Check) or _resolves(df, [c.column])]
         main = fused_group_violations(df, *fused, keys, row_cs=row_cs, carry=carry)
     else:
         main = row_violations(df, suite, keys).unionByName(

@@ -206,21 +206,90 @@ def test_metric_bounds_in_verdicts(spark):
     assert exit_code(vd) == 1
 
 
-def test_runner_cli_check_and_metric_bound(spark):
+def test_runner_cli_check_and_metric_bound(spark, capsys):
     """--check/--metric-bound extend the suite from the CLI; malformed
-    specs are FATAL (exit 2), never silently dropped."""
+    specs are FATAL (exit 2), never silently dropped. The --check label
+    is NOT a column of the transcripts table — the constraint must be
+    EVALUATED under its label (it used to be silently skipped and
+    reported as an unresolvable-column finding instead)."""
     from ocsf_validator_spark.runner import main
 
-    assert main(
+    rc = main(
         [
             "--synth", "20000", "--buckets", "4",
             "--check", "no_none_tool=NOT (role = 'tool' AND tool = 'none')",
             "--metric-bound", "conv_id:distinct_count,min=1",
         ]
-    ) in (0, 1)
+    )
+    out = capsys.readouterr().out
+    assert rc == 1  # the base transcript suite fires on synth data
+    assert "check.no_none_tool" in out  # evaluated under its label
+    assert "do not resolve" not in out  # never the unresolvable path
     assert main(["--synth", "10", "--check", "nopredicate"]) == 2
     assert main(["--synth", "10", "--metric-bound", "role:null_rate"]) == 2
     assert main(["--synth", "10", "--metric-bound", "role,max=1"]) == 2
+    # unknown metric name: clean parse-time FATAL, not a mid-run trace
+    assert main(["--synth", "10", "--metric-bound", "role:bogus,max=1"]) == 2
+
+
+def test_check_label_need_not_be_a_column(spark):
+    """Check's `column` is only a label: a cross-column predicate under
+    a non-column label must really evaluate and fire on violating
+    rows."""
+    df = _df(
+        spark,
+        [
+            ("c1", 0, "view", "xx"),
+            ("c1", 1, "tool", "none"),
+        ],
+    )
+    suite = ConstraintSet(
+        name="t",
+        constraints=[
+            Check(
+                column="pairing",
+                predicate="NOT (role = 'tool' AND text = 'none')",
+            )
+        ],
+    )
+    rows = all_violations(df, suite, include_coverage=False).collect()
+    assert [r.constraint_id for r in rows] == ["check.pairing"]
+    assert rows[0].turn_idx == 1
+    # and no bogus unresolvable-column dataset finding
+    assert not [r for r in rows if "do not resolve" in r.reason]
+
+
+def test_dataset_kind_config_guards():
+    """Config errors are never silent keeps: empty by/determinants and
+    `where` on dataset-level kinds raise at construction."""
+    from ocsf_validator_spark.spec import (
+        DriftGate,
+        FunctionalDependency,
+        GroupMetricBound,
+        QuantileBound,
+        VolumeGate,
+    )
+
+    with pytest.raises(ValueError):
+        FunctionalDependency(column="lang", determinants=())
+    with pytest.raises(ValueError):
+        GroupMetricBound(column="lang", by=(), metric="null_rate", hi=1)
+    for bad in (
+        MetricBound(column="x", metric="min", lo=0, where=None),
+        QuantileBound(column="x", q=0.5, lo=0),
+        VolumeGate(column="ts"),
+        DriftGate(column="x"),
+    ):
+        # construction without `where` is fine...
+        assert bad.where is None
+    for cls, kw in (
+        (MetricBound, dict(metric="min", lo=0)),
+        (QuantileBound, dict(q=0.5, lo=0)),
+        (VolumeGate, dict()),
+        (DriftGate, dict()),
+    ):
+        with pytest.raises(ValueError):
+            cls(column="x", where="role = 'tool'", **kw)
 
 
 def test_observed_metrics_short_circuits_aggregation(spark):
