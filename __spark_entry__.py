@@ -15,6 +15,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ocsf_validator_spark.localframe import empty_df, local_df
+
 
 def _disable_dataframe_debugging() -> None:
     """Turn off PySpark's per-API-call call-site capture for the active
@@ -26,7 +28,12 @@ def _disable_dataframe_debugging() -> None:
     plans, and error semantics are unchanged (only the enriched
     call-site line in error messages is dropped). The flag is cached
     module-globally on first use, so reset the cache so a session that
-    already touched the API picks the new value up."""
+    already touched the API picks the new value up.
+
+    Also enables Arrow for pandas interchange
+    (spark.sql.execution.arrow.pyspark.enabled): localframe.local_df
+    routes literal frames through pandas + Arrow so scanning them never
+    launches Python workers (see that module's measurements)."""
     try:
         import pyspark.errors.utils as _eu
 
@@ -35,6 +42,7 @@ def _disable_dataframe_debugging() -> None:
             s.conf.set(
                 "spark.python.sql.dataFrameDebugging.enabled", "false"
             )
+            s.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
             _eu._enable_debugging_cache = None
     except Exception:
         pass
@@ -940,7 +948,7 @@ def q_psi_value_drift(spark: SparkSession, sf: str) -> DataFrame:
     psi_split builds both histograms from a single scan (one job)."""
     ev = _t(spark, sf, "events")
     val = drift.psi_split(ev, "event_id % 2 = 0", "value", "floor(_v / 10)")
-    return spark.createDataFrame([(round(val, 4),)], "psi double")
+    return local_df(spark, [(round(val, 4),)], "psi double")
 
 
 def q_emd_value_drift(spark: SparkSession, sf: str) -> DataFrame:
@@ -951,7 +959,7 @@ def q_emd_value_drift(spark: SparkSession, sf: str) -> DataFrame:
     by the DuckDB HUGEINT replay."""
     ev = _t(spark, sf, "events")
     val = drift.emd_split(ev, "event_id % 2 = 0", "value", "floor(_v / 10)")
-    return spark.createDataFrame([(round(val, 6),)], "emd double")
+    return local_df(spark, [(round(val, 6),)], "emd double")
 
 
 def q_increment_drift(spark: SparkSession, sf: str) -> DataFrame:
@@ -970,7 +978,7 @@ def q_increment_drift(spark: SparkSession, sf: str) -> DataFrame:
         "floor(_v / 50)",
         ref_pred="doc_id % 4 != 3",
     )
-    return spark.createDataFrame([(round(val, 4),)], "psi double")
+    return local_df(spark, [(round(val, 4),)], "psi double")
 
 
 def q_psi_by_bucket(spark: SparkSession, sf: str) -> DataFrame:
@@ -1009,7 +1017,7 @@ def q_ks_click_view(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     val = drift.ks_distance(side("click"), side("view"), "value")
-    return spark.createDataFrame([(round(val, 6),)], "ks double")
+    return local_df(spark, [(round(val, 6),)], "ks double")
 
 
 def q_ks_by_bucket_textlen(spark: SparkSession, sf: str) -> DataFrame:

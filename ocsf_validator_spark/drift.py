@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ocsf_validator_spark.localframe import empty_df, local_df
+
 PSI_SIGNIFICANT = 0.2
 KS_C_ALPHA_05 = 1.358
 
@@ -402,7 +404,7 @@ def volume_anomaly(
     # series takes the small-n collect path (two jobs, no window/join)
     mm = _med_mad(counts, "cnt", 4096)
     if mm is None:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     med, mad = mm
     lo, hi = med - k * mad, med + k * mad
     c = F.col("cnt").cast("double")

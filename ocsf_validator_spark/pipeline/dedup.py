@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ocsf_validator_spark.localframe import empty_df, local_df
+
 # md5-prefix → bigint; engine-portable (DuckDB: ('0x'||substr(md5(x),1,8))::BIGINT)
 _MD5_HASH = "cast(conv(substring(md5({x}), 1, 8), 16, 10) as bigint)"
 
@@ -186,6 +188,7 @@ def connected_components(
     src: str = "a_id",
     dst: str = "b_id",
     max_iters: int = 25,
+    small_graph_max: int = 500_000,
 ) -> DataFrame:
     """Duplicate-CLUSTER resolution over a near-dup pair graph
     (LSH/Jaccard/embedding pairs): connected components by min-label
@@ -215,12 +218,14 @@ def connected_components(
     graph that fits the driver easily. Up to 500k pairs (a few tens of
     MB transient) the edges are collected ONCE (Arrow) and resolved
     with union-find — the identical min-id-per-component labels, zero
-    iteration jobs, no per-round convergence counts. Beyond that the
-    distributed propagation below takes over unchanged."""
+    iteration jobs, no per-round convergence counts. Beyond
+    ``small_graph_max`` pairs the distributed propagation below takes
+    over unchanged (set it to 0 to force that path, e.g. to exercise
+    the convergence backstop)."""
     base = pairs.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
-    if base.count() <= 500_000:
+    if base.count() <= small_graph_max:
         tb = base.toArrow()
         parent: dict = {}
 
@@ -249,7 +254,7 @@ def connected_components(
         schema = T.StructType(
             [T.StructField("doc_id", dt), T.StructField("canonical_id", dt)]
         )
-        return pairs.sparkSession.createDataFrame(
+        return local_df(pairs.sparkSession, 
             [(n, comp_min[find(n)]) for n in sorted(nodes)], schema
         )
     edges = base

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ocsf_validator_spark.localframe import empty_df, local_df
+
 from ocsf_validator_spark.pipeline.decontam import _MD5_60
 
 
@@ -212,7 +214,7 @@ def vocab_coverage(
             key=lambda t: -t[0],
         )
         if not rows:
-            return spark.createDataFrame([], empty_schema)
+            return local_df(spark, [], empty_schema)
         total = sum(m for _, _, m in rows)
         out = []
         for q in coverages_pct:
@@ -233,7 +235,7 @@ def vocab_coverage(
                     break
                 cm += mass
                 ct += n_terms
-        return spark.createDataFrame(out, empty_schema)
+        return local_df(spark, out, empty_schema)
     parts = num_partitions or spark.sparkContext.defaultParallelism
     ranged = hist.repartitionByRange(
         parts, F.col("cnt").desc()
@@ -245,7 +247,7 @@ def vocab_coverage(
         .collect()
     )
     if not ptot:
-        return spark.createDataFrame([], empty_schema)
+        return local_df(spark, [], empty_schema)
     pm = {r["_pid"]: (r["m"], r["t"]) for r in ptot}
     offs, am, at = [], 0, 0
     for pid in sorted(pm):
@@ -253,7 +255,8 @@ def vocab_coverage(
         am += pm[pid][0]
         at += pm[pid][1]
     total = am
-    offsets = spark.createDataFrame(
+    offsets = local_df(
+        spark,
         offs, "_pid int, _om long, _ot long"
     )
     w = Window.partitionBy("_pid").orderBy(F.col("cnt").desc())
@@ -268,7 +271,8 @@ def vocab_coverage(
             "cum_terms"
         ),
     )
-    cov = spark.createDataFrame(
+    cov = local_df(
+        spark,
         [(int(q), (total * int(q) + 99) // 100) for q in coverages_pct],
         "coverage_pct int, needed_tokens long",
     )
@@ -489,9 +493,10 @@ def pmi_collocations(
         "pmi double"
     )
     if not top_rows:
-        return spark.createDataFrame([], out_schema)
+        return local_df(spark, [], out_schema)
     win_list = ",".join(str(int(r["hb"])) for r in top_rows)
-    top_df = spark.createDataFrame(
+    top_df = local_df(
+        spark,
         [
             (r["hb"], r["n_pair"], r["n_left"], r["n_right"], r["pmi"])
             for r in top_rows

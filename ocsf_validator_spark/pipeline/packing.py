@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ocsf_validator_spark.localframe import empty_df, local_df
+
 
 def _global_token_starts(
     df: DataFrame,
@@ -69,7 +71,8 @@ def _global_token_starts(
     for pid in sorted(totals):
         prefix[pid] = acc
         acc += totals[pid]
-    offsets = spark.createDataFrame(
+    offsets = local_df(
+        spark,
         [(pid, off) for pid, off in prefix.items()], "_pid int, _off long"
     )
     w = Window.partitionBy("_pid").orderBy(F.col(id_col).asc())
@@ -102,8 +105,8 @@ def pack_sequences(
         df, token_col, id_col, num_partitions
     )
     if starts is None:
-        return df.sparkSession.createDataFrame(
-            [],
+        return empty_df(
+            df.sparkSession,
             f"{id_col} long, n_tokens long, pack_id long, "
             "pack_offset long, spans_packs long",
         )
@@ -146,8 +149,8 @@ def plan_shards(
         df, token_col, id_col, num_partitions
     )
     if starts is None:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, n_tokens long, shard_id long"
+        return empty_df(
+            df.sparkSession, f"{id_col} long, n_tokens long, shard_id long"
         )
     return starts.select(
         id_col,
@@ -210,14 +213,16 @@ def epoch_shuffle(
         .collect()
     }
     if not counts:
-        return spark.createDataFrame(
+        return local_df(
+        spark,
             [], f"{id_col} long, epoch int, pos long"
         )
     prefix, acc = {}, 0
     for pid in sorted(counts):
         prefix[pid] = acc
         acc += counts[pid]
-    offsets = spark.createDataFrame(
+    offsets = local_df(
+        spark,
         [(pid, off) for pid, off in prefix.items()], "_pid int, _off long"
     )
     w = Window.partitionBy("_pid").orderBy(

@@ -20,13 +20,15 @@ with histogram narrowing:
    each, a handful of bins total): a per-bin ``row_number`` window
    picks the within-bin order statistic.
 
-Small inputs short-circuit: when the non-null count is at most
-``_SMALL_N`` the values are collected ONCE and the order statistics
+Small inputs short-circuit: a ``limit(_SMALL_N + 1)`` Arrow probe
+collects the values ONCE when they fit, and the order statistics are
 picked driver-side — the identical rank over the identical sorted
 values (Python's float sort and SQL ``ASC`` agree on every finite
-double and ±inf; NaN is excluded before either sees it), with two jobs
+double and ±inf; NaN is excluded before either sees it), with ONE job
 instead of three and no window/join. This is the path the ~30-row
-volume-anomaly bucket series and the small-SF correctness runs take.
+volume-anomaly bucket series and the small-SF correctness runs take;
+when the probe overflows, the big path pays one early-terminated
+partial scan and proceeds unchanged.
 
 The result is the exact global order statistic — the float fuzz of the
 bin boundaries cannot perturb it, because bins only ROUTE ranks; the
@@ -60,6 +62,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+from ocsf_validator_spark.localframe import empty_df, local_df
 
 # <= this many non-null values: collect once (Arrow), rank driver-side.
 # One million doubles is ~8 MB on the wire and a few tens of MB as a
@@ -167,7 +171,8 @@ def _boundary_frame(
         .filter(F.col("b").isin(need_bins))
         .select("v", "b", F.row_number().over(w).alias("rn"))
     )
-    targets_df = spark.createDataFrame(
+    targets_df = local_df(
+        spark,
         [(float(q), b, local) for q, (b, local) in targets.items()],
         "q double, b int, rn int",
     )
@@ -240,7 +245,7 @@ def exact_quantiles(
     if probe is not None:
         vs = sorted(probe.column("v").to_pylist())
         if not vs:
-            return spark.createDataFrame([], "q double, value double")
+            return local_df(spark, [], "q double, value double")
         qmap = {q: vs[_rank(len(vs), q) - 1] for q in qs}
     else:
         if persist:
@@ -251,8 +256,9 @@ def exact_quantiles(
             if persist:
                 vals.unpersist()
         if not qmap:
-            return spark.createDataFrame([], "q double, value double")
-    return spark.createDataFrame(
+            return local_df(spark, [], "q double, value double")
+    return local_df(
+        spark,
         [(float(q), float(qmap[q])) for q in sorted(qs)],
         "q double, value double",
     )
@@ -333,7 +339,8 @@ def _group_quantile_map(
                 out[(g, q)] = vs[rk - 1]
         return out
 
-    grid = spark.createDataFrame(
+    grid = local_df(
+        spark,
         [(g, lo, w) for g, (lo, w, _) in live.items()],
         "_g string, _lo double, _w double",
     )
@@ -368,7 +375,8 @@ def _group_quantile_map(
     for g, (_lo, _w, ranks) in live.items():
         for q, (b, local) in _walk_hist(hist[g], ranks).items():
             routing.append((g, b, local, float(q)))
-    routes = spark.createDataFrame(
+    routes = local_df(
+        spark,
         routing, "_g string, b int, rn int, q double"
     )
     w = Window.partitionBy("_g", "b").orderBy(F.col("v").asc())
@@ -428,7 +436,7 @@ def exact_group_quantiles(
         try:
             stats = _group_stats(gvals)
             if not stats:
-                return spark.createDataFrame([], schema)
+                return local_df(spark, [], schema)
             qmap = _group_quantile_map(gvals, stats, qs, n_bins)
         finally:
             gvals.unpersist()
@@ -436,7 +444,7 @@ def exact_group_quantiles(
         ((g, float(q), float(v)) for (g, q), v in qmap.items()),
         key=lambda t: (t[0], t[1]),
     )
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -525,7 +533,7 @@ def mad_outliers(
     )
     mm = _med_mad(df, value_col, n_bins)
     if mm is None:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     med, mad = mm
     lo, hi = med - k * mad, med + k * mad
     v = F.col(value_col).cast("double")
@@ -555,7 +563,8 @@ def _group_mad_flag_pass(
     frame, so this is one broadcast-join + filter over the base scan —
     the big side never shuffles."""
     spark = df.sparkSession
-    fences = spark.createDataFrame(
+    fences = local_df(
+        spark,
         [
             (grp, med, mads[grp], med - k * mads[grp], med + k * mads[grp])
             for grp, med in meds.items()
@@ -632,7 +641,7 @@ def group_mad_outliers(
             for g, v in zip(probe.column("_g").to_pylist(), pvs):
                 per_group.setdefault(g, []).append(v)
             if not per_group:
-                return spark.createDataFrame([], schema)
+                return local_df(spark, [], schema)
             meds, mads = {}, {}
             for g, vs in per_group.items():
                 vs.sort()
@@ -647,14 +656,15 @@ def group_mad_outliers(
     try:
         stats = _group_stats(gvals)
         if not stats:
-            return spark.createDataFrame([], schema)
+            return local_df(spark, [], schema)
         meds = {
             g: v
             for (g, _q), v in _group_quantile_map(
                 gvals, stats, (0.5,), n_bins
             ).items()
         }
-        med_df = spark.createDataFrame(
+        med_df = local_df(
+        spark,
             list(meds.items()), "_g string, _med double"
         )
         dev = gvals.join(F.broadcast(med_df), "_g").select(
@@ -816,7 +826,7 @@ def robust_scale(
                 "scaled double, median double, mad double",
             ]
         )
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     med, mad = mm
     v = F.col(value_col).cast("double")
     ok = v.isNotNull() & ~F.isnan(v)

@@ -35,6 +35,8 @@ from typing import Mapping
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ocsf_validator_spark.localframe import empty_df, local_df
+
 from ocsf_validator_spark.pipeline import textstats
 
 # first 8 md5 hex chars as a non-negative bigint in [0, 2^32), shared
@@ -124,9 +126,10 @@ def ngram_topk(
     spark = df.sparkSession
     top_rows = counts.collect()
     if not top_rows:
-        return spark.createDataFrame([], "ngram string, cnt bigint")
+        return local_df(spark, [], "ngram string, cnt bigint")
     win_list = ",".join(str(int(r["_g"])) for r in top_rows)
-    counts_df = spark.createDataFrame(
+    counts_df = local_df(
+        spark,
         [(r["_g"], r["cnt"]) for r in top_rows], "_g bigint, cnt bigint"
     )
     pairs = (

@@ -41,6 +41,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ocsf_validator_spark.localframe import empty_df, local_df
+
 
 def asof_join(
     left: DataFrame,
@@ -180,7 +182,7 @@ def asof_join(
     return finish(
         u.join(
             F.broadcast(
-                u.sparkSession.createDataFrame(hot, u.select(*keys).schema)
+                local_df(u.sparkSession, hot, u.select(*keys).schema)
             ),
             keys,
             "anti",
@@ -210,7 +212,7 @@ def _asof_hot_leg(
     spark = u.sparkSession
     key_schema = u.select(*keys).schema
     hu = u.join(
-        F.broadcast(spark.createDataFrame(hot, key_schema)), keys, "semi"
+        F.broadcast(local_df(spark, hot, key_schema)), keys, "semi"
     )
     P = max(2, hot_splits or spark.sparkContext.defaultParallelism * 2)
     dt = u.schema["_ats"].dataType
@@ -276,7 +278,7 @@ def _asof_hot_leg(
         ]
     )
     seeded = hu.join(
-        F.broadcast(spark.createDataFrame(seed_rows, seed_schema)),
+        F.broadcast(local_df(spark, seed_rows, seed_schema)),
         [*keys, "_split"],
         "left",
     )
@@ -468,7 +470,8 @@ def funnel(
         .agg(F.count(F.lit(1)).alias("_n"))
         .localCheckpoint(eager=False)
     )
-    grid = spark.createDataFrame(
+    grid = local_df(
+        spark,
         [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step string"
     )
     reached = (

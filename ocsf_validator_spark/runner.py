@@ -35,6 +35,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ocsf_validator_spark.localframe import empty_df, local_df
+
 from ocsf_validator_spark import checkpoint as ckpt
 from ocsf_validator_spark.spec import (
     ConstraintSet,
@@ -405,9 +407,9 @@ def run_validation(
                     "point it at a single-run snapshot — diff skipped"
                 )
             else:
-                prior = spark.createDataFrame(prior_rows, vd_schema)
+                prior = local_df(spark, prior_rows, vd_schema)
         if prior is not None:
-            cur = spark.createDataFrame(vd_rows, vd_schema)
+            cur = local_df(spark, vd_rows, vd_schema)
             drows = (
                 verdict_diff(prior, cur)
                 .orderBy("bucket", "constraint_id", "status")
@@ -424,7 +426,7 @@ def run_validation(
             if len(drows) > 200:
                 say(f"  ... {len(drows) - 200} more diff rows")
     if verdicts_out:
-        spark.createDataFrame(vd_rows, vd_schema).write.mode(
+        local_df(spark, vd_rows, vd_schema).write.mode(
             "append"
         ).parquet(verdicts_out)
 

@@ -25,6 +25,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ocsf_validator_spark.localframe import empty_df, local_df
+
 DEFAULT_BUCKETS = 64
 
 
@@ -224,7 +226,7 @@ def column_topk_values(
     from pyspark.sql import Window
 
     if not columns:
-        return df.sparkSession.createDataFrame(
+        return local_df(df.sparkSession, 
             [],
             "col string, rank int, value string, cnt bigint, share double",
         )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ocsf_validator_spark.localframe import empty_df, local_df
+
 from ocsf_validator_spark.spec import ConstraintSet, Severity
 from ocsf_validator_spark.stats import DEFAULT_BUCKETS, bucket_col
 
@@ -49,12 +51,13 @@ def verdicts(
     if bucket_expr is None:
         bucket_expr = bucket_col(conv_col, num_buckets)
     if observed_buckets is not None:
-        buckets = spark.createDataFrame(
-            [(int(b),) for b in observed_buckets], "bucket int"
+        buckets = local_df(
+            spark, [(int(b),) for b in observed_buckets], "bucket int"
         )
     else:
         buckets = df.select(bucket_expr.alias("bucket")).distinct()
-    cons = spark.createDataFrame(
+    cons = local_df(
+        spark,
         [(c.constraint_id, c.severity.name) for c in suite.constraints],
         "constraint_id string, constraint_severity string",
     )

@@ -35,6 +35,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ocsf_validator_spark.localframe import empty_df, local_df
+
 from ocsf_validator_spark.compile import violation_entries_guarded
 from ocsf_validator_spark.spec import (
     AllowedColumns,
@@ -92,7 +94,7 @@ def _violation_schema(df: DataFrame, keys: Sequence[str]) -> T.StructType:
 
 
 def _empty(df: DataFrame, keys: Sequence[str]) -> DataFrame:
-    return df.sparkSession.createDataFrame([], _violation_schema(df, keys))
+    return empty_df(df.sparkSession, _violation_schema(df, keys))
 
 
 def _present(df: DataFrame, cols: Sequence[str]) -> bool:
@@ -1537,7 +1539,7 @@ def dataset_findings(
                     f"(median {r.median:.6f}, mad {r.mad:.6f})",
                     c.severity.name,
                 ))
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def residual_violations(

@@ -318,9 +318,19 @@ def test_connected_components_chain_and_dedup(spark):
         r.doc_id for r in dedup.drop_duplicate_docs(docs, cc).collect()
     )
     assert kept == [1, 5, 10, 99]
-    # the backstop raises instead of emitting half-merged clusters
+    # the DISTRIBUTED path still merges the same chains (the driver
+    # union-find fast path above resolves small graphs without
+    # iterating — force past it) and its backstop raises instead of
+    # emitting half-merged clusters
+    got_dist = {
+        r.doc_id: r.canonical_id
+        for r in dedup.connected_components(
+            pairs, small_graph_max=0
+        ).collect()
+    }
+    assert got_dist == got
     with pytest.raises(RuntimeError, match="converge"):
-        dedup.connected_components(pairs, max_iters=1)
+        dedup.connected_components(pairs, max_iters=1, small_graph_max=0)
 
 
 def test_embedding_health_per_dim(spark):

@@ -93,6 +93,11 @@ def test_plan_hash_keyed_exchange_and_window_group_reuse(spark, corpus):
     # no window STRINGS cross any exchange (hash-keyed df count)
     assert all("gram#" not in ln for ln in exchanges), exchanges
     # the island groupBy rides the span window's doc_id partitioning:
-    # exactly one doc_id exchange in the whole plan
-    doc_exchanges = [ln for ln in exchanges if "doc_id#" in ln]
+    # exactly one exchange PARTITIONED BY doc_id in the whole plan (the
+    # single-gram-pass df count adds a (gh, doc_id)-keyed partial-
+    # distinct exchange — fixed-width ints, keyed on gh first — which
+    # is not a doc_id repartition)
+    doc_exchanges = [
+        ln for ln in exchanges if "hashpartitioning(doc_id#" in ln
+    ]
     assert len(doc_exchanges) == 1, plan
