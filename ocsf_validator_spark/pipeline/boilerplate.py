@@ -100,11 +100,26 @@ def strip_boilerplate(
     occurrence pass through unchanged (n_removed = 0).
     """
     totals = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
-    # ONE tokenize + gram-hash pass feeds both the document-frequency
-    # leg and the occurrence probe (they used to be two full gram
-    # passes); count(DISTINCT id) preserves the distinct-per-doc
-    # counting, and the exchange still carries fixed-width keys only
-    occs = (
+    # two gram passes by design for the short-gram (n=2) case: a
+    # shared-occurrence single-pass variant (the spans.py shape) was
+    # measured this round and REVERTED here — its extra partial-distinct
+    # exchanges cost more than the cheap bigram re-tokenize saves
+    # (+0.3 s at sf0.1), while spans' 8-token windows keep that shape
+    # (the md5-over-window pass there is the expensive side)
+    distinct_h = (
+        f"array_distinct(transform({_gram_structs(text_col, n)}, t -> t.gh))"
+    )
+    flagged = (
+        df.select(F.explode(F.expr(distinct_h)).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("df_docs") >= F.lit(min_doc_frac) * F.col("_n_docs"))
+        .select("gh")
+    )
+    # occurrence probe: every (doc, pos) whose gram is flagged expands
+    # to its covered token positions [pos, pos + n - 1]
+    occ = (
         df.select(
             F.col(id_col),
             F.explode(
@@ -115,19 +130,7 @@ def strip_boilerplate(
             ).alias("o"),
         )
         .select(id_col, "o.pos", "o.gh")
-        .localCheckpoint(eager=False)
-    )
-    flagged = (
-        occs.groupBy("gh")
-        .agg(F.countDistinct(id_col).alias("df_docs"))
-        .crossJoin(F.broadcast(totals))
-        .filter(F.col("df_docs") >= F.lit(min_doc_frac) * F.col("_n_docs"))
-        .select("gh")
-    )
-    # occurrence probe: every (doc, pos) whose gram is flagged expands
-    # to its covered token positions [pos, pos + n - 1]
-    occ = (
-        occs.join(F.broadcast(flagged), "gh")
+        .join(F.broadcast(flagged), "gh")
         .select(
             id_col, F.expr(f"sequence(pos, pos + {n - 1})").alias("_span")
         )

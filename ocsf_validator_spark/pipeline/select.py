@@ -117,25 +117,14 @@ def ngram_topk(
     # recovery pass: per-doc DISTINCT pairs (a pathological document
     # repeating one winner a million times contributes one probe row);
     # distinct the STRINGS first, hash after — never struct-distinct.
-    # The k winning hashes are collected (the selection above is a
-    # TakeOrderedAndProject over fixed-width ints) and pushed into the
-    # probe as a LITERAL in-list filter, so non-winning grams drop
-    # inside the per-row transform instead of being exploded and
-    # join-discarded — the same probe rows reach the same min(ngram)
-    # recovery, output unchanged.
-    spark = df.sparkSession
-    top_rows = counts.collect()
-    if not top_rows:
-        return local_df(spark, [], "ngram string, cnt bigint")
-    win_list = ",".join(str(int(r["_g"])) for r in top_rows)
-    counts_df = local_df(
-        spark,
-        [(r["_g"], r["cnt"]) for r in top_rows], "_g bigint, cnt bigint"
-    )
+    # The broadcast join bounds the probe exchange to winner rows
+    # already (map-side join before the min-agg); a literal in-list
+    # pre-filter variant was measured this round and REVERTED — it
+    # added a job boundary for no exchange saving (+0.2 s same-session
+    # A/B at sf0.1).
     pairs = (
-        f"filter(transform(array_distinct(_gr), "
-        f"x -> struct({gram_h} as _g, x as ngram)), "
-        f"p -> p._g in ({win_list}))"
+        f"transform(array_distinct(_gr), "
+        f"x -> struct({gram_h} as _g, x as ngram))"
     )
     probes = (
         _grams_frame(df)
@@ -143,7 +132,7 @@ def ngram_topk(
         .select("p._g", "p.ngram")
     )
     return (
-        probes.join(F.broadcast(counts_df), "_g")
+        probes.join(F.broadcast(counts), "_g")
         .groupBy("_g", "cnt")
         .agg(F.min("ngram").alias("ngram"))
         .select("ngram", "cnt")
