@@ -42,6 +42,11 @@ from ocsf_validator_spark.localframe import empty_df, local_df
 
 from ocsf_validator_spark.pipeline.decontam import _MD5_60
 
+# vocab_coverage small-histogram cap (rows of the count histogram the
+# driver will walk); module-level so tests can force the distributed
+# two-phase-prefix path
+_HIST_CAP = 2_000_000
+
 
 def tfidf_topk(
     df: DataFrame,
@@ -202,9 +207,8 @@ def vocab_coverage(
     # probed so a pathological non-Zipf histogram falls through to the
     # distributed two-phase prefix below) and walk the cumulative curve
     # in Python — the identical integer arithmetic, zero extra jobs.
-    _CAP = 2_000_000
-    probe = hist.limit(_CAP + 1).toArrow()
-    if probe.num_rows <= _CAP:
+    probe = hist.limit(_HIST_CAP + 1).toArrow()
+    if probe.num_rows <= _HIST_CAP:
         rows = sorted(
             zip(
                 probe.column("cnt").to_pylist(),
