@@ -639,6 +639,50 @@ def q_suite_verdicts(
     )
 
 
+def _vd_observed_stats(ev: DataFrame, cov_vals: list) -> tuple[dict, dict]:
+    """ONE stats scan feeds BOTH of verdict_diff's runs: per
+    (bucket, even-half) group, the observed-bucket bit and the
+    enum-coverage set ride the same bounded aggregation (<=16 groups),
+    replacing the four separate full scans the two runs used to pay
+    (2x observed-bucket distinct + 2x dataset_findings coverage agg).
+    The per-half values are IDENTICAL to the per-run scans by
+    construction: role comes 1:1 from event_type, the parity predicate
+    on the derived conv_id is the same expression, and rows whose
+    parity is NULL (uncastable conv_id) fall only into the full run —
+    exactly what the filtered scan's NULL-dropping WHERE did.
+
+    Returns ({half: observed_bucket_list}, {half: observed_enums dict})
+    keyed by half=True for the even-conversation run, False for the
+    full run (tests/test_driver_contract.py pins equality with the
+    naive per-half scans)."""
+    stat_rows = (
+        ev.select(F.col("user_id").cast("string").alias("conv_id"), "event_type")
+        .select(
+            md5_bucket_col("conv_id", 8).alias("b"),
+            F.coalesce(
+                F.expr("CAST(conv_id AS BIGINT) % 2 = 0"), F.lit(False)
+            ).alias("g"),
+            F.col("event_type").alias("role"),
+        )
+        .groupBy("b", "g")
+        .agg(
+            F.collect_set(
+                F.when(F.col("role").isin(*cov_vals), F.col("role"))
+            ).alias("obs")
+        )
+        .collect()
+    )
+    obs_buckets = {
+        True: sorted({int(r["b"]) for r in stat_rows if r["g"]}),
+        False: sorted({int(r["b"]) for r in stat_rows}),
+    }
+    obs_enums = {
+        True: {"role": {v for r in stat_rows if r["g"] for v in r["obs"]}},
+        False: {"role": {v for r in stat_rows for v in r["obs"]}},
+    }
+    return obs_buckets, obs_enums
+
+
 def q_verdict_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Run-over-run verdict regression report (verdict.verdict_diff):
     the scorecard of the even-conversation half (yesterday's snapshot)
@@ -649,24 +693,24 @@ def q_verdict_diff(spark: SparkSession, sf: str) -> DataFrame:
     suite = _events_suite()
     ev = _t(spark, sf, "events")
 
+    cov_vals = [
+        v
+        for c in suite.constraints
+        if type(c).__name__ == "EnumCoverage"
+        for v in c.values
+    ]
+    obs_buckets, obs_enums = _vd_observed_stats(ev, cov_vals)
+
     def _vd(pred: str | None) -> DataFrame:
         tt = t.filter(pred) if pred else t
-        base = ev.select(F.col("user_id").cast("string").alias("conv_id"))
-        if pred:
-            base = base.filter(pred)
-        observed = [
-            int(r[0])
-            for r in base.select(md5_bucket_col("conv_id", 8).alias("b"))
-            .distinct()
-            .collect()
-        ]
+        half = pred is not None
         return verdicts(
             tt,
-            all_violations(tt, suite),
+            all_violations(tt, suite, observed_enums=obs_enums[half]),
             suite,
             num_buckets=8,
             bucket_expr=md5_bucket_col("conv_id", 8),
-            observed_buckets=observed,
+            observed_buckets=obs_buckets[half],
         )
 
     from ocsf_validator_spark.verdict import verdict_diff

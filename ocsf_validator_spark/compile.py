@@ -238,14 +238,24 @@ def violation_entries_guarded(cs, cast_to: str | None = None) -> Column:
     """
     if not cs:
         raise ValueError("violation_entries_guarded needs >=1 constraint")
+    # compile each constraint ONCE and embed the same Column in both the
+    # guard and its entry — Columns are immutable expression wrappers, so
+    # the plan is identical to compiling twice, at half the py4j traffic
+    # (plan construction is driver wall on every suite build)
     guard = None
+    entries = []
     for c in cs:
-        pred, _ = compile_row_constraint(c)
+        pred, reason = compile_row_constraint(c)
         guard = pred if guard is None else guard | pred
-    entries = [
-        violation_entry(c).cast(cast_to) if cast_to else violation_entry(c)
-        for c in cs
-    ]
+        entry = F.when(
+            pred,
+            F.struct(
+                F.lit(c.constraint_id).alias("constraint_id"),
+                reason.alias("reason"),
+                F.lit(c.severity.name).alias("severity"),
+            ),
+        )
+        entries.append(entry.cast(cast_to) if cast_to else entry)
     return F.when(guard, F.array_compact(F.array(*entries)))
 
 

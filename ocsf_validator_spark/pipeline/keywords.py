@@ -420,41 +420,48 @@ def pmi_collocations(
         F.expr(f"split({text_col}, ' ')").alias("_tk")
     )
     toks = "_tk"
-    uni_h = _MD5_60.format(x="t")
-    uni = (
-        base.select(F.explode(F.col("_tk")).alias("t"))
-        .select(F.expr(uni_h).alias("_h"))
-        .groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    tot = uni.agg(F.sum("c").cast("double").alias("_T"))
     gram = f"concat_ws(' ', slice({toks}, i, 2))"
-    # the component hashes ride a per-row token-hash array bound once
-    # via bind1 (n md5 calls per row) instead of re-hashing left AND
-    # right per position (2(n-1) md5 calls) — element_at(hs, i) ==
-    # md5_60(element_at(tk, i)) value-for-value, so every (hb, h1, h2)
-    # key is unchanged
+    # ONE tokenize+hash scan for BOTH count streams. The bigram stream
+    # already binds the per-row token-hash array hs once via bind1
+    # (element_at(hs, i) == md5_60(element_at(tk, i)) value-for-value),
+    # so the unigram stream rides the SAME exploded pass as kind-0
+    # entries over hs instead of re-scanning + re-hashing every token
+    # in a second full pass (was: uni scan n md5 + bi scan (2n-1) md5 =
+    # 3n-1 md5 and two tokenize scans; now: 2n-1 md5, one scan). The
+    # grouped counts are identical — same keys, same occurrences — and
+    # one lazily checkpointed frame serves every downstream consumer
+    # (tot, tb, the two unigram join legs, the top-k selection).
     from ocsf_validator_spark.pipeline.decontam import bind1
 
-    tri_body = (
+    comb_body = (
+        f"concat("
+        f"transform(hs, h -> named_struct("
+        f"'k', 0, 'hb', h, "
+        f"'h1', CAST(NULL AS BIGINT), 'h2', CAST(NULL AS BIGINT))), "
         f"case when size({toks}) >= 2 then "
         f"transform(sequence(1, size({toks}) - 1), i -> named_struct("
-        f"'hb', {_MD5_60.format(x=gram)}, "
+        f"'k', 1, 'hb', {_MD5_60.format(x=gram)}, "
         f"'h1', element_at(hs, i), "
         f"'h2', element_at(hs, i + 1))) "
-        f"else array() end"
+        f"else array() end)"
     )
-    tri = bind1(
-        tri_body,
+    comb = bind1(
+        comb_body,
         f"transform({toks}, t -> {_MD5_60.format(x='t')})",
         "hs",
     )
-    bi = (
-        base.select(F.explode(F.expr(tri)).alias("b"))
-        .groupBy("b.hb", "b.h1", "b.h2")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
+    counts = (
+        base.select(F.explode(F.expr(comb)).alias("b"))
+        .groupBy("b.k", "b.hb", "b.h1", "b.h2")
+        .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
+    )
+    uni = counts.filter(F.col("k") == 0).select("hb", "c").select(
+        F.col("hb").alias("_h"), "c"
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("_T"))
+    bi = counts.filter(F.col("k") == 1).select(
+        "hb", "h1", "h2", F.col("c").alias("n_pair")
     )
     tb = bi.agg(F.sum("n_pair").cast("double").alias("_TB"))
     u1 = uni.select(F.col("_h").alias("h1"), F.col("c").alias("n_left"))
