@@ -1282,29 +1282,67 @@ def dataset_findings(
         for c in suite.dataset_level()
         if isinstance(c, EnumCoverage) and c.column in df.columns
     ]
+    cov_leg = None
     if cov and include_coverage:
         if observed_enums is None:
-            row = df.agg(
-                *[
-                    F.collect_set(
-                        F.when(F.col(c.column).isin(*c.values), F.col(c.column))
-                    ).alias(f"_o{i}")
-                    for i, c in enumerate(cov)
-                ]
-            ).collect()[0]
-            observed_enums = {c.column: set(row[i] or []) for i, c in enumerate(cov)}
-        for c in cov:
-            seen = observed_enums.get(c.column, set())
-            for v in c.values:
-                if v not in seen:
-                    rows.append(
-                        (
-                            c.constraint_id,
-                            *nulls,
-                            f"enum value '{v}' never observed in {c.column}",
-                            c.severity.name,
+            # LAZY coverage leg: one observation flag per (constraint,
+            # declared value) — max-mergeable pure-codegen aggregates
+            # (the runner's cov_flags trick) — with the never-observed
+            # findings exploding straight out of the one agg row. The
+            # rows are identical to the old collect_set membership test
+            # (flag non-null <=> the value was observed; every reason
+            # string is a literal of declared values), but they ride
+            # the CALLER's job instead of costing every suite build a
+            # separate collect job during plan construction.
+            flag_aggs = [
+                F.max(
+                    F.when(F.col(c.column) == F.lit(v), F.lit(1))
+                ).alias(f"_cv{i}_{j}")
+                for i, c in enumerate(cov)
+                for j, v in enumerate(c.values)
+            ]
+            entries = [
+                F.when(
+                    F.coalesce(F.col(f"_cv{i}_{j}"), F.lit(0)) == 0,
+                    F.struct(
+                        F.lit(c.constraint_id).alias("constraint_id"),
+                        F.lit(
+                            f"enum value '{v}' never observed in {c.column}"
+                        ).alias("reason"),
+                        F.lit(c.severity.name).alias("severity"),
+                    ),
+                )
+                for i, c in enumerate(cov)
+                for j, v in enumerate(c.values)
+            ]
+            cov_leg = (
+                df.agg(*flag_aggs)
+                .select(
+                    F.explode(F.array_compact(F.array(*entries))).alias("_e")
+                )
+                .select(
+                    F.col("_e.constraint_id").alias("constraint_id"),
+                    *[
+                        F.lit(None).cast(schema[k].dataType).alias(k)
+                        for k in keys
+                    ],
+                    F.col("_e.reason").alias("reason"),
+                    F.col("_e.severity").alias("severity"),
+                )
+            )
+        else:
+            for c in cov:
+                seen = observed_enums.get(c.column, set())
+                for v in c.values:
+                    if v not in seen:
+                        rows.append(
+                            (
+                                c.constraint_id,
+                                *nulls,
+                                f"enum value '{v}' never observed in {c.column}",
+                                c.severity.name,
+                            )
                         )
-                    )
     mb = [c for c in suite.dataset_level() if isinstance(c, MetricBound)]
     for c in [m for m in mb if m.column not in df.columns]:
         rows.append(
@@ -1539,7 +1577,10 @@ def dataset_findings(
                     f"(median {r.median:.6f}, mad {r.mad:.6f})",
                     c.severity.name,
                 ))
-    return local_df(spark, rows, schema)
+    out = local_df(spark, rows, schema)
+    if cov_leg is not None:
+        out = out.unionByName(cov_leg)
+    return out
 
 
 def residual_violations(
