@@ -200,21 +200,6 @@ def compile_row_constraint(c: Constraint) -> RowLeg:
     return fn(c)
 
 
-def violation_entry(c: Constraint) -> Column:
-    """One struct-or-null entry for the fused single-pass projection:
-    NULL when the row satisfies the constraint, a violation struct
-    otherwise. violations.py collects these into array_compact+explode."""
-    pred, reason = compile_row_constraint(c)
-    return F.when(
-        pred,
-        F.struct(
-            F.lit(c.constraint_id).alias("constraint_id"),
-            reason.alias("reason"),
-            F.lit(c.severity.name).alias("severity"),
-        ),
-    )
-
-
 def violation_entries_guarded(cs, cast_to: str | None = None) -> Column:
     """The fused row-leg emission column: NULL when the row violates
     nothing, the compacted violation-struct array otherwise.
