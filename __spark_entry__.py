@@ -99,8 +99,23 @@ SF_SMOKE = "/root/testdata/sf0.001"
 EVENT_ROLES = ("click", "view", "purchase", "signup")
 
 
+# reader-plan memo: every `spark.read.parquet` call runs a 1-task
+# schema-inference job, and each declared query's construction pays 1-3
+# of them per execution. The memo holds the immutable LOGICAL plan only
+# — execution still scans the parquet files from disk every run (no
+# result or data caching; schema is metadata the session would cache
+# anyway if its shared FileIndex were hit). Keyed by applicationId so a
+# new session (tests spin several) never sees a dead session's plan.
+_T_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _T_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _T_CACHE[key] = df
+    return df
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
