@@ -634,23 +634,17 @@ def q_suite_verdicts(
     t = _transcripts(spark, sf)
     suite = _events_suite()
     v = violations if violations is not None else all_violations(t, suite)
-    # observed buckets from a pruned single-column scan of the base
-    # table — not a distinct over the windowed transcript view
-    observed = [
-        int(r[0])
-        for r in _t(spark, sf, "events")
-        .select(F.col("user_id").cast("string").alias("conv_id"))
-        .select(md5_bucket_col("conv_id", 8).alias("b"))
-        .distinct()
-        .collect()
-    ]
+    # observed buckets stay LAZY (verdicts' default distinct): column
+    # pruning drops the transcript view's row_number window from that
+    # branch — verified plan: a pure user_id FileScan + two-level
+    # distinct — so the buckets frame rides the caller's job instead
+    # of costing a separate collect job per build
     return verdicts(
         t,
         v,
         suite,
         num_buckets=8,
         bucket_expr=md5_bucket_col("conv_id", 8),
-        observed_buckets=observed,
     )
 
 
